@@ -1,0 +1,324 @@
+"""DDSketch kernel: the quantile sketch carried through SQL as a BLOB.
+
+Semantics mirror the reference extension's sketch
+(``/root/reference/src/datadog_encoding.rs:225-766``) which itself matches
+``github.com/DataDog/sketches-go`` v1.4.7:
+
+* log mapping with ``gamma = 1 + 2a/(1-a)`` for relative accuracy ``a``
+  (datadog_encoding.rs:267), ``index_offset`` always 0 for sketches we create;
+* ``value_to_bin(v) = ceil(ln(v)/ln(gamma) + offset)`` (:750-753) and
+  ``bin_to_value(i) = gamma^(i-offset) * (1 + (1 - 2/(1+gamma)))`` (:709-715);
+* three sign classes: positive bins, negative bins (indexed by ``|v|``), and
+  an exact ``zero_count`` (:738-746);
+* quantile uses Go's ``rank = q*(count-1)`` with the negative store searched
+  first under a reversed rank and a strict ``cumulative > rank`` test
+  (:651-703; Issue #1 regression);
+* merge requires equal gamma and index_offset within 1e-10 (:598-607);
+* the wire encoder never emits sum/count/min/max, so any decode reconstructs
+  them from bins — count exactly, sum/min/max to within the relative accuracy
+  (:334-338, 429-494).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Optional
+
+from . import codec
+
+__all__ = ["DDSketch", "SketchMergeError", "DEFAULT_RELATIVE_ACCURACY"]
+
+DEFAULT_RELATIVE_ACCURACY = 0.01
+_GAMMA_TOLERANCE = 1e-10
+
+
+class SketchMergeError(ValueError):
+    """Raised when two sketches have incompatible mappings."""
+
+
+class DDSketch:
+    __slots__ = (
+        "gamma",
+        "index_offset",
+        "positive_bins",
+        "negative_bins",
+        "zero_count",
+        "sum",
+        "count",
+        "min",
+        "max",
+    )
+
+    def __init__(self, relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY):
+        self.gamma = 1.0 + 2.0 * relative_accuracy / (1.0 - relative_accuracy)
+        self.index_offset = 0.0
+        self.positive_bins: dict[int, float] = {}
+        self.negative_bins: dict[int, float] = {}
+        self.zero_count = 0.0
+        self.sum = 0.0
+        self.count = 0.0
+        self.min = math.inf
+        self.max = -math.inf
+
+    # -- mapping ----------------------------------------------------------
+
+    def value_to_bin(self, value: float) -> int:
+        return math.ceil(math.log(value) / math.log(self.gamma) + self.index_offset)
+
+    def bin_to_value(self, index: int) -> float:
+        lower_bound = self.gamma ** (index - self.index_offset)
+        relative_accuracy = 1.0 - 2.0 / (1.0 + self.gamma)
+        return lower_bound * (1.0 + relative_accuracy)
+
+    # -- updates ----------------------------------------------------------
+
+    def add(self, value: float) -> None:
+        self.add_with_count(value, 1.0)
+
+    def add_with_count(self, value: float, count: float) -> None:
+        if count <= 0.0:
+            return
+        self.count += count
+        self.sum += value * count
+        if value < self.min:
+            self.min = value
+        if value > self.max:
+            self.max = value
+        if value == 0.0:
+            self.zero_count += count
+        elif value > 0.0:
+            idx = self.value_to_bin(value)
+            self.positive_bins[idx] = self.positive_bins.get(idx, 0.0) + count
+        else:
+            idx = self.value_to_bin(-value)
+            self.negative_bins[idx] = self.negative_bins.get(idx, 0.0) + count
+
+    def extend(self, values: Iterable[float]) -> "DDSketch":
+        for v in values:
+            self.add(v)
+        return self
+
+    def merge(self, other: "DDSketch") -> None:
+        if abs(self.gamma - other.gamma) > _GAMMA_TOLERANCE:
+            raise SketchMergeError("cannot merge sketches with different gamma values")
+        if abs(self.index_offset - other.index_offset) > _GAMMA_TOLERANCE:
+            raise SketchMergeError(
+                "cannot merge sketches with different index_offset values"
+            )
+        for idx, c in other.positive_bins.items():
+            self.positive_bins[idx] = self.positive_bins.get(idx, 0.0) + c
+        for idx, c in other.negative_bins.items():
+            self.negative_bins[idx] = self.negative_bins.get(idx, 0.0) + c
+        self.zero_count += other.zero_count
+        self.sum += other.sum
+        self.count += other.count
+        if other.min < self.min:
+            self.min = other.min
+        if other.max > self.max:
+            self.max = other.max
+
+    # -- stats ------------------------------------------------------------
+
+    def get_count(self) -> int:
+        return int(self.count)
+
+    def get_sum(self) -> Optional[float]:
+        return self.sum if self.count > 0.0 else None
+
+    def get_min(self) -> Optional[float]:
+        return self.min if self.count > 0.0 and math.isfinite(self.min) else None
+
+    def get_max(self) -> Optional[float]:
+        return self.max if self.count > 0.0 and math.isfinite(self.max) else None
+
+    def get_avg(self) -> Optional[float]:
+        return self.sum / self.count if self.count > 0.0 else None
+
+    def quantile(self, q: float) -> Optional[float]:
+        if self.count == 0.0:
+            return None
+        if q is None or math.isnan(q) or q < 0.0 or q > 1.0:
+            return None
+        rank = q * (self.count - 1.0)
+        negative_count = sum(self.negative_bins.values())
+        if rank < negative_count:
+            # negative store searched under a reversed rank
+            neg_rank = negative_count - 1.0 - rank
+            return -self._key_at_rank(self.negative_bins, neg_rank)
+        if rank < negative_count + self.zero_count:
+            return 0.0
+        pos_rank = rank - self.zero_count - negative_count
+        return self._key_at_rank(self.positive_bins, pos_rank)
+
+    def _key_at_rank(self, bins: dict[int, float], rank: float) -> float:
+        if rank < 0.0:
+            rank = 0.0
+        cumulative = 0.0
+        last_idx = None
+        for idx in sorted(bins):
+            cumulative += bins[idx]
+            # strict '>' — Go's KeyAtRank (Issue #1 regression)
+            if cumulative > rank:
+                return self.bin_to_value(idx)
+            last_idx = idx
+        if last_idx is not None:
+            return self.bin_to_value(last_idx)
+        return 0.0
+
+    # -- wire format ------------------------------------------------------
+
+    def encode(self) -> bytes:
+        buf = bytearray()
+        # 1. index mapping: flag + gamma + index_offset as float64LE
+        buf.append(codec.make_flag(codec.FLAG_INDEX_MAPPING, codec.SUBFLAG_LOG_MAPPING))
+        codec.encode_float64_le(buf, self.gamma)
+        codec.encode_float64_le(buf, self.index_offset)
+        # 2./3. stores (omitted when empty)
+        if self.positive_bins:
+            self._encode_store(buf, codec.FLAG_POSITIVE_STORE, self.positive_bins)
+        if self.negative_bins:
+            self._encode_store(buf, codec.FLAG_NEGATIVE_STORE, self.negative_bins)
+        # 4. zero count when present
+        if self.zero_count > 0.0:
+            buf.append(
+                codec.make_flag(codec.FLAG_SKETCH_FEATURES, codec.SUBFLAG_ZERO_COUNT)
+            )
+            codec.encode_varfloat64(buf, self.zero_count)
+        # Sum/Count/Min/Max feature flags are intentionally never written:
+        # Go's decoder mishandles FlagCount, and Go itself recomputes stats
+        # from bins on decode. We match that for compatibility.
+        return bytes(buf)
+
+    @staticmethod
+    def _encode_store(buf: bytearray, flag_type: int, bins: dict[int, float]) -> None:
+        buf.append(codec.make_flag(flag_type, codec.SUBFLAG_INDEX_DELTAS_AND_COUNTS))
+        codec.encode_uvarint64(buf, len(bins))
+        prev_index = 0
+        for index in sorted(bins):
+            codec.encode_varint64(buf, index - prev_index)
+            codec.encode_varfloat64(buf, bins[index])
+            prev_index = index
+
+    @classmethod
+    def decode(cls, data: bytes) -> "DDSketch":
+        sketch = cls(DEFAULT_RELATIVE_ACCURACY)
+        pos = 0
+        n = len(data)
+        has_explicit_count = False
+        has_explicit_sum = False
+        explicit_min = None
+        explicit_max = None
+        while pos < n:
+            flag = data[pos]
+            pos += 1
+            ftype = codec.flag_type_of(flag)
+            sub = codec.subflag_of(flag)
+            if ftype == codec.FLAG_INDEX_MAPPING:
+                if sub > 4:
+                    raise ValueError(f"unknown index mapping subflag: {sub}")
+                sketch.gamma, pos = codec.decode_float64_le(data, pos)
+                sketch.index_offset, pos = codec.decode_float64_le(data, pos)
+            elif ftype == codec.FLAG_POSITIVE_STORE:
+                sketch.positive_bins, pos = cls._decode_store(data, pos, sub)
+            elif ftype == codec.FLAG_NEGATIVE_STORE:
+                sketch.negative_bins, pos = cls._decode_store(data, pos, sub)
+            else:  # SketchFeatures
+                if sub == codec.SUBFLAG_ZERO_COUNT:
+                    sketch.zero_count, pos = codec.decode_varfloat64(data, pos)
+                elif sub == codec.SUBFLAG_SUM:
+                    sketch.sum, pos = codec.decode_float64_le(data, pos)
+                    has_explicit_sum = True
+                elif sub == codec.SUBFLAG_MIN:
+                    explicit_min, pos = codec.decode_float64_le(data, pos)
+                elif sub == codec.SUBFLAG_MAX:
+                    explicit_max, pos = codec.decode_float64_le(data, pos)
+                elif sub == codec.SUBFLAG_COUNT:
+                    sketch.count, pos = codec.decode_varfloat64(data, pos)
+                    has_explicit_count = True
+                # unknown feature subflags are ignored (payload unknowable;
+                # matches the reference, which stops interpreting them)
+        if explicit_min is not None:
+            sketch.min = explicit_min
+        if explicit_max is not None:
+            sketch.max = explicit_max
+        # Reconstruct stats from bins when not on the wire (the normal case).
+        if not has_explicit_count:
+            sketch.count = (
+                sum(sketch.positive_bins.values())
+                + sum(sketch.negative_bins.values())
+                + sketch.zero_count
+            )
+        if not has_explicit_sum:
+            sketch.sum = sketch._sum_from_bins()
+        if not (math.isfinite(sketch.min) and math.isfinite(sketch.max)):
+            sketch._min_max_from_bins()
+        return sketch
+
+    def _sum_from_bins(self) -> float:
+        total = 0.0
+        for idx, c in sorted(self.positive_bins.items()):
+            total += self.bin_to_value(idx) * c
+        for idx, c in sorted(self.negative_bins.items()):
+            total -= self.bin_to_value(idx) * c
+        return total
+
+    def _min_max_from_bins(self) -> None:
+        mn = math.inf
+        mx = -math.inf
+        for idx, c in self.negative_bins.items():
+            if c > 0.0:
+                v = -self.bin_to_value(idx)
+                mn = min(mn, v)
+                mx = max(mx, v)
+        if self.zero_count > 0.0:
+            mn = min(mn, 0.0)
+            mx = max(mx, 0.0)
+        for idx, c in self.positive_bins.items():
+            if c > 0.0:
+                v = self.bin_to_value(idx)
+                mn = min(mn, v)
+                mx = max(mx, v)
+        if math.isfinite(mn):
+            self.min = mn
+        if math.isfinite(mx):
+            self.max = mx
+
+    @staticmethod
+    def _decode_store(data: bytes, pos: int, subflag: int) -> tuple[dict[int, float], int]:
+        bins: dict[int, float] = {}
+        if subflag == codec.SUBFLAG_INDEX_DELTAS_AND_COUNTS:
+            num_bins, pos = codec.decode_uvarint64(data, pos)
+            prev = 0
+            for _ in range(num_bins):
+                delta, pos = codec.decode_varint64(data, pos)
+                index = prev + delta
+                count, pos = codec.decode_varfloat64(data, pos)
+                bins[index] = bins.get(index, 0.0) + count
+                prev = index
+        elif subflag == codec.SUBFLAG_INDEX_DELTAS:
+            num_bins, pos = codec.decode_uvarint64(data, pos)
+            prev = 0
+            for _ in range(num_bins):
+                delta, pos = codec.decode_varint64(data, pos)
+                index = prev + delta
+                bins[index] = bins.get(index, 0.0) + 1.0
+                prev = index
+        elif subflag == codec.SUBFLAG_CONTIGUOUS_COUNTS:
+            num_bins, pos = codec.decode_uvarint64(data, pos)
+            start_index, pos = codec.decode_varint64(data, pos)
+            index_delta, pos = codec.decode_varint64(data, pos)
+            index = start_index
+            for _ in range(num_bins):
+                count, pos = codec.decode_varfloat64(data, pos)
+                bins[index] = bins.get(index, 0.0) + count
+                index += index_delta
+        else:
+            raise ValueError(f"unknown bin encoding subflag: {subflag}")
+        return bins, pos
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"DDSketch(gamma={self.gamma!r}, count={self.count}, sum={self.sum}, "
+            f"pos_bins={len(self.positive_bins)}, neg_bins={len(self.negative_bins)}, "
+            f"zero={self.zero_count})"
+        )
