@@ -1,0 +1,147 @@
+"""Aggregate ddsketch functions — the centerpiece of the reference.
+
+The reference's C-API aggregate lifecycle (state init → per-row ``update`` →
+cross-thread ``combine`` → ``finalize``; lib.rs:630-804) maps 1:1 onto Spark
+aggregation. Two strategies:
+
+* ``ddsketch_agg`` — a grouped-agg pandas UDF. Simple and SQL-registrable,
+  but Spark's ``AggregateInPandas`` has **no partial aggregation**: every row
+  shuffles to its group's reducer. Fine for pre-aggregated sketch tables
+  (few rows per group), wrong for raw-event scale.
+* ``merge_sketches_scalable`` — the 100 TB path: a ``mapInPandas``
+  per-partition pre-merge (the reference's ``update``) collapses each input
+  partition to ≤|groups| rows *before* the shuffle, then the grouped-agg UDF
+  runs as the ``combine``/``finalize``. The shuffle moves one sketch per
+  (partition × group) instead of one per row.
+
+Sketch-from-raw-values at scale is fully native (no Python in the hot path):
+see ``operators/native.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType
+
+from ..sketch import DDSketch, DEFAULT_RELATIVE_ACCURACY
+from .scalar import ddsketch_stats_full
+
+__all__ = [
+    "ddsketch_agg",
+    "ddsketch_stats_agg",
+    "sketch_values_agg",
+    "merge_sketches_scalable",
+]
+
+
+def _merge_series(blobs: Iterable) -> Optional[bytes]:
+    """update/combine/finalize over a series of wire-format sketches.
+
+    First decodable sketch is adopted (group inherits its gamma), later ones
+    merged; NULL and undecodable rows are skipped; empty group → None
+    (lib.rs:687-804, NULL-skip via set_special_handling lib.rs:1024).
+    """
+    merged: Optional[DDSketch] = None
+    for blob in blobs:
+        if blob is None:
+            continue
+        try:
+            s = DDSketch.decode(bytes(blob))
+        except Exception:
+            continue
+        if merged is None:
+            merged = s
+        else:
+            try:
+                merged.merge(s)
+            except Exception:
+                # incompatible gamma: reference propagates an error state that
+                # finalizes to NULL; we skip-and-continue is NOT faithful, so
+                # poison the group instead.
+                return None
+    return merged.encode() if merged is not None else None
+
+
+@pandas_udf(BinaryType())
+def ddsketch_agg(sketches: pd.Series) -> bytes:
+    """``SELECT k, ddsketch_agg(sketch) ... GROUP BY k`` — fold a column of
+    serialized sketches into one (lib.rs:630-804)."""
+    return _merge_series(sketches)
+
+
+def ddsketch_stats_agg(sketch_col) -> Column:
+    """Aggregate returning STRUCT(sketch, count, sum, avg, min, max, p25, p50,
+    p75, p90, p95, p99) in one pass (lib.rs:811-989).
+
+    Spark's grouped-agg pandas UDFs cannot return structs, so this composes
+    the binary aggregate with the one-decode finalizer — in SQL use
+    ``ddsketch_stats_full(ddsketch_agg(s))``.
+    """
+    return ddsketch_stats_full(ddsketch_agg(sketch_col))
+
+
+def sketch_values_agg(value_col, alpha: float = DEFAULT_RELATIVE_ACCURACY) -> Column:
+    """Aggregate raw DOUBLE values into one serialized sketch per group.
+
+    The reference ingests via per-row ``ddsketch_add`` loops (its own stated
+    anti-pattern, README.md:236-247); this is the vectorized ingest form.
+    For full-scale ingest prefer the native binned path (operators/native.py).
+    """
+
+    @pandas_udf(BinaryType())
+    def _agg(values: pd.Series) -> bytes:
+        s = DDSketch(alpha)
+        vals = values.dropna()
+        if len(vals):
+            # vectorized binning via numpy would also work; per-batch loop is
+            # fine because grouped-agg already amortizes the Arrow transfer
+            for v in vals.to_numpy():
+                s.add(float(v))
+        return s.encode() if s.count > 0 else None
+
+    return _agg(value_col)
+
+
+def merge_sketches_scalable(
+    df: DataFrame, keys: Sequence[str], sketch_col: str = "sketch"
+) -> DataFrame:
+    """Two-stage sketch merge that restores partial aggregation.
+
+    Stage 1 (reference ``update``): within each input partition, merge rows
+    that share a key — no shuffle, output ≤ |partitions|·|groups| rows.
+    Stage 2 (reference ``combine`` + ``finalize``): shuffle the pre-merged
+    sketches and fold per key.
+
+    Returns ``keys + [sketch_col]`` with one merged sketch per group.
+    """
+    keys = list(keys)
+    fields = df.select(*keys, sketch_col).schema
+
+    def partial_merge(batches: Iterable[pd.DataFrame]):
+        states: dict[tuple, DDSketch] = {}
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                key = tuple(row[:-1])
+                blob = row[-1]
+                if blob is None:
+                    continue
+                try:
+                    s = DDSketch.decode(bytes(blob))
+                except Exception:
+                    continue
+                if key in states:
+                    states[key].merge(s)
+                else:
+                    states[key] = s
+        if states:
+            yield pd.DataFrame(
+                [(*k, s.encode()) for k, s in states.items()],
+                columns=[*keys, sketch_col],
+            )
+
+    partial = df.select(*keys, sketch_col).mapInPandas(partial_merge, schema=fields)
+    return partial.groupBy(*keys).agg(ddsketch_agg(sketch_col).alias(sketch_col))

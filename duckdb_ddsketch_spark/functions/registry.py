@@ -1,0 +1,34 @@
+"""Session registration — the Spark analogue of the extension entry point.
+
+The reference registers 12 functions on extension load (lib.rs:1047-1111);
+here ``register_all(spark)`` makes every ddsketch_* function available to
+``spark.sql`` as well as the DataFrame API. Registration is idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from . import scalar
+from .aggregate import ddsketch_agg
+
+_FUNCTIONS = {
+    "ddsketch_empty": scalar.ddsketch_empty,  # SQL form of ddsketch_create
+    "ddsketch_add": scalar.ddsketch_add,
+    "ddsketch_merge": scalar.ddsketch_merge,
+    "ddsketch_quantile": scalar.ddsketch_quantile,
+    "ddsketch_count": scalar.ddsketch_count,
+    "ddsketch_min": scalar.ddsketch_min,
+    "ddsketch_max": scalar.ddsketch_max,
+    "ddsketch_sum": scalar.ddsketch_sum,
+    "ddsketch_avg": scalar.ddsketch_avg,
+    "ddsketch_stats": scalar.ddsketch_stats,
+    "ddsketch_stats_full": scalar.ddsketch_stats_full,  # finalize of stats_agg
+    "ddsketch_agg": ddsketch_agg,
+}
+
+
+def register_all(spark: SparkSession) -> SparkSession:
+    for name, fn in _FUNCTIONS.items():
+        spark.udf.register(name, fn)
+    return spark

@@ -1,0 +1,252 @@
+"""Scalar ddsketch_* functions as Arrow-vectorized pandas UDFs.
+
+Each mirrors one scalar function of the reference extension (signatures and
+NULL semantics from /root/reference/src/lib.rs):
+
+* NULL input → NULL output (lib.rs:154-157, 175-178 manual NULL propagation);
+* undecodable blob → NULL (lib.rs:191-194, 296-299);
+* empty sketch → count 0, everything else NULL (lib.rs:341-344, 388-395);
+* ``q`` outside [0, 1] → NULL (datadog_encoding.rs:656-658).
+
+These are the *parity* path: every call decodes and (for add/merge) re-encodes
+the sketch, exactly like the reference's stated per-call cost. Bulk pipelines
+should use the native path (operators/native.py), which keeps sketches in
+binned form and touches Python only at the wire boundary.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..sketch import DDSketch, DEFAULT_RELATIVE_ACCURACY
+
+__all__ = [
+    "ddsketch_create",
+    "ddsketch_empty",
+    "ddsketch_add",
+    "ddsketch_merge",
+    "ddsketch_quantile",
+    "ddsketch_count",
+    "ddsketch_min",
+    "ddsketch_max",
+    "ddsketch_sum",
+    "ddsketch_avg",
+    "ddsketch_stats",
+    "ddsketch_stats_full",
+    "ddsketch_prepare",
+    "STATS_SCHEMA",
+    "STATS_FULL_SCHEMA",
+]
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("count", LongType()),
+        StructField("sum", DoubleType()),
+        StructField("min", DoubleType()),
+        StructField("max", DoubleType()),
+        StructField("avg", DoubleType()),
+    ]
+)
+
+# ddsketch_stats_agg's return struct (lib.rs:898-949): merged sketch + stats +
+# the six canonical quantiles, computed in one decode pass.
+STATS_FULL_SCHEMA = StructType(
+    [
+        StructField("sketch", BinaryType()),
+        StructField("count", LongType()),
+        StructField("sum", DoubleType()),
+        StructField("avg", DoubleType()),
+        StructField("min", DoubleType()),
+        StructField("max", DoubleType()),
+        StructField("p25", DoubleType()),
+        StructField("p50", DoubleType()),
+        StructField("p75", DoubleType()),
+        StructField("p90", DoubleType()),
+        StructField("p95", DoubleType()),
+        StructField("p99", DoubleType()),
+    ]
+)
+
+
+def _try_decode(blob) -> Optional[DDSketch]:
+    if blob is None:
+        return None
+    try:
+        return DDSketch.decode(bytes(blob))
+    except Exception:
+        return None
+
+
+def ddsketch_create(relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY) -> bytes:
+    """Driver-side constructor: serialized empty sketch (the reference's
+    one-row table function, lib.rs:53-113, reduced to its essence)."""
+    return DDSketch(relative_accuracy).encode()
+
+
+@pandas_udf(BinaryType())
+def ddsketch_empty(alpha: pd.Series) -> pd.Series:
+    """SQL-callable constructor: ``ddsketch_empty(0.01)`` → empty sketch."""
+    return alpha.map(
+        lambda a: DDSketch(float(a)).encode() if a is not None else None
+    )
+
+
+@pandas_udf(BinaryType())
+def ddsketch_add(sketch: pd.Series, value: pd.Series) -> pd.Series:
+    def go(blob, v):
+        s = _try_decode(blob)
+        if s is None or v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        s.add(float(v))
+        return s.encode()
+
+    return pd.Series(
+        [go(b, v) for b, v in zip(sketch, value)], dtype=object
+    )
+
+
+@pandas_udf(BinaryType())
+def ddsketch_merge(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    def go(b1, b2):
+        a = _try_decode(b1)
+        b = _try_decode(b2)
+        if a is None or b is None:
+            return None
+        try:
+            a.merge(b)
+        except Exception:
+            # gamma / index_offset mismatch → NULL (lib.rs:241-243)
+            return None
+        return a.encode()
+
+    return pd.Series([go(a, b) for a, b in zip(s1, s2)], dtype=object)
+
+
+@pandas_udf(DoubleType())
+def ddsketch_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
+    def go(blob, quantile):
+        s = _try_decode(blob)
+        if s is None or quantile is None:
+            return None
+        return s.quantile(float(quantile))
+
+    return pd.Series(
+        [go(b, v) for b, v in zip(sketch, q)], dtype="float64"
+    )
+
+
+@pandas_udf(LongType())
+def ddsketch_count(sketch: pd.Series) -> pd.Series:
+    def go(blob):
+        s = _try_decode(blob)
+        return None if s is None else s.get_count()
+
+    return pd.Series([go(b) for b in sketch], dtype="object").astype("Int64")
+
+
+@pandas_udf(DoubleType())
+def ddsketch_min(sketch: pd.Series) -> pd.Series:
+    return pd.Series(
+        [(s.get_min() if (s := _try_decode(b)) is not None else None) for b in sketch],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def ddsketch_max(sketch: pd.Series) -> pd.Series:
+    return pd.Series(
+        [(s.get_max() if (s := _try_decode(b)) is not None else None) for b in sketch],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def ddsketch_sum(sketch: pd.Series) -> pd.Series:
+    return pd.Series(
+        [(s.get_sum() if (s := _try_decode(b)) is not None else None) for b in sketch],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def ddsketch_avg(sketch: pd.Series) -> pd.Series:
+    return pd.Series(
+        [(s.get_avg() if (s := _try_decode(b)) is not None else None) for b in sketch],
+        dtype="float64",
+    )
+
+
+@pandas_udf(STATS_SCHEMA)
+def ddsketch_stats(sketch: pd.Series) -> pd.DataFrame:
+    """One-pass stats struct (count, sum, min, max, avg) — lib.rs:559-622."""
+    rows = []
+    for blob in sketch:
+        s = _try_decode(blob)
+        if s is None:
+            rows.append((None, None, None, None, None))
+        else:
+            rows.append((s.get_count(), s.get_sum(), s.get_min(), s.get_max(), s.get_avg()))
+    return pd.DataFrame(rows, columns=["count", "sum", "min", "max", "avg"])
+
+
+@pandas_udf(STATS_FULL_SCHEMA)
+def ddsketch_stats_full(sketch: pd.Series) -> pd.DataFrame:
+    """Finalizer of ddsketch_stats_agg: all stats + 6 quantiles in one decode
+    (lib.rs:811-895). Compose as ``ddsketch_stats_full(ddsketch_agg(s))``."""
+    cols = ["sketch", "count", "sum", "avg", "min", "max", "p25", "p50", "p75", "p90", "p95", "p99"]
+    rows = []
+    for blob in sketch:
+        s = _try_decode(blob)
+        if s is None:
+            rows.append((None,) * 12)
+        else:
+            rows.append(
+                (
+                    bytes(blob),
+                    s.get_count(),
+                    s.get_sum(),
+                    s.get_avg(),
+                    s.get_min(),
+                    s.get_max(),
+                    s.quantile(0.25),
+                    s.quantile(0.50),
+                    s.quantile(0.75),
+                    s.quantile(0.90),
+                    s.quantile(0.95),
+                    s.quantile(0.99),
+                )
+            )
+    return pd.DataFrame(rows, columns=cols)
+
+
+def ddsketch_prepare(value_col, alpha: float = DEFAULT_RELATIVE_ACCURACY):
+    """Column helper: one-value sketch per row (bulk-ingest building block).
+
+    ``ddsketch_prepare(F.col("v"))`` ≡ ``ddsketch_add(lit(empty), v)`` but
+    without decoding an empty sketch per row.
+    """
+
+    @pandas_udf(BinaryType())
+    def _prepare(values: pd.Series) -> pd.Series:
+        def go(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return None
+            s = DDSketch(alpha)
+            s.add(float(v))
+            return s.encode()
+
+        return values.map(go)
+
+    return _prepare(value_col)

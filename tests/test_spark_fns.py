@@ -1,0 +1,237 @@
+"""End-to-end Spark tests for the ddsketch_* function surface.
+
+Re-expresses the reference's SQL suites (test/sql/ddsketch.test and
+test/integration_test.sql) over Spark DataFrames + spark.sql.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ddsketch_spark import DDSketch
+from duckdb_ddsketch_spark.functions import (
+    ddsketch_agg,
+    ddsketch_create,
+    ddsketch_prepare,
+    ddsketch_stats_agg,
+    sketch_values_agg,
+)
+from duckdb_ddsketch_spark.functions.aggregate import merge_sketches_scalable
+
+
+def approx_rel(a, b, tol=0.02):
+    if a == b:
+        return True
+    m = max(abs(a), abs(b))
+    return m > 0 and abs(a - b) <= m * tol
+
+
+@pytest.fixture(scope="module")
+def sketch_df(spark):
+    """One sketch per row built from [100, 200, 300] via ddsketch_add chain."""
+    empty = ddsketch_create(0.01)
+    df = spark.createDataFrame([(empty,)], "sketch binary")
+    for v in (100.0, 200.0, 300.0):
+        df = df.select(F.expr(f"ddsketch_add(sketch, {v}d)").alias("sketch"))
+    return df
+
+
+def test_create_empty(spark):
+    row = spark.sql("SELECT ddsketch_empty(0.01d) AS s").first()
+    assert row.s is not None
+    assert len(row.s) == 17  # index-mapping section only
+    # count of empty sketch is 0, min/max/sum/avg/quantile NULL
+    out = spark.sql(
+        "SELECT ddsketch_count(ddsketch_empty(0.01d)) c,"
+        " ddsketch_min(ddsketch_empty(0.01d)) mn,"
+        " ddsketch_max(ddsketch_empty(0.01d)) mx,"
+        " ddsketch_sum(ddsketch_empty(0.01d)) sm,"
+        " ddsketch_avg(ddsketch_empty(0.01d)) av,"
+        " ddsketch_quantile(ddsketch_empty(0.01d), 0.5d) q"
+    ).first()
+    assert out.c == 0
+    assert out.mn is None and out.mx is None and out.sm is None
+    assert out.av is None and out.q is None
+
+
+def test_add_and_stats(spark, sketch_df):
+    # Each ddsketch_add round-trips the wire format, so sum/min/max are
+    # re-derived from bins (approximate within ~2α per hop); the reference's
+    # sqllogictest claims exact 600/100/300 but its code computes bin math —
+    # we match the code (SURVEY.md §1.3). Expected values from the kernel:
+    expected = DDSketch(0.01)
+    for v in (100.0, 200.0, 300.0):
+        expected = DDSketch.decode(expected.encode())
+        expected.add(v)
+    expected = DDSketch.decode(expected.encode())
+    out = sketch_df.select(
+        F.expr("ddsketch_count(sketch)").alias("c"),
+        F.expr("ddsketch_sum(sketch)").alias("s"),
+        F.expr("ddsketch_avg(sketch)").alias("a"),
+        F.expr("ddsketch_min(sketch)").alias("mn"),
+        F.expr("ddsketch_max(sketch)").alias("mx"),
+        F.expr("round(ddsketch_quantile(sketch, 0.5d))").alias("p50"),
+    ).first()
+    assert out.c == 3
+    assert out.s == expected.sum
+    assert out.a == expected.sum / 3.0
+    assert out.mn == expected.min
+    assert out.mx == expected.max
+    assert approx_rel(out.s, 600.0, 0.03)
+    assert approx_rel(out.mn, 100.0, 0.03)
+    assert approx_rel(out.mx, 300.0, 0.03)
+    assert abs(out.p50 - 200.0) <= 6.0
+
+
+def test_stats_struct(spark, sketch_df):
+    out = sketch_df.select(F.expr("ddsketch_stats(sketch)").alias("st")).select(
+        "st.count", "st.sum", "st.min", "st.max", "st.avg"
+    ).first()
+    assert out["count"] == 3
+    assert approx_rel(out["sum"], 600.0, 0.03)
+    assert approx_rel(out["avg"], 200.0, 0.03)
+
+
+def test_merge_two_single_value_sketches(spark):
+    s1 = DDSketch(0.01).extend([10.0]).encode()
+    s2 = DDSketch(0.01).extend([20.0]).encode()
+    df = spark.createDataFrame([(s1, s2)], "a binary, b binary")
+    out = df.select(F.expr("ddsketch_count(ddsketch_merge(a, b))").alias("c")).first()
+    assert out.c == 2
+
+
+def test_merge_gamma_mismatch_is_null(spark):
+    s1 = DDSketch(0.01).extend([10.0]).encode()
+    s2 = DDSketch(0.02).extend([20.0]).encode()
+    df = spark.createDataFrame([(s1, s2)], "a binary, b binary")
+    assert df.select(F.expr("ddsketch_merge(a, b)").alias("m")).first().m is None
+
+
+def test_null_handling(spark):
+    out = spark.sql(
+        "SELECT ddsketch_add(NULL, 1.0d) a,"
+        " ddsketch_quantile(ddsketch_empty(0.01d), CAST(NULL AS DOUBLE)) q,"
+        " ddsketch_count(CAST('nonsense' AS BINARY)) c"
+    ).first()
+    assert out.a is None
+    assert out.q is None
+    assert out.c is None  # undecodable blob → NULL
+
+
+def test_quantile_out_of_range_null(spark, sketch_df):
+    out = sketch_df.select(
+        F.expr("ddsketch_quantile(sketch, -0.1d)").alias("lo"),
+        F.expr("ddsketch_quantile(sketch, 1.1d)").alias("hi"),
+    ).first()
+    assert out.lo is None and out.hi is None
+
+
+def test_quantile_bounds_10_to_100(spark):
+    values = [(float(v),) for v in range(10, 101, 10)]
+    df = spark.createDataFrame(values, "v double")
+    sk = df.agg(sketch_values_agg(F.col("v")).alias("s"))
+    out = sk.select(
+        F.expr("ddsketch_quantile(s, 0.5d)").alias("p50"),
+        F.expr("ddsketch_quantile(s, 0.9d)").alias("p90"),
+    ).first()
+    assert 40.0 <= out.p50 <= 70.0
+    assert 80.0 <= out.p90 <= 100.0
+    # golden check against the Go vector for the same distribution
+    assert approx_rel(out.p50, 49.90296094906652)
+    assert approx_rel(out.p90, 89.1303293363591)
+
+
+def test_agg_over_single_value_sketches(spark):
+    rows = [(DDSketch(0.01).extend([float(v)]).encode(),) for v in (10, 20, 30)]
+    df = spark.createDataFrame(rows, "sketch binary")
+    df.createOrReplaceTempView("sketches3")
+    out = spark.sql(
+        "SELECT ddsketch_count(ddsketch_agg(sketch)) c,"
+        " ddsketch_sum(ddsketch_agg(sketch)) s FROM sketches3"
+    ).first()
+    assert out.c == 3
+    assert approx_rel(out.s, 60.0, 0.03)
+
+
+def test_agg_skips_nulls_and_empty_group_is_null(spark):
+    rows = [
+        ("a", DDSketch(0.01).extend([5.0]).encode()),
+        ("a", None),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, sketch binary")
+    out = {r.k: r for r in df.groupBy("k").agg(ddsketch_agg("sketch").alias("m")).collect()}
+    assert out["a"].m is not None
+    assert out["b"].m is None
+
+
+def test_stats_agg_struct(spark):
+    rows = [(DDSketch(0.01).extend([float(v)]).encode(),) for v in (10, 20, 30)]
+    df = spark.createDataFrame(rows, "sketch binary")
+    out = df.agg(ddsketch_stats_agg("sketch").alias("st")).select("st.*").first()
+    assert out["count"] == 3
+    assert approx_rel(out["sum"], 60.0, 0.03)
+    assert approx_rel(out["avg"], 20.0, 0.03)
+    assert out["sketch"] is not None
+    # the nested sketch is reusable
+    df2 = spark.createDataFrame([(bytes(out["sketch"]),)], "s binary")
+    assert df2.select(F.expr("ddsketch_count(s)").alias("c")).first().c == 3
+    assert out["p50"] is not None and out["p25"] <= out["p75"]
+
+
+def test_prepare_then_agg_group_by(spark):
+    data = [("api", float(v)) for v in range(1, 11)] + [("web", 100.0)]
+    df = spark.createDataFrame(data, "service string, latency double")
+    pre = df.select("service", ddsketch_prepare(F.col("latency")).alias("sketch"))
+    agg = pre.groupBy("service").agg(ddsketch_agg("sketch").alias("s"))
+    out = {
+        r.service: r
+        for r in agg.select(
+            "service",
+            F.expr("ddsketch_count(s)").alias("c"),
+            F.expr("ddsketch_quantile(s, 0.5d)").alias("p50"),
+        ).collect()
+    }
+    assert out["api"].c == 10
+    assert approx_rel(out["api"].p50, 5.002829575110703, 0.05)
+    assert out["web"].c == 1
+
+
+def test_merge_sketches_scalable_matches_simple_agg(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        k = f"svc{i % 5}"
+        s = DDSketch(0.01).extend(rng.uniform(1, 1000) for _ in range(20))
+        rows.append((k, s.encode()))
+    df = spark.createDataFrame(rows, "k string, sketch binary").repartition(8)
+    simple = {
+        r.k: DDSketch.decode(bytes(r.s))
+        for r in df.groupBy("k").agg(ddsketch_agg("sketch").alias("s")).collect()
+    }
+    scalable = {
+        r.k: DDSketch.decode(bytes(r.sketch))
+        for r in merge_sketches_scalable(df, ["k"], "sketch").collect()
+    }
+    assert set(simple) == set(scalable)
+    for k in simple:
+        assert simple[k].count == scalable[k].count
+        assert simple[k].positive_bins == scalable[k].positive_bins
+        assert simple[k].quantile(0.5) == scalable[k].quantile(0.5)
+
+
+def test_wire_compat_with_reference_golden(spark):
+    """A Go-generated sketch decodes through the SQL surface (compat gate)."""
+    import golden_vectors as gv
+
+    raw = bytes.fromhex(gv.CONTIGUOUS_COUNTS_HEX)
+    df = spark.createDataFrame([(raw,)], "s binary")
+    out = df.select(
+        F.expr("ddsketch_count(s)").alias("c"),
+        F.expr("ddsketch_quantile(s, 0.5d)").alias("p50"),
+    ).first()
+    assert out.c == 50
+    assert 73.0 <= out.p50 <= 77.0
