@@ -1,0 +1,523 @@
+"""Native (JVM-side) DDSketch path — the 100 TB design.
+
+The reference's per-row decode/encode cost (README.md:236-237) and the
+pandas-UDF aggregate's missing partial aggregation both disappear when the
+sketch math is expressed as Catalyst expressions over raw values:
+
+* ``value_to_bin`` is ``CEIL(LN(v)/LN(gamma))`` (datadog_encoding.rs:750-753)
+  — whole-stage-codegen'd, vectorized, pushdown-friendly;
+* sketching is then ``groupBy(keys, sign, bin).count()`` — Spark's hash
+  aggregate applies **map-side partial aggregation**, so the shuffle carries
+  one row per (key, bin) per map task (a few hundred rows) regardless of
+  input row count;
+* quantiles are cumulative-count selection over the binned rows
+  (datadog_encoding.rs:651-703, Go-exact: ``rank = q*(count-1)``, strict
+  ``cumulative > rank``, negative store searched under a reversed rank);
+* stats mirror decode-side reconstruction (count exact; sum/min/max from
+  bins, datadog_encoding.rs:444-494) so native results equal what the blob
+  path observes after any wire round-trip.
+
+The native *working form* is a struct column
+``(gamma, index_offset, pos MAP<INT,DOUBLE>, neg MAP<INT,DOUBLE>, zero_count,
+count, sum, min, max)`` mirroring datadog_encoding.rs:225-244; wire bytes are
+produced/consumed only at boundaries via a pandas UDF codec hop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    MapType,
+    StructField,
+    StructType,
+)
+
+from ..sketch import DDSketch, DEFAULT_RELATIVE_ACCURACY
+
+__all__ = [
+    "gamma_of",
+    "value_to_bin_expr",
+    "bin_to_value_expr",
+    "binned_counts",
+    "sketch_quantile_agg",
+    "sketch_struct_agg",
+    "struct_quantile",
+    "struct_count",
+    "struct_sum",
+    "struct_to_wire",
+    "wire_to_struct",
+    "merge_struct_sketches",
+    "SKETCH_STRUCT_SCHEMA",
+]
+
+SKETCH_STRUCT_SCHEMA = StructType(
+    [
+        StructField("gamma", DoubleType()),
+        StructField("index_offset", DoubleType()),
+        StructField("pos", MapType(IntegerType(), DoubleType())),
+        StructField("neg", MapType(IntegerType(), DoubleType())),
+        StructField("zero_count", DoubleType()),
+        StructField("count", DoubleType()),
+        StructField("sum", DoubleType()),
+        StructField("min", DoubleType()),
+        StructField("max", DoubleType()),
+    ]
+)
+
+
+def gamma_of(alpha: float = DEFAULT_RELATIVE_ACCURACY) -> float:
+    return 1.0 + 2.0 * alpha / (1.0 - alpha)
+
+
+def value_to_bin_expr(value: Column, gamma: float) -> Column:
+    """``ceil(ln(v)/ln(gamma))`` for v>0 (caller routes sign classes)."""
+    return F.ceil(F.log(value) / F.lit(math.log(gamma))).cast("int")
+
+
+def bin_to_value_expr(bin_col: Column, gamma: float) -> Column:
+    """``gamma^i * (1 + (1 - 2/(1+gamma)))`` — bin representative value."""
+    eta = 1.0 - 2.0 / (1.0 + gamma)
+    return F.pow(F.lit(gamma), bin_col.cast("double")) * F.lit(1.0 + eta)
+
+
+def binned_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    alpha: float = DEFAULT_RELATIVE_ACCURACY,
+    weight: Optional[str] = None,
+) -> DataFrame:
+    """Stage 1 of every native sketch op: per-(key, sign-class, bin) counts.
+
+    This is the shuffle-minimizing core: the hash aggregate partially
+    aggregates map-side, so at 100 TB the shuffle moves |keys|x|bins| rows
+    per map task, not the input rows. NULL values are skipped (the aggregate
+    NULL-skip semantics, lib.rs:1024); weights <= 0 are ignored
+    (datadog_encoding.rs:724-726).
+    """
+    keys = list(keys)
+    gamma = gamma_of(alpha)
+    v = F.col(value)
+    base = df.where(v.isNotNull())
+    if weight is not None:
+        base = base.where(F.col(weight) > 0)
+    sign = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    bin_col = (
+        F.when(v > 0, value_to_bin_expr(v, gamma))
+        .when(v < 0, value_to_bin_expr(-v, gamma))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    w = F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    return (
+        base.select(
+            *keys,
+            sign.alias("sign"),
+            bin_col.alias("bin"),
+            w.alias("w"),
+            v.alias("v"),
+        )
+        .groupBy(*keys, "sign", "bin")
+        .agg(
+            F.sum("w").alias("cnt"),
+            F.sum(F.col("v") * F.col("w")).alias("vsum"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+    )
+
+
+def sketch_quantile_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    alpha: float = DEFAULT_RELATIVE_ACCURACY,
+    quantiles: Sequence[float] = (0.25, 0.50, 0.75, 0.90, 0.95, 0.99),
+    weight: Optional[str] = None,
+    exact_stats: bool = False,
+) -> DataFrame:
+    """Per-group DDSketch stats + quantiles, fully native.
+
+    Returns ``keys + [count, sum, avg, min, max, p<q>...]`` with *sketch
+    semantics*: count exact; sum/min/max/avg reconstructed from bins exactly
+    as a decoded wire sketch would report them (datadog_encoding.rs:429-494);
+    quantiles Go-exact. With ``exact_stats=True``, sum/min/max/avg are the
+    exact column stats instead (pre-serialization in-memory semantics).
+
+    Physical plan: partial+final hash aggregate (1 shuffle of binned rows),
+    two window passes over the per-key bin lists (no extra shuffle: both
+    windows and the final aggregate cluster by ``keys``), no Python.
+    """
+    keys = list(keys)
+    gamma = gamma_of(alpha)
+    binned = binned_counts(df, keys, value, alpha, weight)
+
+    w_key = Window.partitionBy(*keys)
+    w_cum = Window.partitionBy(*keys, "sign").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    is_neg = F.col("sign") == -1
+    is_zero = F.col("sign") == 0
+    is_pos = F.col("sign") == 1
+    enriched = binned.select(
+        *keys,
+        "sign",
+        "bin",
+        "cnt",
+        "vsum",
+        "vmin",
+        "vmax",
+        F.sum("cnt").over(w_key).alias("total"),
+        F.sum(F.when(is_neg, F.col("cnt")).otherwise(F.lit(0.0))).over(w_key).alias("negc"),
+        F.sum(F.when(is_zero, F.col("cnt")).otherwise(F.lit(0.0))).over(w_key).alias("zeroc"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+
+    bin_val = bin_to_value_expr(F.col("bin"), gamma)
+    aggs = [
+        F.first("total").alias("_total"),
+        F.first("negc").alias("_negc"),
+        F.first("zeroc").alias("_zeroc"),
+        # bin-math stats (what any decoded sketch reports)
+        F.sum(
+            F.when(is_pos, bin_val * F.col("cnt"))
+            .when(is_neg, -bin_val * F.col("cnt"))
+            .otherwise(F.lit(0.0))
+        ).alias("_sum_bins"),
+        F.max(F.when(is_neg, F.col("bin"))).alias("_max_neg_bin"),
+        F.min(F.when(is_neg, F.col("bin"))).alias("_min_neg_bin"),
+        F.max(F.when(is_pos, F.col("bin"))).alias("_max_pos_bin"),
+        F.min(F.when(is_pos, F.col("bin"))).alias("_min_pos_bin"),
+        # exact stats
+        F.sum("vsum").alias("_sum_exact"),
+        F.min("vmin").alias("_min_exact"),
+        F.max("vmax").alias("_max_exact"),
+    ]
+    for q in quantiles:
+        rank = F.lit(float(q)) * (F.col("total") - 1.0)
+        neg_rank = F.col("negc") - 1.0 - rank
+        pos_rank = rank - F.col("zeroc") - F.col("negc")
+        aggs.append(
+            F.min(F.when(is_neg & (F.col("cum") > neg_rank), F.col("bin"))).alias(
+                f"_nsel_{_qname(q)}"
+            )
+        )
+        aggs.append(
+            F.min(F.when(is_pos & (F.col("cum") > pos_rank), F.col("bin"))).alias(
+                f"_psel_{_qname(q)}"
+            )
+        )
+
+    grouped = enriched.groupBy(*keys).agg(*aggs)
+
+    def b2v(c: Column) -> Column:
+        return bin_to_value_expr(c, gamma)
+
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    out_cols.append(F.col("_total").cast("long").alias("count"))
+    if exact_stats:
+        sum_col = F.col("_sum_exact")
+        min_col = F.col("_min_exact")
+        max_col = F.col("_max_exact")
+    else:
+        sum_col = F.col("_sum_bins")
+        # decode-side min/max reconstruction (datadog_encoding.rs:464-494):
+        # min candidates: most-negative bin, zero, lowest positive bin
+        min_col = F.least(
+            -b2v(F.col("_max_neg_bin")),
+            F.when(F.col("_zeroc") > 0, F.lit(0.0)),
+            b2v(F.col("_min_pos_bin")),
+        )
+        max_col = F.greatest(
+            b2v(F.col("_max_pos_bin")),
+            F.when(F.col("_zeroc") > 0, F.lit(0.0)),
+            -b2v(F.col("_min_neg_bin")),
+        )
+    out_cols.append(sum_col.alias("sum"))
+    out_cols.append((sum_col / F.col("_total")).alias("avg"))
+    out_cols.append(min_col.alias("min"))
+    out_cols.append(max_col.alias("max"))
+    for q in quantiles:
+        rank = F.lit(float(q)) * (F.col("_total") - 1.0)
+        nsel = F.coalesce(F.col(f"_nsel_{_qname(q)}"), F.col("_max_neg_bin"))
+        psel = F.coalesce(F.col(f"_psel_{_qname(q)}"), F.col("_max_pos_bin"))
+        out_cols.append(
+            F.when(rank < F.col("_negc"), -b2v(nsel))
+            .when(rank < F.col("_negc") + F.col("_zeroc"), F.lit(0.0))
+            .otherwise(b2v(psel))
+            .alias(f"p{_qname(q)}")
+        )
+    return grouped.select(*out_cols)
+
+
+def _qname(q: float) -> str:
+    """0.5 -> '50', 0.99 -> '99', 0.999 -> '99_9', 1.0 -> '100'."""
+    return f"{q * 100:g}".replace(".", "_")
+
+
+# ---------------------------------------------------------------------------
+# Native struct working form
+# ---------------------------------------------------------------------------
+
+
+def sketch_struct_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    alpha: float = DEFAULT_RELATIVE_ACCURACY,
+    weight: Optional[str] = None,
+) -> DataFrame:
+    """Build the native struct sketch per group: keys + ``sketch`` struct.
+
+    Exact in-memory semantics (sum/min/max exact, like a fresh in-memory
+    sketch before any serialization). One shuffled hash aggregate for the
+    bins, one for assembly — both clustered on ``keys``.
+    """
+    keys = list(keys)
+    gamma = gamma_of(alpha)
+    binned = binned_counts(df, keys, value, alpha, weight)
+    entry = F.struct(F.col("bin").alias("key"), F.col("cnt").alias("value"))
+    grouped = binned.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.when(F.col("sign") == 1, entry)))
+        ).alias("pos"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.when(F.col("sign") == -1, entry)))
+        ).alias("neg"),
+        F.sum(F.when(F.col("sign") == 0, F.col("cnt")).otherwise(F.lit(0.0))).alias(
+            "zero_count"
+        ),
+        F.sum("cnt").alias("count"),
+        F.sum("vsum").alias("sum"),
+        F.min("vmin").alias("min"),
+        F.max("vmax").alias("max"),
+    )
+    return grouped.select(
+        *keys,
+        F.struct(
+            F.lit(gamma).alias("gamma"),
+            F.lit(0.0).alias("index_offset"),
+            F.col("pos"),
+            F.col("neg"),
+            F.col("zero_count"),
+            F.col("count"),
+            F.col("sum"),
+            F.col("min"),
+            F.col("max"),
+        ).alias("sketch"),
+    )
+
+
+def struct_count(sketch: Column) -> Column:
+    return sketch["count"].cast("long")
+
+
+def struct_sum(sketch: Column) -> Column:
+    return F.when(sketch["count"] > 0, sketch["sum"])
+
+
+def struct_quantile(sketch, q: float) -> Column:
+    """Go-exact quantile over the native struct form, as a pure expression.
+
+    Scans the sorted map entries with ``aggregate`` (a fold), carrying
+    (cumulative, selected-bin) — no Python, no explode, no shuffle.
+    """
+    if isinstance(sketch, str):
+        sketch = F.col(sketch)
+    if q < 0.0 or q > 1.0:
+        return F.lit(None).cast("double")
+    gamma = sketch["gamma"]
+    eta = F.lit(2.0) - F.lit(2.0) / (F.lit(1.0) + gamma)  # 1 + (1 - 2/(1+g))
+    count = sketch["count"]
+    rank = F.lit(float(q)) * (count - F.lit(1.0))
+    negc = F.coalesce(
+        F.aggregate(
+            F.map_values(sketch["neg"]), F.lit(0.0), lambda acc, x: acc + x
+        ),
+        F.lit(0.0),
+    )
+    zeroc = sketch["zero_count"]
+
+    def key_at_rank(map_col: Column, target_rank: Column) -> Column:
+        entries = F.sort_array(F.map_entries(map_col))
+        clamped = F.greatest(target_rank, F.lit(0.0))
+        folded = F.aggregate(
+            entries,
+            F.struct(
+                F.lit(0.0).alias("cum"), F.lit(None).cast("int").alias("sel")
+            ),
+            lambda acc, e: F.struct(
+                (acc["cum"] + e["value"]).alias("cum"),
+                F.when(acc["sel"].isNotNull(), acc["sel"])
+                .when(acc["cum"] + e["value"] > clamped, e["key"])
+                .alias("sel"),
+            ),
+        )
+        sel = F.coalesce(folded["sel"], F.array_max(F.map_keys(map_col)))
+        return F.pow(gamma, sel.cast("double")) * eta
+
+    return (
+        F.when(count <= 0, F.lit(None).cast("double"))
+        .when(rank < negc, -key_at_rank(sketch["neg"], negc - 1.0 - rank))
+        .when(rank < negc + zeroc, F.lit(0.0))
+        .otherwise(key_at_rank(sketch["pos"], rank - zeroc - negc))
+    )
+
+
+def merge_struct_sketches(
+    df: DataFrame, keys: Sequence[str], sketch_col: str = "sketch"
+) -> DataFrame:
+    """Native groupBy-merge of struct sketches: explode bins → hash aggregate
+    (partial agg applies) → reassemble. The scalable analogue of
+    ``ddsketch_agg`` for the struct working form."""
+    keys = list(keys)
+    s = F.col(sketch_col)
+    exploded = df.select(
+        *keys,
+        F.explode_outer(
+            F.concat(
+                F.transform(
+                    F.map_entries(s["pos"]),
+                    lambda e: F.struct(
+                        F.lit(1).alias("sign"), e["key"].alias("bin"), e["value"].alias("cnt")
+                    ),
+                ),
+                F.transform(
+                    F.map_entries(s["neg"]),
+                    lambda e: F.struct(
+                        F.lit(-1).alias("sign"), e["key"].alias("bin"), e["value"].alias("cnt")
+                    ),
+                ),
+            )
+        ).alias("bin_entry"),
+    )
+    # per-sketch scalars would be double-counted across exploded bin rows, so
+    # aggregate them separately and join (both sides clustered on keys, tiny).
+    scalars = (
+        df.select(
+            *keys,
+            s["gamma"].alias("gamma"),
+            s["zero_count"].alias("zero_count"),
+            s["count"].alias("count"),
+            s["sum"].alias("sum"),
+            s["min"].alias("min"),
+            s["max"].alias("max"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.first("gamma").alias("gamma"),
+            F.sum("zero_count").alias("zero_count"),
+            F.sum("count").alias("count"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+    )
+    bins = (
+        exploded.where(F.col("bin_entry").isNotNull())
+        .groupBy(*keys, F.col("bin_entry.sign").alias("sign"), F.col("bin_entry.bin").alias("bin"))
+        .agg(F.sum("bin_entry.cnt").alias("cnt"))
+    )
+    entry = F.struct(F.col("bin").alias("key"), F.col("cnt").alias("value"))
+    maps = bins.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.when(F.col("sign") == 1, entry)))
+        ).alias("pos"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.when(F.col("sign") == -1, entry)))
+        ).alias("neg"),
+    )
+    joined = scalars.join(maps, keys, "left")
+    empty_map = F.map_from_entries(
+        F.array().cast("array<struct<key:int,value:double>>")
+    )
+    return joined.select(
+        *keys,
+        F.struct(
+            F.col("gamma"),
+            F.lit(0.0).alias("index_offset"),
+            F.coalesce(F.col("pos"), empty_map).alias("pos"),
+            F.coalesce(F.col("neg"), empty_map).alias("neg"),
+            F.col("zero_count"),
+            F.col("count"),
+            F.col("sum"),
+            F.col("min"),
+            F.col("max"),
+        ).alias(sketch_col),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wire boundary (the only Python hop in the native pipeline)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(BinaryType())
+def _struct_to_wire(rows: pd.DataFrame) -> pd.Series:
+    out = []
+    for row in rows.to_dict("records"):
+        if row is None or row.get("count") is None:
+            out.append(None)
+            continue
+        s = DDSketch.__new__(DDSketch)
+        s.gamma = float(row["gamma"])
+        s.index_offset = float(row["index_offset"])
+        s.positive_bins = dict(row["pos"]) if row["pos"] is not None else {}
+        s.negative_bins = dict(row["neg"]) if row["neg"] is not None else {}
+        s.zero_count = float(row["zero_count"] or 0.0)
+        s.count = float(row["count"] or 0.0)
+        s.sum = float(row["sum"] or 0.0)
+        s.min = float(row["min"]) if row["min"] is not None else math.inf
+        s.max = float(row["max"]) if row["max"] is not None else -math.inf
+        out.append(s.encode())
+    return pd.Series(out, dtype=object)
+
+
+def struct_to_wire(sketch_col) -> Column:
+    """Encode the native struct form to DataDog wire bytes (sink boundary)."""
+    if isinstance(sketch_col, str):
+        sketch_col = F.col(sketch_col)
+    return _struct_to_wire(sketch_col)
+
+
+@pandas_udf(SKETCH_STRUCT_SCHEMA)
+def _wire_to_struct(blobs: pd.Series) -> pd.DataFrame:
+    rows = []
+    cols = [f.name for f in SKETCH_STRUCT_SCHEMA.fields]
+    for blob in blobs:
+        if blob is None:
+            rows.append((None,) * len(cols))
+            continue
+        try:
+            s = DDSketch.decode(bytes(blob))
+        except Exception:
+            rows.append((None,) * len(cols))
+            continue
+        rows.append(
+            (
+                s.gamma,
+                s.index_offset,
+                {int(k): float(v) for k, v in s.positive_bins.items()},
+                {int(k): float(v) for k, v in s.negative_bins.items()},
+                s.zero_count,
+                s.count,
+                s.sum,
+                s.min if math.isfinite(s.min) else None,
+                s.max if math.isfinite(s.max) else None,
+            )
+        )
+    return pd.DataFrame(rows, columns=cols)
+
+
+def wire_to_struct(blob_col) -> Column:
+    """Decode wire bytes into the native struct form (source boundary)."""
+    if isinstance(blob_col, str):
+        blob_col = F.col(blob_col)
+    return _wire_to_struct(blob_col)

@@ -1,0 +1,59 @@
+"""Source/sink helpers for the engine's tables.
+
+The reference stores sketches as BLOB columns "in Parquet, database columns"
+(README.md:203-220); Spark's ``BinaryType`` round-trips Parquet BYTE_ARRAY
+natively, so no custom connector is needed — these helpers only normalize
+schema quirks and centralize reads so filters/column pruning reach the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table, normalizing nanosecond timestamps.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    long under ``spark.sql.legacy.parquet.nanosAsLong``; we re-cast it to a
+    microsecond timestamp column of the same name so downstream
+    ``date_trunc``/windows behave normally.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every synthetic table as a temp view for spark.sql use."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_sketch_table(df: DataFrame, path: str, partition_by=None, mode="overwrite"):
+    """Persist a sketch-bearing DataFrame as Parquet (BLOB columns included).
+
+    Partitioning by a low-cardinality time/key column keeps partition pruning
+    effective for roll-up reads (README.md:119-124 storage pattern).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -19,6 +19,7 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("duckdb-ddsketch-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")

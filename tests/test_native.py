@@ -1,0 +1,195 @@
+"""Native (pure-Catalyst) sketch path vs the Python kernel.
+
+The native path must report exactly what the blob path observes after a wire
+round-trip: count exact, sum/min/max from bins, Go-exact quantiles. We verify
+by building the same sketches in the Python kernel from the same parquet data.
+"""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ddsketch_spark import DDSketch
+from duckdb_ddsketch_spark.operators import native
+
+
+def kernel_expect(values, alpha=0.01, qs=(0.5, 0.95)):
+    """Build sketch in kernel, round-trip the wire, report parity stats."""
+    s = DDSketch(alpha).extend(values)
+    d = DDSketch.decode(s.encode())
+    return {
+        "count": d.get_count(),
+        "sum": d.get_sum(),
+        "min": d.get_min(),
+        "max": d.get_max(),
+        **{q: d.quantile(q) for q in qs},
+    }
+
+
+def rel_eq(a, b, tol=1e-9):
+    if a is None or b is None:
+        return a is None and b is None
+    if a == b:
+        return True
+    m = max(abs(a), abs(b))
+    return abs(a - b) <= m * tol
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from duckdb_ddsketch_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def test_native_quantiles_match_kernel_per_group(spark, lineitem):
+    qs = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+    out = {
+        r["l_returnflag"]: r
+        for r in native.sketch_quantile_agg(
+            lineitem, ["l_returnflag"], "l_extendedprice", 0.01, qs
+        ).collect()
+    }
+    rows = lineitem.select("l_returnflag", "l_extendedprice").collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    assert set(out) == set(groups)
+    for flag, values in groups.items():
+        exp = kernel_expect(values, qs=qs)
+        got = out[flag]
+        assert got["count"] == exp["count"], flag
+        assert rel_eq(got["sum"], exp["sum"]), (flag, got["sum"], exp["sum"])
+        assert rel_eq(got["min"], exp["min"])
+        assert rel_eq(got["max"], exp["max"])
+        for q in qs:
+            name = f"p{native._qname(q)}"
+            assert rel_eq(got[name], exp[q]), (flag, q, got[name], exp[q])
+
+
+def test_native_handles_zeros_and_negatives(spark, events):
+    """events.value may contain zeros/negatives; verify all sign classes."""
+    qs = (0.1, 0.5, 0.9)
+    out = {
+        r["event_type"]: r
+        for r in native.sketch_quantile_agg(
+            events, ["event_type"], "value", 0.01, qs
+        ).collect()
+    }
+    rows = events.select("event_type", "value").collect()
+    groups = {}
+    for r in rows:
+        if r.value is not None:
+            groups.setdefault(r.event_type, []).append(r.value)
+    for et, values in groups.items():
+        exp = kernel_expect(values, qs=qs)
+        got = out[et]
+        assert got["count"] == exp["count"]
+        assert rel_eq(got["sum"], exp["sum"]), (et, got["sum"], exp["sum"])
+        for q in qs:
+            name = f"p{native._qname(q)}"
+            assert rel_eq(got[name], exp[q]), (et, q, got[name], exp[q])
+
+
+def test_native_synthetic_all_sign_classes(spark):
+    values = [-50.0, -5.0, -5.0, 0.0, 0.0, 0.0, 1.0, 2.5, 2.5, 100.0, 1e6]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    qs = (0.0, 0.25, 0.5, 0.75, 1.0)
+    got = native.sketch_quantile_agg(
+        df.withColumn("g", F.lit(1)), ["g"], "v", 0.01, qs
+    ).first()
+    exp = kernel_expect(values, qs=qs)
+    assert got["count"] == exp["count"]
+    assert rel_eq(got["sum"], exp["sum"])
+    assert rel_eq(got["min"], exp["min"])
+    assert rel_eq(got["max"], exp["max"])
+    for q in qs:
+        assert rel_eq(got[f"p{native._qname(q)}"], exp[q]), q
+
+
+def test_struct_agg_roundtrips_to_wire(spark, lineitem):
+    """native struct build → wire encode → kernel decode == kernel sketch."""
+    sk = native.sketch_struct_agg(lineitem, ["l_returnflag"], "l_quantity", 0.01)
+    wired = sk.select("l_returnflag", native.struct_to_wire("sketch").alias("blob"))
+    out = {r.l_returnflag: DDSketch.decode(bytes(r.blob)) for r in wired.collect()}
+    rows = lineitem.select("l_returnflag", "l_quantity").collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(r.l_quantity)
+    for flag, values in groups.items():
+        expected = DDSketch(0.01).extend(values)
+        got = out[flag]
+        assert got.count == expected.count
+        assert got.positive_bins == expected.positive_bins
+        assert got.zero_count == expected.zero_count
+
+
+def test_struct_quantile_expr_matches_kernel(spark):
+    values = [-3.0, 0.0, 1.0, 5.0, 5.0, 20.0, 400.0]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    sk = native.sketch_struct_agg(df.withColumn("g", F.lit(1)), ["g"], "v", 0.01)
+    qs = [0.0, 0.3, 0.5, 0.8, 1.0]
+    row = sk.select(
+        *[native.struct_quantile("sketch", q).alias(f"q{i}") for i, q in enumerate(qs)]
+    ).first()
+    kernel = DDSketch(0.01).extend(values)
+    for i, q in enumerate(qs):
+        assert rel_eq(row[f"q{i}"], kernel.quantile(q)), (q, row[f"q{i}"], kernel.quantile(q))
+
+
+def test_merge_struct_sketches_native(spark):
+    import random
+
+    rng = random.Random(3)
+    data = [
+        (f"k{i % 3}", i % 7, rng.uniform(-10, 1000) if i % 11 else 0.0)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(data, "k string, sub int, v double")
+    # build one struct sketch per (k, sub), then native-merge down to k
+    per_sub = native.sketch_struct_agg(df, ["k", "sub"], "v", 0.01)
+    merged = native.merge_struct_sketches(per_sub, ["k"], "sketch")
+    got = {
+        r.k: r
+        for r in merged.select(
+            "k",
+            native.struct_count(F.col("sketch")).alias("cnt"),
+            native.struct_quantile("sketch", 0.5).alias("p50"),
+        ).collect()
+    }
+    groups = {}
+    for k, _, v in data:
+        groups.setdefault(k, []).append(v)
+    for k, values in groups.items():
+        kernel = DDSketch(0.01).extend(values)
+        assert got[k]["cnt"] == kernel.get_count()
+        assert rel_eq(got[k]["p50"], kernel.quantile(0.5)), k
+
+
+def test_wire_to_struct_roundtrip(spark):
+    blobs = [
+        (DDSketch(0.01).extend([1.0, 2.0, 3.0, 0.0, -4.5]).encode(),),
+        (None,),
+    ]
+    df = spark.createDataFrame(blobs, "blob binary")
+    out = df.select(native.wire_to_struct("blob").alias("s")).collect()
+    s0 = out[0].s
+    assert s0["count"] == 5.0
+    assert s0["zero_count"] == 1.0
+    assert len(s0["pos"]) == 3 and len(s0["neg"]) == 1
+    assert out[1].s["count"] is None or out[1].s is None
+
+
+def test_native_plan_has_partial_aggregation(spark, lineitem):
+    """The binned aggregate must show partial_ functions (map-side combine)."""
+    plan = native.binned_counts(
+        lineitem, ["l_returnflag"], "l_extendedprice", 0.01
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "HashAggregate" in plan
