@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The comparator is DuckDB executing the equivalent bin-math oracle SQL over
+the same parquet (BASELINE.md): run with --compare to print both engines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: the scale-relevant pipelines (native path + the canonical
+# blob-aggregation roll-up + the pandas-UDF ingest path for contrast).
+HEADLINE = [
+    "q01_price_quantiles_by_returnflag",
+    "q11_agg_rollup_event_type",
+    "q12_stats_agg_by_linestatus",
+    "q13_native_daily_rollup",
+    "q14_struct_merge_native",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("ddsketch-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    # Warm-up pass: JVM JIT, parquet footers, Python UDF workers. Excluded
+    # from timings — we measure steady-state throughput, which is what
+    # extrapolates to long-running cluster workloads.
+    for name in HEADLINE:
+        queries[name](spark, SF_DIR).collect()
+
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else SF_DIR,
+    }
+
+    if "--compare" in sys.argv:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        oracles = entry_mod.oracle_sql()
+        ducks = {}
+        for name in HEADLINE:
+            if name in oracles:
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                ducks[name] = round(time.perf_counter() - t0, 3)
+        result["duckdb_oracle"] = ducks
+
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

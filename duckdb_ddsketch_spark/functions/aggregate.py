@@ -95,12 +95,7 @@ def sketch_values_agg(value_col, alpha: float = DEFAULT_RELATIVE_ACCURACY) -> Co
     @pandas_udf(BinaryType())
     def _agg(values: pd.Series) -> bytes:
         s = DDSketch(alpha)
-        vals = values.dropna()
-        if len(vals):
-            # vectorized binning via numpy would also work; per-batch loop is
-            # fine because grouped-agg already amortizes the Arrow transfer
-            for v in vals.to_numpy():
-                s.add(float(v))
+        s.extend_array(values.dropna().to_numpy())
         return s.encode() if s.count > 0 else None
 
     return _agg(value_col)

@@ -379,9 +379,19 @@ def merge_struct_sketches(
     ``ddsketch_agg`` for the struct working form."""
     keys = list(keys)
     s = F.col(sketch_col)
+    # posexplode each sketch's bins; per-sketch scalars ride along attributed
+    # to the first exploded row only (coalesce handles bin-less sketches), so
+    # a single two-level hash aggregate — with map-side partial aggregation —
+    # merges everything. No join.
     exploded = df.select(
         *keys,
-        F.explode_outer(
+        s["gamma"].alias("gamma"),
+        s["zero_count"].alias("zero_count"),
+        s["count"].alias("count"),
+        s["sum"].alias("sum"),
+        s["min"].alias("min"),
+        s["max"].alias("max"),
+        F.posexplode_outer(
             F.concat(
                 F.transform(
                     F.map_entries(s["pos"]),
@@ -396,55 +406,44 @@ def merge_struct_sketches(
                     ),
                 ),
             )
-        ).alias("bin_entry"),
+        ).alias("pos_idx", "bin_entry"),
     )
-    # per-sketch scalars would be double-counted across exploded bin rows, so
-    # aggregate them separately and join (both sides clustered on keys, tiny).
-    scalars = (
-        df.select(
-            *keys,
-            s["gamma"].alias("gamma"),
-            s["zero_count"].alias("zero_count"),
-            s["count"].alias("count"),
-            s["sum"].alias("sum"),
-            s["min"].alias("min"),
-            s["max"].alias("max"),
-        )
-        .groupBy(*keys)
-        .agg(
-            F.first("gamma").alias("gamma"),
-            F.sum("zero_count").alias("zero_count"),
-            F.sum("count").alias("count"),
-            F.sum("sum").alias("sum"),
-            F.min("min").alias("min"),
-            F.max("max").alias("max"),
-        )
-    )
-    bins = (
-        exploded.where(F.col("bin_entry").isNotNull())
-        .groupBy(*keys, F.col("bin_entry.sign").alias("sign"), F.col("bin_entry.bin").alias("bin"))
-        .agg(F.sum("bin_entry.cnt").alias("cnt"))
+    first_row = F.coalesce(F.col("pos_idx"), F.lit(0)) == 0
+    level1 = exploded.groupBy(
+        *keys,
+        F.col("bin_entry.sign").alias("sign"),
+        F.col("bin_entry.bin").alias("bin"),
+    ).agg(
+        F.sum("bin_entry.cnt").alias("cnt"),
+        F.first("gamma").alias("gamma"),
+        F.sum(F.when(first_row, F.col("zero_count"))).alias("zc"),
+        F.sum(F.when(first_row, F.col("count"))).alias("cn"),
+        F.sum(F.when(first_row, F.col("sum"))).alias("sm"),
+        F.min(F.when(first_row, F.col("min"))).alias("mn"),
+        F.max(F.when(first_row, F.col("max"))).alias("mx"),
     )
     entry = F.struct(F.col("bin").alias("key"), F.col("cnt").alias("value"))
-    maps = bins.groupBy(*keys).agg(
+    merged = level1.groupBy(*keys).agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.when(F.col("sign") == 1, entry)))
         ).alias("pos"),
         F.map_from_entries(
             F.sort_array(F.collect_list(F.when(F.col("sign") == -1, entry)))
         ).alias("neg"),
+        F.first("gamma").alias("gamma"),
+        F.sum("zc").alias("zero_count"),
+        F.sum("cn").alias("count"),
+        F.sum("sm").alias("sum"),
+        F.min("mn").alias("min"),
+        F.max("mx").alias("max"),
     )
-    joined = scalars.join(maps, keys, "left")
-    empty_map = F.map_from_entries(
-        F.array().cast("array<struct<key:int,value:double>>")
-    )
-    return joined.select(
+    return merged.select(
         *keys,
         F.struct(
             F.col("gamma"),
             F.lit(0.0).alias("index_offset"),
-            F.coalesce(F.col("pos"), empty_map).alias("pos"),
-            F.coalesce(F.col("neg"), empty_map).alias("neg"),
+            F.col("pos"),
+            F.col("neg"),
             F.col("zero_count"),
             F.col("count"),
             F.col("sum"),

@@ -263,10 +263,15 @@ _Q11_QS = (0.5, 0.95, 0.99)
 )
 def q11(spark, sf_dir):
     _prep(spark)
-    ev = load_table(spark, sf_dir, "events")
-    pre = ev.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
-    ).agg(sketch_values_agg(F.col("value")).alias("sketch"))
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    # pre-serialized sketch table (FIXTURES.md `pre_sketches` pattern) built
+    # on the native path — wire bytes only materialize at the boundary —
+    # then the reference's canonical ddsketch_agg roll-up over the blobs.
+    pre = native.sketch_struct_agg(ev, ["day", "event_type"], "value", 0.01).select(
+        "day", "event_type", native.struct_to_wire("sketch").alias("sketch")
+    )
     rolled = pre.groupBy("event_type").agg(ddsketch_agg("sketch").alias("s"))
     return rolled.select(
         "event_type",
@@ -298,7 +303,12 @@ _Q12_STATS = ("count", "sum", "avg", "min", "max")
 def q12(spark, sf_dir):
     _prep(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    pre = li.select("l_linestatus", fs.ddsketch_prepare(F.col("l_discount")).alias("sk"))
+    # two-level shape: pre-sketch per (group, sub-bucket) — bounded fan-in per
+    # pandas batch — then merge the serialized sketches per group. Identical
+    # final bins to direct ingest; this is the scalable ingest topology.
+    pre = li.groupBy(
+        "l_linestatus", (F.crc32(F.col("l_orderkey").cast("string")) % 64).alias("bkt")
+    ).agg(sketch_values_agg(F.col("l_discount")).alias("sk"))
     agg = pre.groupBy("l_linestatus").agg(
         fs.ddsketch_stats_full(ddsketch_agg("sk")).alias("st")
     )

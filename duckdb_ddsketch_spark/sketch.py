@@ -98,6 +98,37 @@ class DDSketch:
             self.add(v)
         return self
 
+    def extend_array(self, arr) -> "DDSketch":
+        """Vectorized bulk add of a numpy float array (NaNs skipped).
+
+        Equivalent to sequential :meth:`add` after any wire round-trip
+        (bins/zero_count/count/min/max identical; the in-memory ``sum`` may
+        differ in summation order by ulps, and is dropped on encode anyway).
+        """
+        import numpy as np
+
+        arr = np.asarray(arr, dtype=np.float64)
+        arr = arr[~np.isnan(arr)]
+        if arr.size == 0:
+            return self
+        self.count += float(arr.size)
+        self.sum += float(arr.sum())
+        self.min = min(self.min, float(arr.min()))
+        self.max = max(self.max, float(arr.max()))
+        self.zero_count += float(np.count_nonzero(arr == 0.0))
+        log_gamma = math.log(self.gamma)
+        for bins, vals in (
+            (self.positive_bins, arr[arr > 0.0]),
+            (self.negative_bins, -arr[arr < 0.0]),
+        ):
+            if vals.size == 0:
+                continue
+            idx = np.ceil(np.log(vals) / log_gamma + self.index_offset).astype(np.int64)
+            uniq, counts = np.unique(idx, return_counts=True)
+            for i, c in zip(uniq.tolist(), counts.tolist()):
+                bins[i] = bins.get(i, 0.0) + float(c)
+        return self
+
     def merge(self, other: "DDSketch") -> None:
         if abs(self.gamma - other.gamma) > _GAMMA_TOLERANCE:
             raise SketchMergeError("cannot merge sketches with different gamma values")

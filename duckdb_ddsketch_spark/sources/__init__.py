@@ -26,18 +26,27 @@ TABLES = (
 )
 
 
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table, normalizing nanosecond timestamps.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     long under ``spark.sql.legacy.parquet.nanosAsLong``; we re-cast it to a
     microsecond timestamp column of the same name so downstream
-    ``date_trunc``/windows behave normally.
+    ``date_trunc``/windows behave normally. DataFrames (lazy plans — no data)
+    are memoized per session so repeated queries skip file re-listing.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    _TABLE_CACHE[key] = df
     return df
 
 
