@@ -1,0 +1,388 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (the 100 TB reasoning, per operator):
+
+* **exact**: ``groupBy(md5(normalized_text))`` — partial aggregation means
+  the shuffle carries one (hash, count, min_id) per map task per distinct
+  text. Never collects; canonical-id assignment is a broadcast-free
+  self-contained aggregate.
+* **MinHash**: signatures are computed *per row with no shuffle at all*
+  (``array_min`` over md5-transformed shingles, one expression per hash
+  seed); md5 is deterministic across engines and partitions. LSH banding
+  then shuffles only (band_id, band_hash, doc_id) — bytes per doc, not the
+  text. Hot buckets (boilerplate text) are the skew risk: cap bucket size
+  before pairing (`lsh_candidate_pairs(max_bucket=...)`) exactly like
+  production LSH dedup does, or salt the band hash.
+* **pair verification**: exact Jaccard via a shingle equi-join restricted to
+  candidate pairs — the join key is the shingle, so co-location is by
+  content; frequent shingles are pre-filtered by document frequency
+  (``max_df``) which is both a quality and a skew fix.
+* **SimHash**: 60-bit signature folded from per-token md5 bits, per-row
+  native; near-dup = signatures within Hamming distance k via banding on
+  bit blocks (same LSH shape).
+* **embedding cosine**: see ``similarity.py`` — near-dup is a thresholded
+  self-join over LSH/bucketed candidates.
+
+The md5-based hash family is chosen deliberately: it is bit-identical in
+Spark, DuckDB, and Python, which makes every operator here oracle-checkable
+— a lexicographic min over md5(seed || shingle) is a valid MinHash permutation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import tokens, word_ngrams
+
+__all__ = [
+    "normalize_text",
+    "exact_dedup",
+    "exact_dedup_summary",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "minhash_lsh_dedup",
+    "simhash",
+    "simhash_pairs",
+]
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), " +", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per distinct normalized text (the min id wins).
+
+    Returns the input columns plus ``is_canonical``; filter on it to dedup.
+    """
+    h = F.md5(normalize_text(F.col(text)))
+    w = Window.partitionBy(h)
+    return df.withColumn(
+        "is_canonical", F.col(id_col) == F.min(id_col).over(w)
+    )
+
+
+def exact_dedup_summary(
+    df: DataFrame, keys: Sequence[str], text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-group dedup accounting: docs, distinct texts, dup rows."""
+    h = F.md5(normalize_text(F.col(text)))
+    return (
+        df.select(*keys, h.alias("h"))
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct"),
+            (F.count("*") - F.countDistinct("h")).cast("long").alias("n_dups"),
+        )
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, ngram: int = 2) -> Column:
+    """MinHash signature as array<string> of length ``num_hashes``.
+
+    Hash family: permutation *i* orders shingles by ``md5(i || '|' || s)``;
+    the signature element is the minimum digest — deterministic everywhere.
+
+    NOTE: as a single Column the shingle subexpression is inlined into every
+    hash lambda (Catalyst collapses projections), recomputing tokenization
+    num_hashes times; fine for short texts / few hashes. The scale form is
+    :func:`minhash_signatures_df`, which computes each md5 exactly once.
+    """
+    shingles = word_ngrams(text, ngram)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    ngram: int = 2,
+) -> DataFrame:
+    """(id, sig array<string>) via explode + hash-aggregate — the scale path.
+
+    One md5 per (shingle, seed); ``groupBy(id).agg(min...)`` partially
+    aggregates map-side, so the shuffle carries only per-doc signatures
+    (num_hashes digests), never the shingles.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text), ngram)).alias("s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding of MinHash signatures.
+
+    rows→(band_id, band_hash, id) [shuffle: ~bands rows/doc of a few bytes]
+    →bucket collect (size-capped against skew) →intra-bucket pairs →distinct.
+    Returns (id_a, id_b), id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures_df(df, text, id_col, num_hashes, ngram)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(F.col("sig"), b * rows_per_band + j + 1)
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    buckets = banded.groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    buckets = buckets.where(
+        (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing >= 1 shingle.
+
+    Distributed shape: explode distinct shingles → (optional) drop shingles
+    with document frequency > ``max_df`` (skew + signal) → self-equi-join on
+    the shingle → count shared per pair → Jaccard from per-doc set sizes.
+    If ``candidates`` (id_a, id_b) is given, only those pairs are scored —
+    the LSH-verify path.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text), ngram)).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        keep = sh.groupBy("s").agg(F.countDistinct("id").alias("df_cnt")).where(
+            F.col("df_cnt") <= max_df
+        )
+        sh = sh.join(keep.select("s"), "s")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        shared = shared.join(candidates, ["id_a", "id_b"])
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard — the full near-dup pipeline.
+
+    Returns (id_a, id_b, jaccard) for verified near-duplicates.
+    """
+    cands = lsh_candidate_pairs(df, text, id_col, num_hashes, bands, ngram)
+    return jaccard_pairs(
+        df, text, id_col, ngram, threshold, candidates=cands
+    )
+
+
+def simhash(text: Column, bits: int = 60, ngram: int = 1) -> Column:
+    """SimHash signature as a BIGINT (60 bits so it stays in int64 range).
+
+    Per bit j: sum over shingles of ±1 according to bit j of the shingle's
+    md5 (taken from the first 15 hex chars = 60 bits); bit j of the result
+    is 1 when the sum is positive. Pure per-row expressions.
+    """
+    shingles = (
+        word_ngrams(text, ngram) if ngram > 1 else F.array_distinct(tokens(text))
+    )
+    hashes = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bit_cols.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = F.lit(0).cast("long")
+    for c in bit_cols:
+        out = out + c
+    return out
+
+
+def simhash_df(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    ngram: int = 1,
+) -> DataFrame:
+    """(id, sh BIGINT) SimHash via explode + hash-aggregate — the scale path.
+
+    One md5 per shingle; the 60 per-bit votes are conditional sums in a
+    single partially-aggregated groupBy, so the shuffle carries 60 ints per
+    doc per map task.
+    """
+    shingles = (
+        word_ngrams(F.col(text), ngram)
+        if ngram > 1
+        else F.array_distinct(tokens(F.col(text)))
+    )
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    rows = sh.select("id", h.alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    grouped = rows.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return grouped.select("id", sig.alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 60,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding: split the signature into ``blocks`` bit-blocks (with
+    blocks > max_hamming, any pair within the bound shares an exact block) →
+    bucket-join per block → verify with bit_count(xor). Same shuffle shape
+    as MinHash-LSH: tiny keyed rows, never the text.
+    """
+    block_bits = bits // blocks
+    base = simhash_df(df, text, id_col, bits).withColumnRenamed("sh", "sig")
+    banded = base.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.shiftrightunsigned(F.col("sig"), b * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("block_val"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("id", "sig", "blk.block_id", "blk.block_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

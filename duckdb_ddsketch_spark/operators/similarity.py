@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a production ANN pipeline would ship them:
+
+* **brute force** — exact cosine top-k: a self-join with the dot product as
+  a native ``aggregate(zip_with(...))`` fold and a per-query ``row_number``
+  window. At scale: broadcast the (much smaller) query set against the
+  corpus so the corpus never shuffles; norms are precomputed and reused.
+* **bucketed (sign-LSH / IVF-style)** — deterministic random hyperplanes
+  derived from md5 of (plane, dim) give every vector a bucket code; the join
+  is restricted to equal codes (plus optional multi-probe). The shuffle then
+  moves (code, id, vec) clustered by code instead of the full cross product.
+  The hyperplanes are engine-reproducible (no RNG state), so the operator
+  remains oracle-checkable.
+
+All arithmetic is promoted to double before folding so results are stable
+across engines to within ulps (absorbed by float32 output casts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = [
+    "cosine",
+    "dot",
+    "norm",
+    "brute_force_topk",
+    "cosine_near_pairs",
+    "hyperplane_code",
+    "lsh_topk",
+]
+
+
+def _dbl(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Returns (query_id, neighbor_id, cos, rank), rank 1..k, self-matches
+    excluded, ties broken by neighbor id. ``queries`` is broadcast — the
+    corpus is scanned once, never shuffled until the tiny top-k window.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("nvec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos >= threshold).
+
+    The exact O(n^2) baseline; at corpus scale use ``lsh_topk``'s bucket
+    join with a threshold filter instead.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def hyperplane_code(vec: Column, planes: int = 8, dims: int = 64) -> Column:
+    """Sign-LSH bucket code from deterministic pseudo-random hyperplanes.
+
+    Plane p's component for dimension d is derived from md5(p||','||d),
+    mapped into [-1, 1): engine-independent, reproducible, no RNG state.
+    Code bit p = sign(v · plane_p).
+    """
+    code = F.lit(0).cast("long")
+    for p in range(planes):
+        comps = F.array(
+            *[
+                F.lit(_plane_component(p, d))
+                for d in range(dims)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(_dbl(vec), comps, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return code
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random value in [-1, 1) from md5 — matches the
+    DuckDB oracle expression byte for byte."""
+    import hashlib
+
+    h = hashlib.md5(f"{p},{d}".encode()).hexdigest()[:15]
+    return int(h, 16) / float(1 << 59) - 1.0
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to equal sign-LSH codes.
+
+    Trades recall for a code-equality join: at 100 TB the corpus shuffles
+    once clustered by code (2^planes buckets; plane count tunes bucket
+    size), queries broadcast. Output schema matches ``brute_force_topk``.
+    """
+    code_q = hyperplane_code(F.col(vec_col), planes, dims)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        code_q.alias("qcode"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        hyperplane_code(F.col(vec_col), planes, dims).alias("ncode"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("ncode") == F.col("qcode"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("nvec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import scalar as fs
 from ..functions.aggregate import ddsketch_agg, sketch_values_agg
-from ..operators import native
+from ..operators import dedup, native, similarity, text
 from ..sources import load_table
 from . import oracle
 from .oracle import qname, quantile_oracle_sql, rowwise_bin_value_sql
@@ -391,4 +391,294 @@ def q14(spark, sf_dir):
         native.struct_count(F.col("sketch")).alias("count"),
         native.struct_quantile("sketch", 0.5).cast("float").alias("p50"),
         native.struct_quantile("sketch", 0.9).cast("float").alias("p90"),
+    )
+
+
+# ===========================================================================
+# Beyond-reference operators: training-data pipeline over documents/embeddings
+# ===========================================================================
+
+# The DuckDB mirrors below intentionally re-derive the same deterministic
+# constructions (md5 hash family, word n-grams, double-promoted folds) so the
+# driver's value-hash check applies to these operators too.
+
+_TOKS = "string_split(trim(text), ' ')"
+
+
+@_declare(
+    "q20_exact_dedup_summary",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS BIGINT) AS n_dups
+    FROM documents GROUP BY source
+    """,
+)
+def q20(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_summary(docs, ["source"])
+
+
+@_declare(
+    "q21_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len({_TOKS}) - 1, 0) + 1),
+                   i -> {_TOKS}[CAST(i AS INT)] || ' ' || {_TOKS}[CAST(i AS INT) + 1]
+               )) AS s
+        FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(s.inter * 1.0 / (sa.sz + sb.sz - s.inter) AS REAL) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE s.inter * 1.0 / (sa.sz + sb.sz - s.inter) >= 0.10
+    """,
+)
+def q21(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.jaccard_pairs(docs, threshold=0.10)
+    return out.select("id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard"))
+
+
+def _minhash_sql(num_hashes: int = 16) -> str:
+    """DuckDB expression list mirroring minhash_signature()."""
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 1, 0) + 1), "
+        f"i -> {_TOKS}[CAST(i AS INT)] || ' ' || {_TOKS}[CAST(i AS INT) + 1]))"
+    )
+    sig = ", ".join(
+        f"list_aggregate(list_transform({shingles}, s -> md5('{i}|' || s)), 'min')"
+        for i in range(num_hashes)
+    )
+    return f"[{sig}]"
+
+
+@_declare(
+    "q22_minhash_lsh_neardups",
+    f"""
+    WITH sig AS (SELECT doc_id, {_minhash_sql(16)} AS sg FROM documents),
+    banded AS (
+        SELECT doc_id, b.band_id,
+               md5(sg[b.band_id * 4 + 1] || '|' || sg[b.band_id * 4 + 2] || '|' ||
+                   sg[b.band_id * 4 + 3] || '|' || sg[b.band_id * 4 + 4]) AS band_hash
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len({_TOKS}) - 1, 0) + 1),
+                   i -> {_TOKS}[CAST(i AS INT)] || ' ' || {_TOKS}[CAST(i AS INT) + 1]
+               )) AS s
+        FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(s.inter * 1.0 / (sa.sz + sb.sz - s.inter) AS REAL) AS jaccard
+    FROM shared s
+    JOIN cand c ON c.id_a = s.id_a AND c.id_b = s.id_b
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE s.inter * 1.0 / (sa.sz + sb.sz - s.inter) >= 0.5
+    """,
+)
+def q22(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_dedup(docs, threshold=0.5)
+    return out.select("id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard"))
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    """DuckDB expression mirroring simhash() bit for bit."""
+    toks = f"list_distinct({_TOKS})"
+    hashes = (
+        f"list_transform({toks}, s -> CAST(CAST('0x' || substr(md5(s), 1, 15) AS UBIGINT) AS BIGINT))"
+    )
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"list_aggregate(list_transform({hashes}, "
+            f"h -> CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END), 'sum')"
+        )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
+    return " + ".join(terms)
+
+
+@_declare(
+    "q23_simhash",
+    f"""
+    SELECT doc_id, CAST({_simhash_sql(60)} AS BIGINT) AS sh
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def q23(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return dedup.simhash_df(docs).withColumnRenamed("id", "doc_id")
+
+
+_COS_SQL = (
+    "list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+)
+
+
+@_declare(
+    "q24_embedding_near_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST({_COS_SQL} AS REAL) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.45
+    """,
+)
+def q24(spark, sf_dir):
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_near_pairs(emb, 0.45)
+    return out.select("id_a", "id_b", F.col("cos").cast("float").alias("cos"))
+
+
+@_declare(
+    "q25_ann_bruteforce_topk",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL.replace('a.embedding','a.embedding').replace('b.embedding','b.embedding')} AS cos
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id % 25 = 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q25(spark, sf_dir):
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 25 == 0)
+    out = similarity.brute_force_topk(emb, queries_df, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("cos").cast("float").alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@_declare(
+    "q30_token_stats",
+    f"""
+    SELECT doc_id,
+        CAST(len({_TOKS}) AS INT) AS n_tokens,
+        CAST(len(list_distinct({_TOKS})) AS INT) AS n_distinct_tokens,
+        CAST(length(text) AS INT) AS n_chars,
+        CAST(ceil(length(text) / 4.0) AS INT) AS est_bpe_tokens,
+        CAST(length(text) * 1.0 / len({_TOKS}) AS REAL) AS avg_token_len
+    FROM documents
+    """,
+)
+def q30(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("int").alias("n_distinct_tokens"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("est_bpe_tokens").cast("int").alias("est_bpe_tokens"),
+        F.col("avg_token_len").cast("float").alias("avg_token_len"),
+    )
+
+
+_SW = "', '".join(text.DEFAULT_STOPWORDS)
+
+
+@_declare(
+    "q31_quality_by_source",
+    f"""
+    WITH per_doc AS (
+        SELECT source,
+            len({_TOKS}) AS n,
+            len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) AS diversity,
+            len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('{_SW}'))) * 1.0
+                / len({_TOKS}) AS sw,
+            (CASE WHEN len({_TOKS}) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END) AS length_ok
+        FROM documents
+    )
+    SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(AVG((length_ok + diversity + least(sw * 5.0, 1.0)) / 3.0) AS REAL) AS avg_quality,
+        CAST(AVG(n) AS REAL) AS avg_tokens
+    FROM per_doc GROUP BY source
+    """,
+)
+def q31(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.size(text.tokens(F.col("text"))).alias("n"),
+        text.quality_score(F.col("text")).alias("q"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg("q").cast("float").alias("avg_quality"),
+        F.avg("n").cast("float").alias("avg_tokens"),
+    )
+
+
+@_declare(
+    "q32_fingerprint_dedup",
+    f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS f
+        FROM documents
+    )
+    SELECT f AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM fp GROUP BY f HAVING COUNT(*) > 1
+    """,
+)
+def q32(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .where(F.col("n_docs") > 1)
     )
