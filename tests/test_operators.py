@@ -1,0 +1,198 @@
+"""Unit tests for the training-data pipeline operators (dedup, similarity,
+text, multimodal) on controlled synthetic inputs where ground truth is known.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ddsketch_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "THE  Quick   Brown Fox Jumps Over The Lazy Dog"),  # normalized dup
+        (6, "spark engines process completely different content"),  # bag-of-words anagram of 4
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs)
+    canon = {r.doc_id: r.is_canonical for r in out.collect()}
+    assert canon[1] is True
+    assert canon[2] is False  # exact dup
+    assert canon[5] is False  # case/whitespace-normalized dup
+    assert canon[3] is True and canon[4] is True and canon[6] is True
+
+
+def test_exact_dedup_summary(spark, docs):
+    out = dedup.exact_dedup_summary(docs.withColumn("g", F.lit("x")), ["g"]).first()
+    assert out.n_docs == 6
+    assert out.n_distinct == 4
+    assert out.n_dups == 2
+
+
+def test_jaccard_pairs_finds_near_dup(spark, docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] == 1.0
+    assert (1, 3) in out and 0.5 < out[(1, 3)] < 1.0
+    assert (2, 3) in out
+    assert not any({4, 6} & {a, b} for a, b in out if (a, b) != (4, 6))
+
+
+def test_minhash_lsh_dedup_pipeline(spark, docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    # exact dup pair must always collide in every band
+    assert (1, 2) in out and out[(1, 2)] == 1.0
+    # near-dup (1,3) collides with high probability (7/8 shingles shared);
+    # if LSH missed it, that's a recall property, but verified pairs must be
+    # a subset of true Jaccard>=0.5 pairs:
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(out).issubset(truth)
+
+
+def test_minhash_signature_df_deterministic(spark, docs):
+    s1 = {r.id: r.sig for r in dedup.minhash_signatures_df(docs).collect()}
+    s2 = {r.id: r.sig for r in dedup.minhash_signatures_df(docs).collect()}
+    assert s1 == s2
+    assert s1[1] == s1[2]  # identical docs, identical signatures
+    assert len(s1[1]) == 16
+
+
+def test_simhash_near_for_near_dups(spark, docs):
+    out = {r.id: r.sh for r in dedup.simhash_df(docs).collect()}
+    assert out[1] == out[2]  # identical token sets
+    ham13 = bin(out[1] ^ out[3]).count("1")
+    ham14 = bin(out[1] ^ out[4]).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_banding(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(docs, max_hamming=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(df, df.where(F.col("vec_id") == 1), k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_lsh_topk_schema_and_subset(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(df, q, k=3)
+    approx = similarity.lsh_topk(df, q, k=3, planes=4, dims=16)
+    assert approx.columns == exact.columns
+    # every approx neighbor must share the query's bucket ⇒ is a real vector
+    ids = {r.neighbor_id for r in approx.collect()}
+    assert ids.issubset(set(range(100)))
+
+
+def test_hyperplane_code_deterministic(spark):
+    rows = [(1, [0.5] * 8), (2, [0.5] * 8), (3, [-0.5] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r.code
+        for r in df.select(
+            "vec_id",
+            similarity.hyperplane_code(F.col("embedding"), planes=6, dims=8).alias(
+                "code"
+            ),
+        ).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_text_language_id(spark):
+    rows = [
+        (1, "the cat and the dog is here"),
+        (2, "der Hund und die Katze ist da"),
+        (3, "le chat et la maison est grande"),
+        (4, "el perro y la casa es grande"),
+        (5, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", text.language_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "es"
+    assert out[5] == "unknown"
+
+
+def test_text_fingerprint_order_insensitive(spark):
+    rows = [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.f
+        for r in df.select("doc_id", text.fingerprint(F.col("text")).alias("f")).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_multimodal_extract_features(spark):
+    rows = [(i, bytes([i % 251] * (100 + i))) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    media = multimodal.as_media(df, "id", "payload")
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 20
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[0].n_bytes == 100
+    assert len(by_id[0].feature) == 8
+    assert abs(sum(by_id[0].feature) - 1.0) < 1e-6
+    # deterministic fake decode: same payload → same feature
+    expected = multimodal.fake_image_decoder(bytes([5] * 105))
+    assert by_id[5].width == expected["width"]
+    assert list(by_id[5].feature) == pytest.approx(expected["feature"])
+
+
+def test_multimodal_frame_sampling(spark):
+    rows = [(1, bytes(range(256)) * 20)]  # 5120 bytes → 5 frames @1024
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    frames = multimodal.sample_frames(df, every_n_bytes=1024, max_frames=8).collect()
+    assert len(frames) == 5
+    assert sorted(r.frame_no for r in frames) == [0, 1, 2, 3, 4]
+    assert all(len(r.frame_payload) == 1024 for r in frames)
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_image_decoder(b"\x89PNG")

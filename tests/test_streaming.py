@@ -1,0 +1,127 @@
+"""Structured Streaming sketch windows: run real micro-batch streams from a
+file source and verify against batch-built kernel sketches over the same rows.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ddsketch_spark import DDSketch
+from duckdb_ddsketch_spark.streaming import (
+    finalize_window_sketches,
+    sessionized_sketches,
+    streaming_quantiles,
+    windowed_binned_counts,
+)
+
+SCHEMA = "ts timestamp, service string, value double"
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    """Deterministic event rows as parquet for a file-source stream."""
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    rows = []
+    for i in range(2000):
+        minute = i % 120  # two hours of data
+        rows.append(
+            (
+                f"2024-03-01 {minute // 60:02d}:{minute % 60:02d}:30",
+                f"svc{i % 3}",
+                float((i * 37) % 500) + 0.5,
+            )
+        )
+    df = spark.createDataFrame(rows, "ts_str string, service string, value double")
+    df = df.select(F.to_timestamp("ts_str").alias("ts"), "service", "value")
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _expected_by_window(spark, stream_input):
+    batch = spark.read.parquet(stream_input)
+    expected = {}
+    for r in batch.withColumn("ws", F.date_trunc("hour", F.col("ts"))).collect():
+        expected.setdefault((r.ws, r.service), []).append(r.value)
+    return expected
+
+
+def _collect_stream(stream_df, ckpt, transform=None, mode="append"):
+    results = []
+
+    def sink(batch_df, _id):
+        out = transform(batch_df) if transform is not None else batch_df
+        results.extend(out.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return results
+
+
+def test_windowed_binned_plus_finalize_matches_kernel(spark, stream_input, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    binned = windowed_binned_counts(
+        stream, "ts", ["service"], "value", window="1 hour", watermark="0 seconds"
+    )
+    results = _collect_stream(
+        binned,
+        str(tmp_path / "ck1"),
+        transform=lambda b: finalize_window_sketches(b, ["service"]),
+    )
+    assert results
+    expected = _expected_by_window(spark, stream_input)
+    got = {(r.window_start, r.service): r.sketch for r in results}
+    for key, blob in got.items():
+        kernel = DDSketch(0.01).extend_array(np.array(expected[key]))
+        s = DDSketch.decode(bytes(blob))
+        assert s.count == kernel.count, key
+        assert s.positive_bins == kernel.positive_bins, key
+        assert s.zero_count == kernel.zero_count, key
+
+
+def test_streaming_quantiles_from_binned_sink(spark, stream_input, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    binned = windowed_binned_counts(
+        stream, "ts", ["service"], "value", window="1 hour", watermark="0 seconds"
+    )
+    results = _collect_stream(binned, str(tmp_path / "ck2"))
+    assert results
+    sink_df = spark.createDataFrame(
+        results,
+        "window_start timestamp, window_end timestamp, service string,"
+        " sign int, bin int, cnt double",
+    )
+    rows = streaming_quantiles(sink_df, ["service"], quantiles=(0.5, 0.95)).collect()
+    assert rows
+    expected = _expected_by_window(spark, stream_input)
+    for r in rows:
+        key = (r.window_start, r.service)
+        kernel = DDSketch(0.01).extend(expected[key])
+        assert r["count"] == kernel.get_count(), key
+        assert abs(r.p50 - kernel.quantile(0.5)) <= abs(kernel.quantile(0.5)) * 1e-9
+        assert abs(r.p95 - kernel.quantile(0.95)) <= abs(kernel.quantile(0.95)) * 1e-9
+
+
+def test_sessionized_sketches_state(spark, stream_input, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    sess = sessionized_sketches(stream, "service", "value")
+    results = _collect_stream(sess, str(tmp_path / "ck3"), mode="update")
+    assert results
+    # last emitted row per key carries the full accumulated sketch
+    final = {}
+    for r in results:
+        final[r.key] = r  # foreachBatch order: later batches overwrite
+    batch = spark.read.parquet(stream_input)
+    expected = {}
+    for r in batch.collect():
+        expected.setdefault(r.service, []).append(r.value)
+    for key, row in final.items():
+        kernel = DDSketch(0.01).extend_array(np.array(expected[key]))
+        s = DDSketch.decode(bytes(row.sketch))
+        assert s.count == kernel.count, key
+        assert s.positive_bins == kernel.positive_bins, key
