@@ -682,3 +682,129 @@ def q32(spark, sf_dir):
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q15 — nested ddsketch_merge across columns (README.md:148-169 multi-region
+# shape): merge(merge(s1,s2), merge(s3,s4)) == sketch of the value union
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q15_nested_column_merge",
+    quantile_oracle_sql(
+        "lineitem",
+        {},
+        "l_extendedprice",
+        quantiles=(0.99,),
+        stats=("count",),
+        where="l_returnflag IN ('A', 'N', 'R')",
+    ),
+)
+def q15(spark, sf_dir):
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    # one sketch column per "region" (returnflag) — pandas UDAFs can't run in
+    # PIVOT, so build the columns as three aggregates joined side by side —
+    # then the nested pairwise merges of the README's multi-region pattern
+    cols = []
+    for flag in ("A", "N", "R"):
+        cols.append(
+            li.where(F.col("l_returnflag") == flag).agg(
+                sketch_values_agg(F.col("l_extendedprice")).alias(flag)
+            )
+        )
+    per_flag = cols[0].crossJoin(cols[1]).crossJoin(cols[2])
+    merged = per_flag.select(
+        fs.ddsketch_merge(
+            fs.ddsketch_merge(F.col("A"), F.col("N")), F.col("R")
+        ).alias("global_sketch")
+    )
+    return merged.select(
+        fs.ddsketch_count(F.col("global_sketch")).alias("count"),
+        fs.ddsketch_quantile(F.col("global_sketch"), F.lit(0.99))
+        .cast("float")
+        .alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — filtered roll-up (README.md:174-198: WHERE service=... GROUP BY) with
+# time-range + equality predicates that must reach the parquet scan
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q16_filtered_service_rollup",
+    quantile_oracle_sql(
+        "events",
+        {"event_type": "event_type"},
+        "value",
+        quantiles=(0.95,),
+        stats=("count",),
+        where="ts >= TIMESTAMP '2024-01-03 00:00:00' AND event_type IN ('click', 'view', 'purchase')",
+    ),
+)
+def q16(spark, sf_dir):
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        & F.col("event_type").isin("click", "view", "purchase")
+    )
+    out = native.sketch_quantile_agg(ev, ["event_type"], "value", 0.01, (0.95,))
+    return out.select("event_type", "count", F.col("p95").cast("float").alias("p95"))
+
+
+# ---------------------------------------------------------------------------
+# q17 — the pure spark.sql surface: registered UDF/UDAF names, CTEs, struct
+# field access (integration_test.sql shapes), end to end in SQL text
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q17_sql_surface_cte",
+    quantile_oracle_sql(
+        "orders",
+        {"o_orderstatus": "o_orderstatus"},
+        "o_totalprice",
+        quantiles=(0.5,),
+        stats=("count", "avg"),
+    ),
+)
+def q17(spark, sf_dir):
+    _prep(spark)
+    from .. import register_ddsketch_functions
+    from ..sources import register_views
+
+    register_ddsketch_functions(spark)
+    register_views(spark, sf_dir, ["orders"])
+    # build per-status pre-sketches in SQL (scalar sub-pipeline), roll up with
+    # the registered UDAF, extract stats via the struct-returning scalar
+    return spark.sql(
+        """
+        WITH pre AS (
+            SELECT o_orderstatus,
+                   CAST(o_orderkey % 16 AS INT) AS bkt,
+                   o_totalprice
+            FROM orders
+        ),
+        sketches AS (
+            SELECT o_orderstatus, bkt, ddsketch_agg(sk) AS sketch
+            FROM (
+                SELECT o_orderstatus, bkt,
+                       ddsketch_add(ddsketch_empty(0.01d), o_totalprice) AS sk
+                FROM pre
+            )
+            GROUP BY o_orderstatus, bkt
+        ),
+        rolled AS (
+            SELECT o_orderstatus, ddsketch_agg(sketch) AS s
+            FROM sketches GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus,
+               ddsketch_count(s) AS count,
+               CAST(ddsketch_stats(s).avg AS FLOAT) AS avg,
+               CAST(ddsketch_quantile(s, 0.5d) AS FLOAT) AS p50
+        FROM rolled
+        """
+    )
