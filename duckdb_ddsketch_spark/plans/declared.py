@@ -808,3 +808,148 @@ def q17(spark, sf_dir):
         FROM rolled
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q26 — LSH-bucketed ANN (the scale path for similarity search)
+# ---------------------------------------------------------------------------
+
+
+def _planes_sql(planes: int = 8, dims: int = 64) -> str:
+    """DuckDB literal arrays for the deterministic md5-derived hyperplanes —
+    the exact constants Spark embeds via F.lit."""
+    rows = []
+    for p in range(planes):
+        comps = ", ".join(
+            repr(similarity._plane_component(p, d)) for d in range(dims)
+        )
+        rows.append(f"[{comps}]")
+    return "[" + ", ".join(rows) + "]"
+
+
+_Q26_CODE = (
+    "list_aggregate(list_transform(range(1, 9), p -> CASE WHEN "
+    "list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), planes[p]) > 0 "
+    "THEN CAST(2 ** (p - 1) AS BIGINT) ELSE 0 END), 'sum')"
+)
+
+
+@_declare(
+    "q26_ann_lsh_topk",
+    f"""
+    WITH p AS (SELECT {_planes_sql(8, 64)} AS planes),
+    coded AS (
+        SELECT vec_id, embedding, {_Q26_CODE} AS code
+        FROM embeddings, p
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
+        FROM coded a JOIN coded b
+          ON a.code = b.code AND b.vec_id != a.vec_id
+        WHERE a.vec_id % 25 = 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q26(spark, sf_dir):
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 25 == 0)
+    out = similarity.lsh_topk(emb, queries_df, k=3, planes=8, dims=64)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("cos").cast("float").alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — multimodal binary columns: opaque payload + typed metadata stats
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q27_binary_payload_stats",
+    """
+    WITH media AS (
+        -- DuckDB's md5 only takes VARCHAR; hashing the text hashes the same
+        -- UTF-8 bytes Spark's md5(payload BINARY) sees
+        SELECT doc_id, lang, octet_length(encode(text)) AS n_bytes, md5(text) AS h
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(AVG(n_bytes) AS REAL) AS avg_bytes,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_payloads
+    FROM media GROUP BY lang
+    """,
+)
+def q27(spark, sf_dir):
+    _prep(spark)
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    media = multimodal.as_media(docs, "doc_id", "payload").join(
+        docs.select(F.col("doc_id").alias("media_id"), "lang"), "media_id"
+    )
+    return media.groupBy("lang").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.avg("n_bytes").cast("float").alias("avg_bytes"),
+        F.countDistinct(F.md5(F.col("payload"))).alias("n_distinct_payloads"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — language identification (marker-lexicon heuristic, argmax per doc)
+# ---------------------------------------------------------------------------
+
+
+def _langid_sql() -> str:
+    toks_l = "string_split(lower(trim(text)), ' ')"
+    entries = []
+    for lang, markers in sorted(text.LANG_MARKERS.items()):
+        inlist = "', '".join(markers)
+        score = (
+            f"len(list_filter({toks_l}, w -> w IN ('{inlist}'))) * 1.0"
+            f" / len({toks_l})"
+        )
+        entries.append(f"{{'score': CAST({score} AS DOUBLE), 'lang': '{lang}'}}")
+    arr = "[" + ", ".join(entries) + "]"
+    return (
+        f"CASE WHEN list_aggregate({arr}, 'max').score > 0"
+        f" THEN list_aggregate({arr}, 'max').lang ELSE 'unknown' END"
+    )
+
+
+@_declare(
+    "q33_language_id",
+    f"""
+    SELECT lang AS labeled_lang, {_langid_sql()} AS guessed_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q33(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        text.language_id(F.col("text")).alias("guessed_lang"),
+    )
+    return per.groupBy("labeled_lang", "guessed_lang").agg(
+        F.count("*").alias("n_docs")
+    )
