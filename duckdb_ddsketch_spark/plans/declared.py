@@ -953,3 +953,33 @@ def q33(spark, sf_dir):
     return per.groupBy("labeled_lang", "guessed_lang").agg(
         F.count("*").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# q18 — weighted sketching (add_with_count semantics: counts are weights)
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q18_weighted_quantiles",
+    quantile_oracle_sql(
+        "lineitem",
+        {"l_linestatus": "l_linestatus"},
+        "l_extendedprice",
+        quantiles=(0.5, 0.9),
+        stats=("count",),
+        weight="l_quantity",
+    ),
+)
+def q18(spark, sf_dir):
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    out = native.sketch_quantile_agg(
+        li, ["l_linestatus"], "l_extendedprice", 0.01, (0.5, 0.9), weight="l_quantity"
+    )
+    return out.select(
+        "l_linestatus",
+        "count",
+        F.col("p50").cast("float").alias("p50"),
+        F.col("p90").cast("float").alias("p90"),
+    )

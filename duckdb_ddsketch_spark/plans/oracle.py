@@ -48,13 +48,15 @@ def quantile_oracle_sql(
     quantiles: Sequence[float] = (),
     stats: Sequence[str] = STAT_COLUMNS,
     where: Optional[str] = None,
+    weight: Optional[str] = None,
 ) -> str:
     """Build the oracle query.
 
     ``group_by`` maps output column name -> SQL expression (empty = global
     aggregate); ``value`` is a SQL expression for the sketched value;
     ``stats`` picks from count/sum/avg/min/max; quantile columns are named
-    ``p<qname>``.
+    ``p<qname>``. ``weight`` (SQL expression) mirrors ``add_with_count``:
+    rows with weight <= 0 are ignored, bin counts sum the weights.
     """
     c = constants(alpha)
     g = repr(c["gamma"])
@@ -67,8 +69,11 @@ def quantile_oracle_sql(
     part = f"PARTITION BY {grp_list} " if grp_names else ""
     part_sign = f"PARTITION BY {grp_list}, sign" if grp_names else "PARTITION BY sign"
     where_clause = f"WHERE ({value}) IS NOT NULL"
+    if weight is not None:
+        where_clause += f" AND ({weight}) > 0"
     if where:
         where_clause += f" AND ({where})"
+    w_expr = f"CAST(({weight}) AS DOUBLE)" if weight is not None else "1.0"
 
     def binval(bin_expr: str) -> str:
         return f"(POWER({g}, {bin_expr}) * {mult})"
@@ -137,7 +142,7 @@ def quantile_oracle_sql(
 
     return f"""
 WITH vals AS (
-    SELECT {grp_select}CAST(({value}) AS DOUBLE) AS v
+    SELECT {grp_select}CAST(({value}) AS DOUBLE) AS v, {w_expr} AS w
     FROM {table}
     {where_clause}
 ),
@@ -146,7 +151,7 @@ binned AS (
         CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
         CASE WHEN v > 0 THEN CAST(CEIL(LN(v) / {lg}) AS INTEGER)
              WHEN v < 0 THEN CAST(CEIL(LN(-v) / {lg}) AS INTEGER) END AS bin,
-        CAST(COUNT(*) AS DOUBLE) AS cnt
+        CAST(SUM(w) AS DOUBLE) AS cnt
     FROM vals
     GROUP BY {grp_list + ', ' if grp_names else ''}sign, bin
 ),
