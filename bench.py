@@ -73,6 +73,25 @@ def main() -> None:
         "sf": float(sf) if sf else SF_DIR,
     }
 
+    # Marginal throughput of the native sketch path at 100x the bench rows —
+    # the number that extrapolates to cluster scale (per-query times above are
+    # dominated by fixed scheduling overhead at this tiny SF).
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import native
+
+    n = 60_000_000
+    gen = spark.range(n, numPartitions=128).select(
+        (F.col("id") % 25).cast("string").alias("grp"),
+        (F.pow(F.rand(seed=42) * 4 + 1, 3) * 10).alias("v"),
+    )
+    nq = native.sketch_quantile_agg(gen, ["grp"], "v", 0.01, (0.5, 0.95, 0.99))
+    nq.collect()
+    t0 = time.perf_counter()
+    nq.collect()
+    dt = time.perf_counter() - t0
+    result["native_sketch_rows_per_sec"] = int(n / dt)
+
     if "--compare" in sys.argv:
         import duckdb
 

@@ -983,3 +983,32 @@ def q18(spark, sf_dir):
         F.col("p50").cast("float").alias("p50"),
         F.col("p90").cast("float").alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q19 — non-default relative accuracy (alpha=0.05): gamma parameterization
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q19_alpha_005_quantiles",
+    quantile_oracle_sql(
+        "events",
+        {"event_type": "event_type"},
+        "value",
+        alpha=0.05,
+        quantiles=(0.5, 0.99),
+        stats=("count", "sum"),
+    ),
+)
+def q19(spark, sf_dir):
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = native.sketch_quantile_agg(ev, ["event_type"], "value", 0.05, (0.5, 0.99))
+    return out.select(
+        "event_type",
+        "count",
+        F.col("sum").cast("float").alias("sum"),
+        F.col("p50").cast("float").alias("p50"),
+        F.col("p99").cast("float").alias("p99"),
+    )
