@@ -155,106 +155,100 @@ def sketch_quantile_agg(
     two window passes over the per-key bin lists (no extra shuffle: both
     windows and the final aggregate cluster by ``keys``), no Python.
     """
+    # Expressions are assembled as SQL strings and parsed with a single
+    # F.expr each: building this query from nested Column operations costs
+    # hundreds of py4j round-trips (~1 s of driver latency per call); the
+    # string form costs ~30.
     keys = list(keys)
     gamma = gamma_of(alpha)
     binned = binned_counts(df, keys, value, alpha, weight)
 
-    w_key = Window.partitionBy(*keys)
-    w_cum = Window.partitionBy(*keys, "sign").orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    is_neg = F.col("sign") == -1
-    is_zero = F.col("sign") == 0
-    is_pos = F.col("sign") == 1
-    enriched = binned.select(
-        *keys,
+    kq = ", ".join(f"`{k}`" for k in keys)
+    part = f"PARTITION BY {kq}" if keys else ""
+    part_sign = f"PARTITION BY {kq + ', ' if keys else ''}sign"
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    enriched = binned.selectExpr(
+        *[f"`{k}`" for k in keys],
         "sign",
         "bin",
         "cnt",
         "vsum",
         "vmin",
         "vmax",
-        F.sum("cnt").over(w_key).alias("total"),
-        F.sum(F.when(is_neg, F.col("cnt")).otherwise(F.lit(0.0))).over(w_key).alias("negc"),
-        F.sum(F.when(is_zero, F.col("cnt")).otherwise(F.lit(0.0))).over(w_key).alias("zeroc"),
-        F.sum("cnt").over(w_cum).alias("cum"),
+        f"sum(cnt) OVER ({part}) AS total",
+        f"sum(CASE WHEN sign = -1 THEN cnt ELSE 0.0D END) OVER ({part}) AS negc",
+        f"sum(CASE WHEN sign = 0 THEN cnt ELSE 0.0D END) OVER ({part}) AS zeroc",
+        f"sum(cnt) OVER ({part_sign} ORDER BY bin {frame}) AS cum",
     )
 
-    bin_val = bin_to_value_expr(F.col("bin"), gamma)
+    g = repr(gamma) + "D"
+    mult = repr(1.0 + (1.0 - 2.0 / (1.0 + gamma))) + "D"
+
+    def b2v(e: str) -> str:
+        return f"(POWER({g}, CAST({e} AS DOUBLE)) * {mult})"
+
     aggs = [
-        F.first("total").alias("_total"),
-        F.first("negc").alias("_negc"),
-        F.first("zeroc").alias("_zeroc"),
+        "first(total) AS _total",
+        "first(negc) AS _negc",
+        "first(zeroc) AS _zeroc",
         # bin-math stats (what any decoded sketch reports)
-        F.sum(
-            F.when(is_pos, bin_val * F.col("cnt"))
-            .when(is_neg, -bin_val * F.col("cnt"))
-            .otherwise(F.lit(0.0))
-        ).alias("_sum_bins"),
-        F.max(F.when(is_neg, F.col("bin"))).alias("_max_neg_bin"),
-        F.min(F.when(is_neg, F.col("bin"))).alias("_min_neg_bin"),
-        F.max(F.when(is_pos, F.col("bin"))).alias("_max_pos_bin"),
-        F.min(F.when(is_pos, F.col("bin"))).alias("_min_pos_bin"),
+        f"sum(CASE WHEN sign = 1 THEN {b2v('bin')} * cnt"
+        f" WHEN sign = -1 THEN -{b2v('bin')} * cnt ELSE 0.0D END) AS _sum_bins",
+        "max(CASE WHEN sign = -1 THEN bin END) AS _max_neg_bin",
+        "min(CASE WHEN sign = -1 THEN bin END) AS _min_neg_bin",
+        "max(CASE WHEN sign = 1 THEN bin END) AS _max_pos_bin",
+        "min(CASE WHEN sign = 1 THEN bin END) AS _min_pos_bin",
         # exact stats
-        F.sum("vsum").alias("_sum_exact"),
-        F.min("vmin").alias("_min_exact"),
-        F.max("vmax").alias("_max_exact"),
+        "sum(vsum) AS _sum_exact",
+        "min(vmin) AS _min_exact",
+        "max(vmax) AS _max_exact",
     ]
     for q in quantiles:
-        rank = F.lit(float(q)) * (F.col("total") - 1.0)
-        neg_rank = F.col("negc") - 1.0 - rank
-        pos_rank = rank - F.col("zeroc") - F.col("negc")
+        qn = _qname(q)
+        rank = f"({float(q)!r}D * (total - 1.0D))"
         aggs.append(
-            F.min(F.when(is_neg & (F.col("cum") > neg_rank), F.col("bin"))).alias(
-                f"_nsel_{_qname(q)}"
-            )
+            f"min(CASE WHEN sign = -1 AND cum > negc - 1.0D - {rank}"
+            f" THEN bin END) AS _nsel_{qn}"
         )
         aggs.append(
-            F.min(F.when(is_pos & (F.col("cum") > pos_rank), F.col("bin"))).alias(
-                f"_psel_{_qname(q)}"
-            )
+            f"min(CASE WHEN sign = 1 AND cum > {rank} - zeroc - negc"
+            f" THEN bin END) AS _psel_{qn}"
         )
+    grouped = enriched.groupBy(*keys).agg(
+        *[F.expr(a) for a in aggs]
+    )
 
-    grouped = enriched.groupBy(*keys).agg(*aggs)
-
-    def b2v(c: Column) -> Column:
-        return bin_to_value_expr(c, gamma)
-
-    out_cols: list[Column] = [F.col(k) for k in keys]
-    out_cols.append(F.col("_total").cast("long").alias("count"))
+    out_cols = [f"`{k}`" for k in keys]
+    out_cols.append("CAST(_total AS BIGINT) AS count")
     if exact_stats:
-        sum_col = F.col("_sum_exact")
-        min_col = F.col("_min_exact")
-        max_col = F.col("_max_exact")
+        sum_sql, min_sql, max_sql = "_sum_exact", "_min_exact", "_max_exact"
     else:
-        sum_col = F.col("_sum_bins")
+        sum_sql = "_sum_bins"
         # decode-side min/max reconstruction (datadog_encoding.rs:464-494):
         # min candidates: most-negative bin, zero, lowest positive bin
-        min_col = F.least(
-            -b2v(F.col("_max_neg_bin")),
-            F.when(F.col("_zeroc") > 0, F.lit(0.0)),
-            b2v(F.col("_min_pos_bin")),
+        min_sql = (
+            f"least(-{b2v('_max_neg_bin')},"
+            f" CASE WHEN _zeroc > 0 THEN 0.0D END, {b2v('_min_pos_bin')})"
         )
-        max_col = F.greatest(
-            b2v(F.col("_max_pos_bin")),
-            F.when(F.col("_zeroc") > 0, F.lit(0.0)),
-            -b2v(F.col("_min_neg_bin")),
+        max_sql = (
+            f"greatest({b2v('_max_pos_bin')},"
+            f" CASE WHEN _zeroc > 0 THEN 0.0D END, -{b2v('_min_neg_bin')})"
         )
-    out_cols.append(sum_col.alias("sum"))
-    out_cols.append((sum_col / F.col("_total")).alias("avg"))
-    out_cols.append(min_col.alias("min"))
-    out_cols.append(max_col.alias("max"))
+    out_cols.append(f"{sum_sql} AS sum")
+    out_cols.append(f"{sum_sql} / _total AS avg")
+    out_cols.append(f"{min_sql} AS min")
+    out_cols.append(f"{max_sql} AS max")
     for q in quantiles:
-        rank = F.lit(float(q)) * (F.col("_total") - 1.0)
-        nsel = F.coalesce(F.col(f"_nsel_{_qname(q)}"), F.col("_max_neg_bin"))
-        psel = F.coalesce(F.col(f"_psel_{_qname(q)}"), F.col("_max_pos_bin"))
+        qn = _qname(q)
+        rank = f"({float(q)!r}D * (_total - 1.0D))"
+        nsel = f"coalesce(_nsel_{qn}, _max_neg_bin)"
+        psel = f"coalesce(_psel_{qn}, _max_pos_bin)"
         out_cols.append(
-            F.when(rank < F.col("_negc"), -b2v(nsel))
-            .when(rank < F.col("_negc") + F.col("_zeroc"), F.lit(0.0))
-            .otherwise(b2v(psel))
-            .alias(f"p{_qname(q)}")
+            f"CASE WHEN {rank} < _negc THEN -{b2v(nsel)}"
+            f" WHEN {rank} < _negc + _zeroc THEN 0.0D"
+            f" ELSE {b2v(psel)} END AS p{qn}"
         )
-    return grouped.select(*out_cols)
+    return grouped.selectExpr(*out_cols)
 
 
 def _qname(q: float) -> str:
