@@ -277,35 +277,25 @@ def sketch_struct_agg(
     keys = list(keys)
     gamma = gamma_of(alpha)
     binned = binned_counts(df, keys, value, alpha, weight)
-    entry = F.struct(F.col("bin").alias("key"), F.col("cnt").alias("value"))
+    entry = "struct(bin AS key, cnt AS value)"
     grouped = binned.groupBy(*keys).agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.when(F.col("sign") == 1, entry)))
-        ).alias("pos"),
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.when(F.col("sign") == -1, entry)))
-        ).alias("neg"),
-        F.sum(F.when(F.col("sign") == 0, F.col("cnt")).otherwise(F.lit(0.0))).alias(
-            "zero_count"
-        ),
-        F.sum("cnt").alias("count"),
-        F.sum("vsum").alias("sum"),
-        F.min("vmin").alias("min"),
-        F.max("vmax").alias("max"),
+        *[
+            F.expr(a)
+            for a in (
+                f"map_from_entries(sort_array(collect_list(CASE WHEN sign = 1 THEN {entry} END))) AS pos",
+                f"map_from_entries(sort_array(collect_list(CASE WHEN sign = -1 THEN {entry} END))) AS neg",
+                "sum(CASE WHEN sign = 0 THEN cnt ELSE 0.0D END) AS zero_count",
+                "sum(cnt) AS count",
+                "sum(vsum) AS sum",
+                "min(vmin) AS min",
+                "max(vmax) AS max",
+            )
+        ]
     )
-    return grouped.select(
-        *keys,
-        F.struct(
-            F.lit(gamma).alias("gamma"),
-            F.lit(0.0).alias("index_offset"),
-            F.col("pos"),
-            F.col("neg"),
-            F.col("zero_count"),
-            F.col("count"),
-            F.col("sum"),
-            F.col("min"),
-            F.col("max"),
-        ).alias("sketch"),
+    return grouped.selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"struct({gamma!r}D AS gamma, 0.0D AS index_offset, pos, neg,"
+        " zero_count, count, sum, min, max) AS sketch",
     )
 
 
@@ -372,78 +362,62 @@ def merge_struct_sketches(
     (partial agg applies) → reassemble. The scalable analogue of
     ``ddsketch_agg`` for the struct working form."""
     keys = list(keys)
-    s = F.col(sketch_col)
+    kq = [f"`{k}`" for k in keys]
+    s = f"`{sketch_col}`"
     # posexplode each sketch's bins; per-sketch scalars ride along attributed
     # to the first exploded row only (coalesce handles bin-less sketches), so
     # a single two-level hash aggregate — with map-side partial aggregation —
     # merges everything. No join.
-    exploded = df.select(
-        *keys,
-        s["gamma"].alias("gamma"),
-        s["zero_count"].alias("zero_count"),
-        s["count"].alias("count"),
-        s["sum"].alias("sum"),
-        s["min"].alias("min"),
-        s["max"].alias("max"),
-        F.posexplode_outer(
-            F.concat(
-                F.transform(
-                    F.map_entries(s["pos"]),
-                    lambda e: F.struct(
-                        F.lit(1).alias("sign"), e["key"].alias("bin"), e["value"].alias("cnt")
-                    ),
-                ),
-                F.transform(
-                    F.map_entries(s["neg"]),
-                    lambda e: F.struct(
-                        F.lit(-1).alias("sign"), e["key"].alias("bin"), e["value"].alias("cnt")
-                    ),
-                ),
-            )
-        ).alias("pos_idx", "bin_entry"),
+    exploded = df.selectExpr(
+        *kq,
+        f"{s}.gamma AS gamma",
+        f"{s}.zero_count AS zero_count",
+        f"{s}.count AS count",
+        f"{s}.sum AS sum",
+        f"{s}.min AS min",
+        f"{s}.max AS max",
+        "posexplode_outer(concat("
+        f" transform(map_entries({s}.pos), e -> struct(1 AS sign, e.key AS bin, e.value AS cnt)),"
+        f" transform(map_entries({s}.neg), e -> struct(-1 AS sign, e.key AS bin, e.value AS cnt))"
+        ")) AS (pos_idx, bin_entry)",
     )
-    first_row = F.coalesce(F.col("pos_idx"), F.lit(0)) == 0
+    first = "coalesce(pos_idx, 0) = 0"
     level1 = exploded.groupBy(
-        *keys,
-        F.col("bin_entry.sign").alias("sign"),
-        F.col("bin_entry.bin").alias("bin"),
+        *keys, F.expr("bin_entry.sign AS sign"), F.expr("bin_entry.bin AS bin")
     ).agg(
-        F.sum("bin_entry.cnt").alias("cnt"),
-        F.first("gamma").alias("gamma"),
-        F.sum(F.when(first_row, F.col("zero_count"))).alias("zc"),
-        F.sum(F.when(first_row, F.col("count"))).alias("cn"),
-        F.sum(F.when(first_row, F.col("sum"))).alias("sm"),
-        F.min(F.when(first_row, F.col("min"))).alias("mn"),
-        F.max(F.when(first_row, F.col("max"))).alias("mx"),
+        *[
+            F.expr(a)
+            for a in (
+                "sum(bin_entry.cnt) AS cnt",
+                "first(gamma) AS gamma",
+                f"sum(CASE WHEN {first} THEN zero_count END) AS zc",
+                f"sum(CASE WHEN {first} THEN count END) AS cn",
+                f"sum(CASE WHEN {first} THEN sum END) AS sm",
+                f"min(CASE WHEN {first} THEN min END) AS mn",
+                f"max(CASE WHEN {first} THEN max END) AS mx",
+            )
+        ]
     )
-    entry = F.struct(F.col("bin").alias("key"), F.col("cnt").alias("value"))
+    entry = "struct(bin AS key, cnt AS value)"
     merged = level1.groupBy(*keys).agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.when(F.col("sign") == 1, entry)))
-        ).alias("pos"),
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.when(F.col("sign") == -1, entry)))
-        ).alias("neg"),
-        F.first("gamma").alias("gamma"),
-        F.sum("zc").alias("zero_count"),
-        F.sum("cn").alias("count"),
-        F.sum("sm").alias("sum"),
-        F.min("mn").alias("min"),
-        F.max("mx").alias("max"),
+        *[
+            F.expr(a)
+            for a in (
+                f"map_from_entries(sort_array(collect_list(CASE WHEN sign = 1 THEN {entry} END))) AS pos",
+                f"map_from_entries(sort_array(collect_list(CASE WHEN sign = -1 THEN {entry} END))) AS neg",
+                "first(gamma) AS gamma",
+                "sum(zc) AS zero_count",
+                "sum(cn) AS count",
+                "sum(sm) AS sum",
+                "min(mn) AS min",
+                "max(mx) AS max",
+            )
+        ]
     )
-    return merged.select(
-        *keys,
-        F.struct(
-            F.col("gamma"),
-            F.lit(0.0).alias("index_offset"),
-            F.col("pos"),
-            F.col("neg"),
-            F.col("zero_count"),
-            F.col("count"),
-            F.col("sum"),
-            F.col("min"),
-            F.col("max"),
-        ).alias(sketch_col),
+    return merged.selectExpr(
+        *kq,
+        "struct(gamma, 0.0D AS index_offset, pos, neg, zero_count, count,"
+        f" sum, min, max) AS {sketch_col}",
     )
 
 
