@@ -1,0 +1,93 @@
+"""The MIGRATION.md examples must run verbatim: a reference user's SQL,
+pasted into spark.sql after register_ddsketch_functions, works."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ddsketch_spark import DDSketch
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    rows = []
+    for svc in ("api-gateway", "web"):
+        for hour in (0, 1, 2):
+            s = DDSketch(0.01).extend(
+                float(v + hour) for v in range(1, 21)
+            )
+            rows.append((svc, hour, s.encode()))
+    spark.createDataFrame(
+        rows, "service string, hour int, latency_sketch binary"
+    ).createOrReplaceTempView("hourly_latency_sketches")
+    # regional 1-row table with four sketch columns
+    cols = {
+        name: DDSketch(0.01).extend([base, base * 2.0]).encode()
+        for name, base in (
+            ("us_east", 10.0),
+            ("us_west", 20.0),
+            ("eu_west", 30.0),
+            ("ap_south", 40.0),
+        )
+    }
+    spark.createDataFrame(
+        [tuple(cols.values())], "us_east binary, us_west binary, eu_west binary, ap_south binary"
+    ).createOrReplaceTempView("regional_metrics")
+
+
+def test_scalar_surface_sql(spark, fixtures):
+    out = spark.sql(
+        """
+        SELECT
+          ddsketch_quantile(latency_sketch, 0.99d) AS p99,
+          ddsketch_count(latency_sketch)           AS cnt,
+          ddsketch_min(latency_sketch) AS mn, ddsketch_max(latency_sketch) AS mx,
+          ddsketch_sum(latency_sketch) AS sm, ddsketch_avg(latency_sketch) AS av,
+          ddsketch_stats(latency_sketch).count     AS stats_count
+        FROM hourly_latency_sketches
+        """
+    ).collect()
+    assert len(out) == 6
+    assert all(r.cnt == 20 and r.stats_count == 20 for r in out)
+    assert all(r.p99 is not None and r.mn < r.mx for r in out)
+
+
+def test_nested_region_merge_sql(spark, fixtures):
+    out = spark.sql(
+        """
+        SELECT ddsketch_merge(ddsketch_merge(us_east, us_west),
+                              ddsketch_merge(eu_west, ap_south)) AS global_sketch
+        FROM regional_metrics
+        """
+    ).first()
+    s = DDSketch.decode(bytes(out.global_sketch))
+    assert s.count == 8.0
+
+
+def test_rollup_sql(spark, fixtures):
+    out = spark.sql(
+        """
+        SELECT service,
+               ddsketch_count(ddsketch_agg(latency_sketch)) AS total_count,
+               ddsketch_quantile(ddsketch_agg(latency_sketch), 0.95d) AS p95
+        FROM hourly_latency_sketches
+        WHERE service = 'api-gateway'
+        GROUP BY service
+        """
+    ).collect()
+    assert len(out) == 1
+    assert out[0].total_count == 60
+    assert out[0].p95 is not None
+
+
+def test_stats_agg_composed_sql(spark, fixtures):
+    out = spark.sql(
+        """
+        SELECT service, ddsketch_stats_full(ddsketch_agg(latency_sketch)) AS stats
+        FROM hourly_latency_sketches GROUP BY service
+        """
+    ).select("service", "stats.count", "stats.p50", "stats.sketch").collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["count"] == 60
+        assert r["p50"] is not None
+        assert DDSketch.decode(bytes(r["sketch"])).count == 60.0
