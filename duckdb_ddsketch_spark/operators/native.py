@@ -151,104 +151,64 @@ def sketch_quantile_agg(
     quantiles Go-exact. With ``exact_stats=True``, sum/min/max/avg are the
     exact column stats instead (pre-serialization in-memory semantics).
 
-    Physical plan: partial+final hash aggregate (1 shuffle of binned rows),
-    two window passes over the per-key bin lists (no extra shuffle: both
-    windows and the final aggregate cluster by ``keys``), no Python.
+    Physical plan: two hash aggregates, both with map-side partial
+    aggregation — binned counts, then per-key bin maps — followed by a pure
+    projection that computes every stat and quantile as fold expressions over
+    the (tiny, sorted) maps. 2 exchanges, no sorts, no windows, no Python.
+    (A windowed cumulative-count formulation gives the same results but adds
+    two sort+window operators per query; the fold over collected maps wins
+    because per-key bin counts are bounded ~O(100) by the log mapping.)
+
+    Expressions are assembled as SQL strings parsed once per output column:
+    building this query from nested Column operations costs hundreds of py4j
+    round-trips (~1 s of driver latency per call); the string form costs ~30.
     """
-    # Expressions are assembled as SQL strings and parsed with a single
-    # F.expr each: building this query from nested Column operations costs
-    # hundreds of py4j round-trips (~1 s of driver latency per call); the
-    # string form costs ~30.
     keys = list(keys)
     gamma = gamma_of(alpha)
-    binned = binned_counts(df, keys, value, alpha, weight)
-
-    kq = ", ".join(f"`{k}`" for k in keys)
-    part = f"PARTITION BY {kq}" if keys else ""
-    part_sign = f"PARTITION BY {kq + ', ' if keys else ''}sign"
-    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-    enriched = binned.selectExpr(
-        *[f"`{k}`" for k in keys],
-        "sign",
-        "bin",
-        "cnt",
-        "vsum",
-        "vmin",
-        "vmax",
-        f"sum(cnt) OVER ({part}) AS total",
-        f"sum(CASE WHEN sign = -1 THEN cnt ELSE 0.0D END) OVER ({part}) AS negc",
-        f"sum(CASE WHEN sign = 0 THEN cnt ELSE 0.0D END) OVER ({part}) AS zeroc",
-        f"sum(cnt) OVER ({part_sign} ORDER BY bin {frame}) AS cum",
-    )
+    struct_df = sketch_struct_agg(df, keys, value, alpha, weight)
 
     g = repr(gamma) + "D"
     mult = repr(1.0 + (1.0 - 2.0 / (1.0 + gamma))) + "D"
+    s = "`sketch`"
 
     def b2v(e: str) -> str:
         return f"(POWER({g}, CAST({e} AS DOUBLE)) * {mult})"
 
-    aggs = [
-        "first(total) AS _total",
-        "first(negc) AS _negc",
-        "first(zeroc) AS _zeroc",
-        # bin-math stats (what any decoded sketch reports)
-        f"sum(CASE WHEN sign = 1 THEN {b2v('bin')} * cnt"
-        f" WHEN sign = -1 THEN -{b2v('bin')} * cnt ELSE 0.0D END) AS _sum_bins",
-        "max(CASE WHEN sign = -1 THEN bin END) AS _max_neg_bin",
-        "min(CASE WHEN sign = -1 THEN bin END) AS _min_neg_bin",
-        "max(CASE WHEN sign = 1 THEN bin END) AS _max_pos_bin",
-        "min(CASE WHEN sign = 1 THEN bin END) AS _min_pos_bin",
-        # exact stats
-        "sum(vsum) AS _sum_exact",
-        "min(vmin) AS _min_exact",
-        "max(vmax) AS _max_exact",
-    ]
-    for q in quantiles:
-        qn = _qname(q)
-        rank = f"({float(q)!r}D * (total - 1.0D))"
-        aggs.append(
-            f"min(CASE WHEN sign = -1 AND cum > negc - 1.0D - {rank}"
-            f" THEN bin END) AS _nsel_{qn}"
+    def map_sum(m: str) -> str:
+        # fold over sorted entries: matches the kernel's sorted-order
+        # summation (float32 output casts absorb order-level ulps anyway)
+        return (
+            f"coalesce(aggregate(map_entries({m}), 0.0D,"
+            f" (acc, e) -> acc + {b2v('e.key')} * e.value), 0.0D)"
         )
-        aggs.append(
-            f"min(CASE WHEN sign = 1 AND cum > {rank} - zeroc - negc"
-            f" THEN bin END) AS _psel_{qn}"
-        )
-    grouped = enriched.groupBy(*keys).agg(
-        *[F.expr(a) for a in aggs]
-    )
 
     out_cols = [f"`{k}`" for k in keys]
-    out_cols.append("CAST(_total AS BIGINT) AS count")
+    out_cols.append(f"CAST({s}.count AS BIGINT) AS count")
     if exact_stats:
-        sum_sql, min_sql, max_sql = "_sum_exact", "_min_exact", "_max_exact"
+        sum_sql = f"{s}.sum"
+        min_sql = f"{s}.min"
+        max_sql = f"{s}.max"
     else:
-        sum_sql = "_sum_bins"
+        sum_sql = f"({map_sum(f'{s}.pos')} - {map_sum(f'{s}.neg')})"
         # decode-side min/max reconstruction (datadog_encoding.rs:464-494):
         # min candidates: most-negative bin, zero, lowest positive bin
         min_sql = (
-            f"least(-{b2v('_max_neg_bin')},"
-            f" CASE WHEN _zeroc > 0 THEN 0.0D END, {b2v('_min_pos_bin')})"
+            f"least(-{b2v(f'array_max(map_keys({s}.neg))')},"
+            f" CASE WHEN {s}.zero_count > 0 THEN 0.0D END,"
+            f" {b2v(f'array_min(map_keys({s}.pos))')})"
         )
         max_sql = (
-            f"greatest({b2v('_max_pos_bin')},"
-            f" CASE WHEN _zeroc > 0 THEN 0.0D END, -{b2v('_min_neg_bin')})"
+            f"greatest({b2v(f'array_max(map_keys({s}.pos))')},"
+            f" CASE WHEN {s}.zero_count > 0 THEN 0.0D END,"
+            f" -{b2v(f'array_min(map_keys({s}.neg))')})"
         )
     out_cols.append(f"{sum_sql} AS sum")
-    out_cols.append(f"{sum_sql} / _total AS avg")
+    out_cols.append(f"{sum_sql} / {s}.count AS avg")
     out_cols.append(f"{min_sql} AS min")
     out_cols.append(f"{max_sql} AS max")
     for q in quantiles:
-        qn = _qname(q)
-        rank = f"({float(q)!r}D * (_total - 1.0D))"
-        nsel = f"coalesce(_nsel_{qn}, _max_neg_bin)"
-        psel = f"coalesce(_psel_{qn}, _max_pos_bin)"
-        out_cols.append(
-            f"CASE WHEN {rank} < _negc THEN -{b2v(nsel)}"
-            f" WHEN {rank} < _negc + _zeroc THEN 0.0D"
-            f" ELSE {b2v(psel)} END AS p{qn}"
-        )
-    return grouped.selectExpr(*out_cols)
+        out_cols.append(f"{struct_quantile_sql('sketch', q)} AS p{_qname(q)}")
+    return struct_df.selectExpr(*out_cols)
 
 
 def _qname(q: float) -> str:
