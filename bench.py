@@ -5,7 +5,10 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 The comparator is DuckDB executing the equivalent bin-math oracle SQL over
-the same parquet (BASELINE.md): run with --compare to print both engines.
+the same parquet (BASELINE.md); its timings are included as
+``duckdb_oracle`` unless --no-compare is passed. ``native_sketch_rows_per_sec``
+reports the native path's marginal throughput at 60M generated rows — the
+scale-relevant number (per-query times at sf0.1 are fixed-overhead-bound).
 """
 
 from __future__ import annotations
@@ -92,7 +95,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
     result["native_sketch_rows_per_sec"] = int(n / dt)
 
-    if "--compare" in sys.argv:
+    if "--no-compare" not in sys.argv:
         import duckdb
 
         con = duckdb.connect()

@@ -27,6 +27,7 @@ __all__ = [
     "norm",
     "brute_force_topk",
     "cosine_near_pairs",
+    "ivf_topk",
     "hyperplane_code",
     "lsh_topk",
 ]
@@ -139,6 +140,77 @@ def _plane_component(p: int, d: int) -> float:
 
     h = hashlib.md5(f"{p},{d}".encode()).hexdigest()[:15]
     return int(h, 16) / float(1 << 59) - 1.0
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: coarse cells = per-``label`` centroids (mean vectors);
+    each query searches only its ``nprobe`` nearest cells.
+
+    The inverted-file shape at scale: centroids are a tiny broadcast table;
+    the corpus is (or can be stored) clustered by cell, so a probe reads
+    ``nprobe/num_cells`` of the data instead of all of it. Here cells come
+    from the existing label column; with unlabeled data, plug any clustering
+    that yields a (id, cell) assignment. Deterministic end to end, so the
+    DuckDB oracle reproduces it exactly. Output schema matches
+    ``brute_force_topk``.
+    """
+    exploded = corpus.select(
+        F.col(label_col).alias("cell"), F.posexplode(_dbl(F.col(vec_col)))
+    )
+    centroids = (
+        exploded.groupBy("cell", "pos")
+        .agg(F.avg("col").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e"))
+        .select("cell", F.expr("transform(e, x -> x.m)").alias("centroid"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qvec",
+            "cell",
+            cosine(F.col("qvec"), F.col("centroid")).alias("ccos"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("ccos").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .where(F.col("crank") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        F.col(label_col).alias("cell"),
+    )
+    scored = c.join(
+        F.broadcast(probes),
+        (c["cell"] == probes["cell"]) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("nvec")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
 
 
 def lsh_topk(

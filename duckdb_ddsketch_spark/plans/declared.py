@@ -1012,3 +1012,65 @@ def q19(spark, sf_dir):
         F.col("p50").cast("float").alias("p50"),
         F.col("p99").cast("float").alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q28 — IVF-style ANN: per-label centroids as coarse cells, nprobe=2
+# ---------------------------------------------------------------------------
+
+_Q28_COS_QB = (
+    "list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+)
+
+
+@_declare(
+    "q28_ann_ivf_topk",
+    f"""
+    WITH cent AS (
+        SELECT label AS cell, i AS pos, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY 1, 2
+    ),
+    centroids AS (
+        SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                       c.centroid) DESC, c.cell ASC
+               ) AS crank
+        FROM embeddings q, centroids c
+        WHERE q.vec_id % 25 = 0
+    ),
+    sel AS (SELECT query_id, cell FROM probes WHERE crank <= 2),
+    scored AS (
+        SELECT s.query_id, b.vec_id AS neighbor_id, {_Q28_COS_QB} AS cos
+        FROM sel s
+        JOIN embeddings b ON b.label = s.cell AND b.vec_id != s.query_id
+        JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q28(spark, sf_dir):
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 25 == 0)
+    out = similarity.ivf_topk(emb, queries_df, k=5, nprobe=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("cos").cast("float").alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
