@@ -42,12 +42,15 @@ def _merge_series(blobs: Iterable) -> Optional[bytes]:
     """update/combine/finalize over a series of wire-format sketches.
 
     First decodable sketch is adopted (group inherits its gamma), later ones
-    merged; NULL and undecodable rows are skipped; empty group → None
-    (lib.rs:687-804, NULL-skip via set_special_handling lib.rs:1024).
+    merged. NULL, zero-length, and undecodable rows are skipped
+    (lib.rs:697-735, NULL-skip via set_special_handling lib.rs:1024), and a
+    gamma-mismatched merge is *silently ignored* — the reference discards
+    the merge result (`let _ = existing.merge(...)`, lib.rs:730, 758).
+    Empty group → None (lib.rs:798-801).
     """
     merged: Optional[DDSketch] = None
     for blob in blobs:
-        if blob is None:
+        if blob is None or len(blob) == 0:
             continue
         try:
             s = DDSketch.decode(bytes(blob))
@@ -59,10 +62,7 @@ def _merge_series(blobs: Iterable) -> Optional[bytes]:
             try:
                 merged.merge(s)
             except Exception:
-                # incompatible gamma: reference propagates an error state that
-                # finalizes to NULL; we skip-and-continue is NOT faithful, so
-                # poison the group instead.
-                return None
+                pass  # mismatched mapping: row dropped, like the reference
     return merged.encode() if merged is not None else None
 
 
@@ -122,14 +122,17 @@ def merge_sketches_scalable(
             for row in pdf.itertuples(index=False):
                 key = tuple(row[:-1])
                 blob = row[-1]
-                if blob is None:
+                if blob is None or len(blob) == 0:
                     continue
                 try:
                     s = DDSketch.decode(bytes(blob))
                 except Exception:
                     continue
                 if key in states:
-                    states[key].merge(s)
+                    try:
+                        states[key].merge(s)
+                    except Exception:
+                        pass  # mismatched mapping skipped (lib.rs:730)
                 else:
                     states[key] = s
         if states:

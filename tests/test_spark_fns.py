@@ -166,6 +166,22 @@ def test_agg_skips_nulls_and_empty_group_is_null(spark):
     assert out["b"].m is None
 
 
+def test_agg_ignores_mismatched_gamma_rows(spark):
+    """The reference's aggregate silently drops merge failures
+    (lib.rs:730 `let _ = existing.merge(...)`) — the group keeps the rows
+    that matched the first-adopted gamma."""
+    rows = [
+        ("a", DDSketch(0.01).extend([5.0]).encode()),
+        ("a", DDSketch(0.05).extend([7.0]).encode()),  # mismatched: dropped
+        ("a", DDSketch(0.01).extend([9.0]).encode()),
+        ("a", b""),  # zero-length: skipped (lib.rs:718-720)
+    ]
+    df = spark.createDataFrame(rows, "k string, sketch binary").coalesce(1)
+    out = df.groupBy("k").agg(ddsketch_agg("sketch").alias("m")).first()
+    s = DDSketch.decode(bytes(out.m))
+    assert s.count == 2.0  # 5.0 and 9.0; the alpha=0.05 row was dropped
+
+
 def test_stats_agg_struct(spark):
     rows = [(DDSketch(0.01).extend([float(v)]).encode(),) for v in (10, 20, 30)]
     df = spark.createDataFrame(rows, "sketch binary")
