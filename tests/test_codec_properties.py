@@ -123,3 +123,29 @@ def test_extend_array_equals_sequential(values):
     assert vec.count == seq.count
     assert vec.positive_bins == seq.positive_bins
     assert vec.min == seq.min and vec.max == seq.max
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_never_crashes(data):
+    """Arbitrary bytes either decode to a sketch or raise ValueError —
+    no hangs, no other exception types (the scalar SQL surface relies on
+    this to map bad blobs to NULL)."""
+    try:
+        s = DDSketch.decode(data)
+    except ValueError:
+        return
+    assert s.count >= 0.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_decode_prefix_of_valid_sketch(data):
+    """Truncations of a valid sketch must also fail cleanly or decode."""
+    s = DDSketch(0.01).extend([1.0, 2.5, 1000.0, 0.0, -3.0])
+    raw = s.encode()
+    for cut in range(0, len(raw)):
+        try:
+            DDSketch.decode(raw[:cut])
+        except ValueError:
+            pass
