@@ -24,6 +24,7 @@ _FUNCTIONS = {
     "ddsketch_avg": scalar.ddsketch_avg,
     "ddsketch_stats": scalar.ddsketch_stats,
     "ddsketch_stats_full": scalar.ddsketch_stats_full,  # finalize of stats_agg
+    "ddsketch_prepare": scalar.ddsketch_prepare_sql,  # one-value sketch(v, alpha)
     "ddsketch_agg": ddsketch_agg,
 }
 

@@ -250,3 +250,18 @@ def ddsketch_prepare(value_col, alpha: float = DEFAULT_RELATIVE_ACCURACY):
         return values.map(go)
 
     return _prepare(value_col)
+
+
+@pandas_udf(BinaryType())
+def ddsketch_prepare_sql(value: pd.Series, alpha: pd.Series) -> pd.Series:
+    """SQL form of :func:`ddsketch_prepare`:
+    ``ddsketch_prepare(v, 0.01d)`` → one-value sketch per row."""
+
+    def go(v, a):
+        if v is None or a is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        s = DDSketch(float(a))
+        s.add(float(v))
+        return s.encode()
+
+    return pd.Series([go(v, a) for v, a in zip(value, alpha)], dtype=object)
