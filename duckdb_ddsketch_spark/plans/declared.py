@@ -10,7 +10,6 @@ order-insensitive value hash matches.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -19,7 +18,6 @@ from ..functions import scalar as fs
 from ..functions.aggregate import ddsketch_agg, sketch_values_agg
 from ..operators import dedup, native, similarity, text
 from ..sources import load_table
-from . import oracle
 from .oracle import qname, quantile_oracle_sql, rowwise_bin_value_sql
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
