@@ -62,9 +62,12 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(reps)[1], 3)  # median of 3
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
