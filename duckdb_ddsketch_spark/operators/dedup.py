@@ -296,6 +296,54 @@ def simhash(text: Column, bits: int = 60, ngram: int = 1) -> Column:
     return out
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Resolve near-dup pairs into clusters: (id, cluster_id = component min).
+
+    Min-label propagation over the pair graph — each iteration joins labels
+    through the (bidirectional) edge list and keeps the per-node minimum;
+    converges in O(component diameter) rounds, which for dedup graphs is
+    tiny. At scale: edges are (id, id) longs only; every iteration is one
+    shuffled join + partial-agg groupBy, and ``localCheckpoint`` truncates
+    the growing lineage so the loop stays plannable. The canonical document
+    of a cluster is its min id — filter ``id == cluster_id`` to dedup.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def simhash_df(
     df: DataFrame,
     text: str = "text",

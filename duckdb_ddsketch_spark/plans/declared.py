@@ -1072,3 +1072,55 @@ def q28(spark, sf_dir):
         F.col("cos").cast("float").alias("cos"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q29 — duplicate-cluster resolution over near-dup pairs (connected
+# components: iterative min-label propagation; oracle = recursive CTE
+# computing each node's reachability-minimum)
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q29_duplicate_clusters",
+    f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len({_TOKS}) - 1, 0) + 1),
+                   i -> {_TOKS}[CAST(i AS INT)] || ' ' || {_TOKS}[CAST(i AS INT) + 1]
+               )) AS s
+        FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.id_a
+        JOIN sizes sb ON sb.doc_id = s.id_b
+        WHERE s.inter * 1.0 / (sa.sz + sb.sz - s.inter) >= 0.10
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def q29(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.10)
+    return dedup.duplicate_clusters(pairs)

@@ -196,3 +196,32 @@ def test_multimodal_frame_sampling(spark):
 def test_multimodal_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.real_image_decoder(b"\x89PNG")
+
+
+def test_duplicate_clusters_known_graph(spark):
+    # two components: chain 1-2-3 and pair 10-11; singleton 99 has no edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in dedup.duplicate_clusters(pairs, max_iters=50).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == n + 1
+
+
+def test_duplicate_clusters_end_to_end(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    clusters = {r.id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    # docs 1,2,3 are one near-dup cluster (canonical = 1); doc 5 differs in
+    # case (jaccard is not normalized — exact_dedup's normalization is the
+    # path that catches it), and 4/6 have no near-dup edges
+    assert clusters[1] == 1 and clusters[2] == 1 and clusters[3] == 1
+    assert 4 not in clusters and 6 not in clusters and 5 not in clusters
