@@ -1124,3 +1124,78 @@ def q29(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, threshold=0.10)
     return dedup.duplicate_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# q34 — Structured Streaming execution vs batch oracle: hourly tumbling
+# windowed sketches over the events stream; the emitted per-window binned
+# state is finalized and must equal direct batch sketching of the same rows
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q34_streaming_hourly_windows",
+    quantile_oracle_sql(
+        "events",
+        {
+            "window_start": "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')",
+            "event_type": "event_type",
+        },
+        "value",
+        quantiles=(0.5, 0.95),
+        stats=("count",),
+    ),
+)
+def q34(spark, sf_dir):
+    import os
+    import tempfile
+
+    _prep(spark)
+    from ..streaming import streaming_quantiles, windowed_binned_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    binned = windowed_binned_counts(
+        stream, "ts", ["event_type"], "value", window="1 hour", watermark="0 seconds"
+    )
+    # update mode so the final (never-watermark-closed) windows are emitted
+    # too; later micro-batches re-emit updated rows, so keep the last
+    # emission per (window, key, sign, bin)
+    state = {}
+
+    def sink(batch_df, _id):
+        for r in batch_df.collect():
+            state[(r.window_start, r.window_end, r.event_type, r.sign, r.bin)] = r.cnt
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            binned.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    sink_df = spark.createDataFrame(
+        [(*k, cnt) for k, cnt in state.items()],
+        "window_start timestamp, window_end timestamp, event_type string,"
+        " sign int, bin int, cnt double",
+    )
+    out = streaming_quantiles(sink_df, ["event_type"], quantiles=(0.5, 0.95))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "count",
+        F.col("p50").cast("float").alias("p50"),
+        F.col("p95").cast("float").alias("p95"),
+    )
