@@ -23,14 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# Headline set: the scale-relevant pipelines (native path + the canonical
-# blob-aggregation roll-up + the pandas-UDF ingest path for contrast).
+# Headline set: the scale-relevant pipelines (native path, the canonical
+# blob-aggregation roll-up, the pandas ingest path) plus one query from each
+# beyond-reference family (dedup, similarity) for breadth.
 HEADLINE = [
     "q01_price_quantiles_by_returnflag",
     "q11_agg_rollup_event_type",
     "q12_stats_agg_by_linestatus",
     "q13_native_daily_rollup",
     "q14_struct_merge_native",
+    "q20_exact_dedup_summary",
+    "q25_ann_bruteforce_topk",
 ]
 
 
@@ -104,6 +107,7 @@ def main() -> None:
         con = duckdb.connect()
         for t in (
             "region nation customer supplier part orders lineitem events"
+            " documents embeddings"
         ).split():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"

@@ -68,16 +68,23 @@ def brute_force_topk(
     excluded, ties broken by neighbor id. ``queries`` is broadcast — the
     corpus is scanned once, never shuffled until the tiny top-k window.
     """
+    # norms are precomputed per vector: higher-order folds are interpreted
+    # (not codegen'd), so hoisting them out of the O(|q|x|c|) join removes
+    # two thirds of the per-pair work
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        norm(F.col(vec_col)).alias("nnorm"),
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qvec"), F.col("nvec")).alias("cos"),
+        (dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -100,11 +107,21 @@ def cosine_near_pairs(
     The exact O(n^2) baseline; at corpus scale use ``lsh_topk``'s bucket
     join with a threshold filter instead.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -195,13 +212,16 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
+        norm(F.col(vec_col)).alias("nnorm"),
         F.col(label_col).alias("cell"),
     )
     scored = c.join(
         F.broadcast(probes),
         (c["cell"] == probes["cell"]) & (F.col("query_id") != F.col("neighbor_id")),
     ).select(
-        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("nvec")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qvec"), F.col("nvec")) / (norm(F.col("qvec")) * F.col("nnorm"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -232,11 +252,13 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
         code_q.alias("qcode"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
+        norm(F.col(vec_col)).alias("nnorm"),
         hyperplane_code(F.col(vec_col), planes, dims).alias("ncode"),
     )
     scored = c.join(
@@ -246,7 +268,7 @@ def lsh_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qvec"), F.col("nvec")).alias("cos"),
+        (dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
