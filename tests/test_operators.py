@@ -225,3 +225,17 @@ def test_duplicate_clusters_end_to_end(spark, docs):
     # path that catches it), and 4/6 have no near-dup edges
     assert clusters[1] == 1 and clusters[2] == 1 and clusters[3] == 1
     assert 4 not in clusters and 6 not in clusters and 5 not in clusters
+
+
+def test_blas_topk_matches_fold_topk(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(4)
+    q = df.where(F.col("vec_id") % 60 == 0)
+    fold = similarity.brute_force_topk(df, q, k=4)
+    blas = similarity.brute_force_topk_blas(df, q, k=4)
+    a = {(r.query_id, r.rank): (r.neighbor_id, round(r.cos, 9)) for r in fold.collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, round(r.cos, 9)) for r in blas.collect()}
+    assert a == b
