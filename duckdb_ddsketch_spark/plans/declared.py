@@ -1199,3 +1199,38 @@ def q34(spark, sf_dir):
         F.col("p50").cast("float").alias("p50"),
         F.col("p95").cast("float").alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q35 — the scalable two-stage merge topology (mapInPandas per-partition
+# pre-merge restoring partial aggregation) over pre-serialized sketches
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q35_scalable_merge_rollup",
+    quantile_oracle_sql(
+        "events",
+        {"event_type": "event_type"},
+        "value",
+        quantiles=(0.5, 0.99),
+        stats=("count",),
+    ),
+)
+def q35(spark, sf_dir):
+    _prep(spark)
+    from ..functions.aggregate import merge_sketches_scalable
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    pre = native.sketch_struct_agg(ev, ["day", "event_type"], "value", 0.01).select(
+        "day", "event_type", native.struct_to_wire("sketch").alias("sketch")
+    )
+    rolled = merge_sketches_scalable(pre.repartition(8), ["event_type"], "sketch")
+    return rolled.select(
+        "event_type",
+        fs.ddsketch_count(F.col("sketch")).alias("count"),
+        fs.ddsketch_quantile(F.col("sketch"), F.lit(0.5)).cast("float").alias("p50"),
+        fs.ddsketch_quantile(F.col("sketch"), F.lit(0.99)).cast("float").alias("p99"),
+    )
