@@ -125,3 +125,39 @@ def test_sessionized_sketches_state(spark, stream_input, tmp_path):
         s = DDSketch.decode(bytes(row.sketch))
         assert s.count == kernel.count, key
         assert s.positive_bins == kernel.positive_bins, key
+
+
+def test_sliding_windows_match_batch(spark, stream_input, tmp_path):
+    """1-hour windows sliding every 30 minutes: every event lands in two
+    windows; each emitted window's sketch must equal batch-sketching the
+    rows whose ts falls inside it."""
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    binned = windowed_binned_counts(
+        stream,
+        "ts",
+        ["service"],
+        "value",
+        window="1 hour",
+        slide="30 minutes",
+        watermark="0 seconds",
+    )
+    results = _collect_stream(
+        binned,
+        str(tmp_path / "ck_slide"),
+        transform=lambda b: finalize_window_sketches(b, ["service"]),
+        mode="update",
+    )
+    assert results
+    batch = spark.read.parquet(stream_input).collect()
+    got = {}
+    for r in results:  # update mode: last emission per window wins
+        got[(r.window_start, r.window_end, r.service)] = r.sketch
+    # windows per event = 2 (1h window, 30min slide)
+    starts = {ws for ws, _, _ in got}
+    assert len(starts) >= 3
+    for (ws, we, svc), blob in got.items():
+        vals = [r.value for r in batch if r.service == svc and ws <= r.ts < we]
+        kernel = DDSketch(0.01).extend(vals)
+        s = DDSketch.decode(bytes(blob))
+        assert s.count == kernel.count, (ws, we, svc)
+        assert s.positive_bins == kernel.positive_bins, (ws, we, svc)
