@@ -11,6 +11,7 @@ from .scalar import (
     ddsketch_add,
     ddsketch_merge,
     ddsketch_quantile,
+    ddsketch_quantiles,
     ddsketch_count,
     ddsketch_min,
     ddsketch_max,
@@ -29,6 +30,7 @@ __all__ = [
     "ddsketch_add",
     "ddsketch_merge",
     "ddsketch_quantile",
+    "ddsketch_quantiles",
     "ddsketch_count",
     "ddsketch_min",
     "ddsketch_max",

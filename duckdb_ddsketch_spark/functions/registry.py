@@ -17,6 +17,7 @@ _FUNCTIONS = {
     "ddsketch_add": scalar.ddsketch_add,
     "ddsketch_merge": scalar.ddsketch_merge,
     "ddsketch_quantile": scalar.ddsketch_quantile,
+    "ddsketch_quantiles": scalar.ddsketch_quantiles,
     "ddsketch_count": scalar.ddsketch_count,
     "ddsketch_min": scalar.ddsketch_min,
     "ddsketch_max": scalar.ddsketch_max,

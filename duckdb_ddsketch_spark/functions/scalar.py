@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     LongType,
@@ -38,6 +39,7 @@ __all__ = [
     "ddsketch_add",
     "ddsketch_merge",
     "ddsketch_quantile",
+    "ddsketch_quantiles",
     "ddsketch_count",
     "ddsketch_min",
     "ddsketch_max",
@@ -145,6 +147,22 @@ def ddsketch_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
     return pd.Series(
         [go(b, v) for b, v in zip(sketch, q)], dtype="float64"
     )
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def ddsketch_quantiles(sketch: pd.Series, qs: pd.Series) -> pd.Series:
+    """Array form: every requested quantile from ONE decode —
+    ``ddsketch_quantiles(s, array(0.5d, 0.95d, 0.99d))``. Amortizes the
+    per-call deserialization the reference flags as its main scalar cost
+    (README.md:236-237, the rationale for stats_agg)."""
+
+    def go(blob, quantiles):
+        s = _try_decode(blob)
+        if s is None or quantiles is None:
+            return None
+        return [s.quantile(float(q)) if q is not None else None for q in quantiles]
+
+    return pd.Series([go(b, q) for b, q in zip(sketch, qs)], dtype=object)
 
 
 @pandas_udf(LongType())

@@ -251,3 +251,19 @@ def test_wire_compat_with_reference_golden(spark):
     ).first()
     assert out.c == 50
     assert 73.0 <= out.p50 <= 77.0
+
+
+def test_multi_quantile_array(spark):
+    s = DDSketch(0.01).extend(float(v) for v in range(1, 101)).encode()
+    df = spark.createDataFrame([(s,)], "s binary")
+    row = df.selectExpr(
+        "ddsketch_quantiles(s, array(0.25d, 0.5d, 0.99d)) AS qs",
+        "ddsketch_quantile(s, 0.25d) AS q25",
+        "ddsketch_quantile(s, 0.5d) AS q50",
+        "ddsketch_quantile(s, 0.99d) AS q99",
+        "ddsketch_quantiles(s, array(1.5d)) AS bad",
+        "ddsketch_quantiles(CAST(NULL AS BINARY), array(0.5d)) AS nul",
+    ).first()
+    assert row.qs == [row.q25, row.q50, row.q99]
+    assert row.bad == [None]
+    assert row.nul is None
