@@ -1236,3 +1236,39 @@ def q35(spark, sf_dir):
         fs.ddsketch_quantile(F.col("sketch"), F.lit(0.5)).cast("float").alias("p50"),
         fs.ddsketch_quantile(F.col("sketch"), F.lit(0.99)).cast("float").alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q36 — SimHash near-dup pairs via Hamming-block banding (pigeonhole: any
+# pair within Hamming distance 3 shares one of the 4 exact 15-bit blocks)
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q36_simhash_pairs",
+    f"""
+    WITH sig AS (
+        SELECT doc_id, CAST({_simhash_sql(60)} AS BIGINT) AS sh FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, sh, b.block_id,
+               (sh >> (b.block_id * 15)) & 32767 AS block_val
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS block_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sh, b.sh)) AS hamming
+        FROM banded a
+        JOIN banded b ON a.block_id = b.block_id
+                     AND a.block_val = b.block_val
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM pairs WHERE hamming <= 3
+    """,
+)
+def q36(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash_pairs(docs, max_hamming=3, bits=60, blocks=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
