@@ -218,12 +218,15 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text), ngram)).alias("s"),
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     if max_df is not None:
         keep = sh.groupBy("s").agg(F.countDistinct("id").alias("df_cnt")).where(
             F.col("df_cnt") <= max_df
         )
         sh = sh.join(keep.select("s"), "s")
+    # Sizes must come from the SAME shingle universe as the intersection
+    # counts (i.e. after the max_df filter), or Jaccard is underestimated
+    # whenever max_df drops shingles.
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (

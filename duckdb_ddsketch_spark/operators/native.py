@@ -331,6 +331,7 @@ def merge_struct_sketches(
     exploded = df.selectExpr(
         *kq,
         f"{s}.gamma AS gamma",
+        f"{s}.index_offset AS index_offset",
         f"{s}.zero_count AS zero_count",
         f"{s}.count AS count",
         f"{s}.sum AS sum",
@@ -350,6 +351,10 @@ def merge_struct_sketches(
             for a in (
                 "sum(bin_entry.cnt) AS cnt",
                 "first(gamma) AS gamma",
+                "min(gamma) AS g_min",
+                "max(gamma) AS g_max",
+                "min(index_offset) AS o_min",
+                "max(index_offset) AS o_max",
                 f"sum(CASE WHEN {first} THEN zero_count END) AS zc",
                 f"sum(CASE WHEN {first} THEN count END) AS cn",
                 f"sum(CASE WHEN {first} THEN sum END) AS sm",
@@ -366,6 +371,10 @@ def merge_struct_sketches(
                 f"map_from_entries(sort_array(collect_list(CASE WHEN sign = 1 THEN {entry} END))) AS pos",
                 f"map_from_entries(sort_array(collect_list(CASE WHEN sign = -1 THEN {entry} END))) AS neg",
                 "first(gamma) AS gamma",
+                "min(g_min) AS g_min",
+                "max(g_max) AS g_max",
+                "min(o_min) AS o_min",
+                "max(o_max) AS o_max",
                 "sum(zc) AS zero_count",
                 "sum(cn) AS count",
                 "sum(sm) AS sum",
@@ -374,10 +383,21 @@ def merge_struct_sketches(
             )
         ]
     )
+    # Merge compatibility gate, mirroring the reference (equal gamma and
+    # index_offset within 1e-10, datadog_encoding.rs:598-607): a group whose
+    # sketches disagree on the mapping cannot be merged bin-wise, so its
+    # merged sketch is NULL (the SQL layer's mismatch semantics, lib.rs:241-243)
+    # rather than a silent sum over incompatible bins.
+    compatible = (
+        "(g_max - g_min) <= 1e-10 AND (o_max - o_min) <= 1e-10"
+        " AND g_min IS NOT NULL"
+    )
     return merged.selectExpr(
         *kq,
-        "struct(gamma, 0.0D AS index_offset, pos, neg, zero_count, count,"
-        f" sum, min, max) AS {sketch_col}",
+        f"CASE WHEN {compatible} THEN"
+        " struct(gamma, coalesce(o_min, 0.0D) AS index_offset, pos, neg,"
+        " zero_count, count, sum, min, max)"
+        f" END AS {sketch_col}",
     )
 
 
@@ -390,19 +410,23 @@ def merge_struct_sketches(
 def _struct_to_wire(rows: pd.DataFrame) -> pd.Series:
     out = []
     for row in rows.to_dict("records"):
-        if row is None or row.get("count") is None:
+        # pandas renders a NULL struct (and NULL numeric fields) as NaN, not
+        # None — pd.isna catches both so a NULL sketch encodes as NULL
+        # instead of a garbage NaN-gamma sketch.
+        if row is None or pd.isna(row.get("count")) or pd.isna(row.get("gamma")):
             out.append(None)
             continue
         s = DDSketch.__new__(DDSketch)
         s.gamma = float(row["gamma"])
         s.index_offset = float(row["index_offset"])
-        s.positive_bins = dict(row["pos"]) if row["pos"] is not None else {}
-        s.negative_bins = dict(row["neg"]) if row["neg"] is not None else {}
-        s.zero_count = float(row["zero_count"] or 0.0)
-        s.count = float(row["count"] or 0.0)
-        s.sum = float(row["sum"] or 0.0)
-        s.min = float(row["min"]) if row["min"] is not None else math.inf
-        s.max = float(row["max"]) if row["max"] is not None else -math.inf
+        pos, neg = row.get("pos"), row.get("neg")
+        s.positive_bins = dict(pos) if isinstance(pos, dict) else {}
+        s.negative_bins = dict(neg) if isinstance(neg, dict) else {}
+        s.zero_count = 0.0 if pd.isna(row.get("zero_count")) else float(row["zero_count"])
+        s.count = float(row["count"])
+        s.sum = 0.0 if pd.isna(row.get("sum")) else float(row["sum"])
+        s.min = math.inf if pd.isna(row.get("min")) else float(row["min"])
+        s.max = -math.inf if pd.isna(row.get("max")) else float(row["max"])
         out.append(s.encode())
     return pd.Series(out, dtype=object)
 

@@ -266,8 +266,13 @@ class DDSketch:
                 elif sub == codec.SUBFLAG_COUNT:
                     sketch.count, pos = codec.decode_varfloat64(data, pos)
                     has_explicit_count = True
-                # unknown feature subflags are ignored (payload unknowable;
-                # matches the reference, which stops interpreting them)
+                # INTENTIONAL PARITY: unknown feature subflags are skipped
+                # WITHOUT consuming their payload, exactly like the
+                # reference's decode_feature (datadog_encoding.rs:567-595
+                # has no else arm), so any bytes that follow are re-parsed
+                # as flags. This is fragile against future DataDog feature
+                # flags but is required to stay bug-for-bug compatible:
+                # both decoders misparse the same inputs the same way.
         if explicit_min is not None:
             sketch.min = explicit_min
         if explicit_max is not None:

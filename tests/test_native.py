@@ -193,3 +193,34 @@ def test_native_plan_has_partial_aggregation(spark, lineitem):
         lineitem, ["l_returnflag"], "l_extendedprice", 0.01
     )._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_merge_struct_sketches_rejects_gamma_mismatch(spark):
+    """A group whose sketches use different mappings must merge to NULL
+    (reference merge gate, datadog_encoding.rs:598-607), never to a silent
+    sum over incompatible bins."""
+    df = spark.createDataFrame(
+        [("k", float(i)) for i in range(1, 21)], "k string, v double"
+    )
+    a = native.sketch_struct_agg(df, ["k"], "v", 0.01)
+    b = native.sketch_struct_agg(df, ["k"], "v", 0.05)  # different gamma
+    merged = native.merge_struct_sketches(a.unionAll(b), ["k"], "sketch")
+    row = merged.first()
+    assert row.sketch is None
+    # compatible group still merges exactly
+    ok = native.merge_struct_sketches(a.unionAll(a), ["k"], "sketch")
+    r = ok.select(native.struct_count(F.col("sketch")).alias("c")).first()
+    assert r.c == 40
+
+
+def test_struct_to_wire_null_struct_encodes_null(spark):
+    """pandas renders a NULL struct as NaN fields — must yield NULL bytes,
+    not a garbage NaN-gamma sketch."""
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    s = native.sketch_struct_agg(df.withColumn("k", F.lit("k")), ["k"], "v", 0.01)
+    nulled = s.selectExpr("k", "CASE WHEN false THEN sketch END AS sketch")
+    out = nulled.select(native.struct_to_wire("sketch").alias("b")).first()
+    assert out.b is None
+    # and a real struct still encodes to decodable wire bytes
+    good = s.select(native.struct_to_wire("sketch").alias("b")).first()
+    assert DDSketch.decode(bytes(good.b)).get_count() == 2

@@ -239,3 +239,29 @@ def test_blas_topk_matches_fold_topk(spark):
     a = {(r.query_id, r.rank): (r.neighbor_id, round(r.cos, 9)) for r in fold.collect()}
     b = {(r.query_id, r.rank): (r.neighbor_id, round(r.cos, 9)) for r in blas.collect()}
     assert a == b
+
+
+def test_jaccard_max_df_uses_filtered_universe(spark):
+    """With max_df set, per-doc sizes must be computed AFTER the shingle
+    filter so intersection and union share one universe (ADVICE r1)."""
+    from duckdb_ddsketch_spark.operators import dedup as dd
+
+    rows = [
+        (1, "x a b c"),
+        (2, "x a b d"),
+        (3, "x p q"),
+        (4, "x r s"),
+        (5, "x t u"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'x' appears in all 5 docs; max_df=3 drops it. Filtered sets:
+    # doc1={a,b,c}, doc2={a,b,d} -> J = 2/4 = 0.5 (the old bug computed
+    # 2/(4+4-2) = 1/3 and missed the pair at threshold 0.5).
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.jaccard_pairs(
+            docs, ngram=1, threshold=0.5, max_df=3
+        ).collect()
+    }
+    assert (1, 2) in out
+    assert abs(out[(1, 2)] - 0.5) < 1e-12
