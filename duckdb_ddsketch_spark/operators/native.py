@@ -103,34 +103,45 @@ def binned_counts(
     NULL-skip semantics, lib.rs:1024); weights <= 0 are ignored
     (datadog_encoding.rs:724-726).
     """
+    return df.sparkSession.sql(
+        _binned_sql(keys, value, alpha, weight, from_clause="{df}"), df=df
+    )
+
+
+def _binned_sql(
+    keys: Sequence[str],
+    value: str,
+    alpha: float,
+    weight: Optional[str],
+    from_clause: str,
+) -> str:
+    """SQL text of the binned aggregate over ``from_clause``.
+
+    The whole native path is assembled as SQL text and run through ONE
+    ``spark.sql`` call per operator: building these plans from Column
+    objects costs hundreds of py4j round-trips, and every intermediate
+    DataFrame transformation adds an eager-analysis pass (~25 ms each).
+    """
     keys = list(keys)
     gamma = gamma_of(alpha)
-    v = F.col(value)
-    base = df.where(v.isNotNull())
+    v = f"`{value}`"
+    lg = repr(math.log(gamma)) + "D"
+    cond = f"{v} IS NOT NULL"
     if weight is not None:
-        base = base.where(F.col(weight) > 0)
-    sign = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
-    bin_col = (
-        F.when(v > 0, value_to_bin_expr(v, gamma))
-        .when(v < 0, value_to_bin_expr(-v, gamma))
-        .otherwise(F.lit(None).cast("int"))
-    )
-    w = F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+        cond += f" AND `{weight}` > 0"
+    w = f"CAST(`{weight}` AS DOUBLE)" if weight is not None else "1.0D"
+    kq = ", ".join(f"`{k}`" for k in keys)
+    kq_pre = f"{kq}, " if keys else ""
     return (
-        base.select(
-            *keys,
-            sign.alias("sign"),
-            bin_col.alias("bin"),
-            w.alias("w"),
-            v.alias("v"),
-        )
-        .groupBy(*keys, "sign", "bin")
-        .agg(
-            F.sum("w").alias("cnt"),
-            F.sum(F.col("v") * F.col("w")).alias("vsum"),
-            F.min("v").alias("vmin"),
-            F.max("v").alias("vmax"),
-        )
+        f"SELECT {kq_pre}sign, bin, sum(w) AS cnt, sum(v * w) AS vsum,"
+        " min(v) AS vmin, max(v) AS vmax"
+        f" FROM (SELECT {kq_pre}"
+        f" CASE WHEN {v} > 0 THEN 1 WHEN {v} < 0 THEN -1 ELSE 0 END AS sign,"
+        f" CASE WHEN {v} > 0 THEN CAST(CEIL(LN({v}) / {lg}) AS INT)"
+        f" WHEN {v} < 0 THEN CAST(CEIL(LN(-{v}) / {lg}) AS INT) END AS bin,"
+        f" {w} AS w, CAST({v} AS DOUBLE) AS v"
+        f" FROM {from_clause} WHERE {cond})"
+        f" GROUP BY {kq_pre}sign, bin"
     )
 
 
@@ -165,50 +176,112 @@ def sketch_quantile_agg(
     """
     keys = list(keys)
     gamma = gamma_of(alpha)
-    struct_df = sketch_struct_agg(df, keys, value, alpha, weight)
 
     g = repr(gamma) + "D"
     mult = repr(1.0 + (1.0 - 2.0 / (1.0 + gamma))) + "D"
-    s = "`sketch`"
 
     def b2v(e: str) -> str:
         return f"(POWER({g}, CAST({e} AS DOUBLE)) * {mult})"
 
-    def map_sum(m: str) -> str:
+    def entries_sum(arr: str) -> str:
         # fold over sorted entries: matches the kernel's sorted-order
         # summation (float32 output casts absorb order-level ulps anyway)
         return (
-            f"coalesce(aggregate(map_entries({m}), 0.0D,"
+            f"coalesce(aggregate({arr}, 0.0D,"
             f" (acc, e) -> acc + {b2v('e.key')} * e.value), 0.0D)"
         )
 
+    # entry arrays are sorted by bin, so extreme keys are the ends
+    # (element_at guarded for ANSI mode's out-of-bounds error)
+    def lo_key(arr: str) -> str:
+        return f"(CASE WHEN size({arr}) > 0 THEN element_at({arr}, 1).key END)"
+
+    def hi_key(arr: str) -> str:
+        return f"(CASE WHEN size({arr}) > 0 THEN element_at({arr}, -1).key END)"
+
     out_cols = [f"`{k}`" for k in keys]
-    out_cols.append(f"CAST({s}.count AS BIGINT) AS count")
+    out_cols.append("CAST(cnt AS BIGINT) AS count")
     if exact_stats:
-        sum_sql = f"{s}.sum"
-        min_sql = f"{s}.min"
-        max_sql = f"{s}.max"
+        sum_sql = "sm"
+        min_sql = "mn"
+        max_sql = "mx"
     else:
-        sum_sql = f"({map_sum(f'{s}.pos')} - {map_sum(f'{s}.neg')})"
+        sum_sql = f"({entries_sum('pe')} - {entries_sum('ne')})"
         # decode-side min/max reconstruction (datadog_encoding.rs:464-494):
         # min candidates: most-negative bin, zero, lowest positive bin
         min_sql = (
-            f"least(-{b2v(f'array_max(map_keys({s}.neg))')},"
-            f" CASE WHEN {s}.zero_count > 0 THEN 0.0D END,"
-            f" {b2v(f'array_min(map_keys({s}.pos))')})"
+            f"least(-{b2v(hi_key('ne'))},"
+            " CASE WHEN zc > 0 THEN 0.0D END,"
+            f" {b2v(lo_key('pe'))})"
         )
         max_sql = (
-            f"greatest({b2v(f'array_max(map_keys({s}.pos))')},"
-            f" CASE WHEN {s}.zero_count > 0 THEN 0.0D END,"
-            f" -{b2v(f'array_min(map_keys({s}.neg))')})"
+            f"greatest({b2v(hi_key('pe'))},"
+            " CASE WHEN zc > 0 THEN 0.0D END,"
+            f" -{b2v(lo_key('ne'))})"
         )
     out_cols.append(f"{sum_sql} AS sum")
-    out_cols.append(f"{sum_sql} / {s}.count AS avg")
+    out_cols.append(f"{sum_sql} / cnt AS avg")
     out_cols.append(f"{min_sql} AS min")
     out_cols.append(f"{max_sql} AS max")
     for q in quantiles:
-        out_cols.append(f"{struct_quantile_sql('sketch', q)} AS p{_qname(q)}")
-    return struct_df.selectExpr(*out_cols)
+        out_cols.append(
+            f"{_entries_quantile_sql(q, gamma)} AS p{_qname(q)}"
+        )
+    # grouped level: sorted (bin, cnt) entry ARRAYS per sign class — no
+    # map/struct assembly; the stat/quantile folds below run on the arrays
+    # directly, which keeps the analyzed expression tree small.
+    entry = "struct(bin AS key, cnt AS value)"
+    kq = ", ".join(f"`{k}`" for k in keys)
+    kq_pre = f"{kq}, " if keys else ""
+    group_by = f" GROUP BY {kq}" if keys else ""
+    binned = _binned_sql(keys, value, alpha, weight, from_clause="{df}")
+    inner = (
+        f"SELECT {kq_pre}"
+        f"sort_array(collect_list(CASE WHEN sign = 1 THEN {entry} END)) AS pe,"
+        f" sort_array(collect_list(CASE WHEN sign = -1 THEN {entry} END)) AS ne,"
+        " sum(CASE WHEN sign = 0 THEN cnt ELSE 0.0D END) AS zc,"
+        " sum(cnt) AS cnt, sum(vsum) AS sm, min(vmin) AS mn, max(vmax) AS mx"
+        f" FROM ({binned}){group_by}"
+    )
+    return df.sparkSession.sql(
+        f"SELECT {', '.join(out_cols)} FROM ({inner})", df=df
+    )
+
+
+def _entries_quantile_sql(q: float, gamma: float) -> str:
+    """Go-exact quantile over sorted (bin, cnt) entry arrays ``pe``/``ne``
+    with zero count ``zc`` and total ``cnt`` (same fold as
+    :func:`struct_quantile_sql`, minus the map/struct indirection)."""
+    if q < 0.0 or q > 1.0:
+        return "CAST(NULL AS DOUBLE)"
+    g = repr(gamma) + "D"
+    mult = repr(1.0 + (1.0 - 2.0 / (1.0 + gamma))) + "D"
+    qd = f"{float(q)!r}D"
+    rank = f"({qd} * (cnt - 1.0D))"
+    negc = "coalesce(aggregate(ne, 0.0D, (acc, x) -> acc + x.value), 0.0D)"
+
+    def key_at_rank(arr: str, target: str) -> str:
+        folded_sel = (
+            f"aggregate({arr},"
+            " struct(0.0D AS cum, CAST(NULL AS INT) AS sel),"
+            " (acc, e) -> struct(acc.cum + e.value AS cum,"
+            " CASE WHEN acc.sel IS NOT NULL THEN acc.sel"
+            f" WHEN acc.cum + e.value > greatest({target}, 0.0D) THEN e.key END AS sel)"
+            ").sel"
+        )
+        sel = (
+            f"coalesce({folded_sel},"
+            f" CASE WHEN size({arr}) > 0 THEN element_at({arr}, -1).key END)"
+        )
+        return f"(POWER({g}, CAST({sel} AS DOUBLE)) * {mult})"
+
+    return (
+        "CASE WHEN cnt <= 0 THEN CAST(NULL AS DOUBLE)"
+        f" WHEN {rank} < {negc}"
+        f" THEN -{key_at_rank('ne', f'{negc} - 1.0D - {rank}')}"
+        f" WHEN {rank} < {negc} + zc THEN 0.0D"
+        f" ELSE {key_at_rank('pe', f'{rank} - zc - {negc}')} END"
+    )
 
 
 def _qname(q: float) -> str:
@@ -234,28 +307,34 @@ def sketch_struct_agg(
     sketch before any serialization). One shuffled hash aggregate for the
     bins, one for assembly — both clustered on ``keys``.
     """
+    return df.sparkSession.sql(
+        _struct_agg_sql(keys, value, alpha, weight, from_clause="{df}"), df=df
+    )
+
+
+def _struct_agg_sql(
+    keys: Sequence[str],
+    value: str,
+    alpha: float,
+    weight: Optional[str],
+    from_clause: str,
+) -> str:
+    """SQL text of :func:`sketch_struct_agg` (one parse/analysis pass)."""
     keys = list(keys)
     gamma = gamma_of(alpha)
-    binned = binned_counts(df, keys, value, alpha, weight)
     entry = "struct(bin AS key, cnt AS value)"
-    grouped = binned.groupBy(*keys).agg(
-        *[
-            F.expr(a)
-            for a in (
-                f"map_from_entries(sort_array(collect_list(CASE WHEN sign = 1 THEN {entry} END))) AS pos",
-                f"map_from_entries(sort_array(collect_list(CASE WHEN sign = -1 THEN {entry} END))) AS neg",
-                "sum(CASE WHEN sign = 0 THEN cnt ELSE 0.0D END) AS zero_count",
-                "sum(cnt) AS count",
-                "sum(vsum) AS sum",
-                "min(vmin) AS min",
-                "max(vmax) AS max",
-            )
-        ]
-    )
-    return grouped.selectExpr(
-        *[f"`{k}`" for k in keys],
-        f"struct({gamma!r}D AS gamma, 0.0D AS index_offset, pos, neg,"
-        " zero_count, count, sum, min, max) AS sketch",
+    kq = ", ".join(f"`{k}`" for k in keys)
+    kq_pre = f"{kq}, " if keys else ""
+    group_by = f" GROUP BY {kq}" if keys else ""
+    binned = _binned_sql(keys, value, alpha, weight, from_clause)
+    return (
+        f"SELECT {kq_pre}struct({gamma!r}D AS gamma, 0.0D AS index_offset,"
+        f" map_from_entries(sort_array(collect_list(CASE WHEN sign = 1 THEN {entry} END))) AS pos,"
+        f" map_from_entries(sort_array(collect_list(CASE WHEN sign = -1 THEN {entry} END))) AS neg,"
+        " sum(CASE WHEN sign = 0 THEN cnt ELSE 0.0D END) AS zero_count,"
+        " sum(cnt) AS count, sum(vsum) AS sum, min(vmin) AS min,"
+        " max(vmax) AS max) AS sketch"
+        f" FROM ({binned}){group_by}"
     )
 
 
@@ -322,66 +401,50 @@ def merge_struct_sketches(
     (partial agg applies) → reassemble. The scalable analogue of
     ``ddsketch_agg`` for the struct working form."""
     keys = list(keys)
-    kq = [f"`{k}`" for k in keys]
+    kq = ", ".join(f"`{k}`" for k in keys)
+    kq_pre = f"{kq}, " if keys else ""
+    group_by = f" GROUP BY {kq}" if keys else ""
     s = f"`{sketch_col}`"
     # posexplode each sketch's bins; per-sketch scalars ride along attributed
     # to the first exploded row only (coalesce handles bin-less sketches), so
     # a single two-level hash aggregate — with map-side partial aggregation —
-    # merges everything. No join.
-    exploded = df.selectExpr(
-        *kq,
-        f"{s}.gamma AS gamma",
-        f"{s}.index_offset AS index_offset",
-        f"{s}.zero_count AS zero_count",
-        f"{s}.count AS count",
-        f"{s}.sum AS sum",
-        f"{s}.min AS min",
-        f"{s}.max AS max",
-        "posexplode_outer(concat("
+    # merges everything. No join. Assembled as ONE SQL statement (one
+    # parse/analysis pass instead of four).
+    exploded = (
+        f"SELECT {kq_pre}"
+        f"{s}.gamma AS gamma, {s}.index_offset AS index_offset,"
+        f" {s}.zero_count AS zero_count, {s}.count AS count, {s}.sum AS sum,"
+        f" {s}.min AS min, {s}.max AS max,"
+        " posexplode_outer(concat("
         f" transform(map_entries({s}.pos), e -> struct(1 AS sign, e.key AS bin, e.value AS cnt)),"
         f" transform(map_entries({s}.neg), e -> struct(-1 AS sign, e.key AS bin, e.value AS cnt))"
-        ")) AS (pos_idx, bin_entry)",
+        ")) AS (pos_idx, bin_entry)"
+        " FROM {df}"
     )
     first = "coalesce(pos_idx, 0) = 0"
-    level1 = exploded.groupBy(
-        *keys, F.expr("bin_entry.sign AS sign"), F.expr("bin_entry.bin AS bin")
-    ).agg(
-        *[
-            F.expr(a)
-            for a in (
-                "sum(bin_entry.cnt) AS cnt",
-                "first(gamma) AS gamma",
-                "min(gamma) AS g_min",
-                "max(gamma) AS g_max",
-                "min(index_offset) AS o_min",
-                "max(index_offset) AS o_max",
-                f"sum(CASE WHEN {first} THEN zero_count END) AS zc",
-                f"sum(CASE WHEN {first} THEN count END) AS cn",
-                f"sum(CASE WHEN {first} THEN sum END) AS sm",
-                f"min(CASE WHEN {first} THEN min END) AS mn",
-                f"max(CASE WHEN {first} THEN max END) AS mx",
-            )
-        ]
+    level1 = (
+        f"SELECT {kq_pre}bin_entry.sign AS sign, bin_entry.bin AS bin,"
+        " sum(bin_entry.cnt) AS cnt, first(gamma) AS gamma,"
+        " min(gamma) AS g_min, max(gamma) AS g_max,"
+        " min(index_offset) AS o_min, max(index_offset) AS o_max,"
+        f" sum(CASE WHEN {first} THEN zero_count END) AS zc,"
+        f" sum(CASE WHEN {first} THEN count END) AS cn,"
+        f" sum(CASE WHEN {first} THEN sum END) AS sm,"
+        f" min(CASE WHEN {first} THEN min END) AS mn,"
+        f" max(CASE WHEN {first} THEN max END) AS mx"
+        f" FROM ({exploded})"
+        f" GROUP BY {kq_pre}bin_entry.sign, bin_entry.bin"
     )
     entry = "struct(bin AS key, cnt AS value)"
-    merged = level1.groupBy(*keys).agg(
-        *[
-            F.expr(a)
-            for a in (
-                f"map_from_entries(sort_array(collect_list(CASE WHEN sign = 1 THEN {entry} END))) AS pos",
-                f"map_from_entries(sort_array(collect_list(CASE WHEN sign = -1 THEN {entry} END))) AS neg",
-                "first(gamma) AS gamma",
-                "min(g_min) AS g_min",
-                "max(g_max) AS g_max",
-                "min(o_min) AS o_min",
-                "max(o_max) AS o_max",
-                "sum(zc) AS zero_count",
-                "sum(cn) AS count",
-                "sum(sm) AS sum",
-                "min(mn) AS min",
-                "max(mx) AS max",
-            )
-        ]
+    merged = (
+        f"SELECT {kq_pre}"
+        f"map_from_entries(sort_array(collect_list(CASE WHEN sign = 1 THEN {entry} END))) AS pos,"
+        f" map_from_entries(sort_array(collect_list(CASE WHEN sign = -1 THEN {entry} END))) AS neg,"
+        " first(gamma) AS gamma, min(g_min) AS g_min, max(g_max) AS g_max,"
+        " min(o_min) AS o_min, max(o_max) AS o_max,"
+        " sum(zc) AS zero_count, sum(cn) AS count, sum(sm) AS sum,"
+        " min(mn) AS min, max(mx) AS max"
+        f" FROM ({level1}){group_by}"
     )
     # Merge compatibility gate, mirroring the reference (equal gamma and
     # index_offset within 1e-10, datadog_encoding.rs:598-607): a group whose
@@ -392,12 +455,12 @@ def merge_struct_sketches(
         "(g_max - g_min) <= 1e-10 AND (o_max - o_min) <= 1e-10"
         " AND g_min IS NOT NULL"
     )
-    return merged.selectExpr(
-        *kq,
-        f"CASE WHEN {compatible} THEN"
+    return df.sparkSession.sql(
+        f"SELECT {kq_pre}CASE WHEN {compatible} THEN"
         " struct(gamma, coalesce(o_min, 0.0D) AS index_offset, pos, neg,"
         " zero_count, count, sum, min, max)"
-        f" END AS {sketch_col}",
+        f" END AS {sketch_col} FROM ({merged})",
+        df=df,
     )
 
 

@@ -25,6 +25,10 @@ ORACLES: Dict[str, str] = {}
 
 
 def _declare(name: str, oracle_sql: str | None = None):
+    # NOTE: no plan/DataFrame memoization here on purpose. Re-collecting a
+    # cached DataFrame reuses its materialized shuffle outputs (skipped
+    # stages), which would make repeated bench runs measure a warm cache
+    # instead of query execution. Every call builds a fresh plan.
     def deco(fn):
         QUERIES[name] = fn
         if oracle_sql is not None:
@@ -34,8 +38,17 @@ def _declare(name: str, oracle_sql: str | None = None):
     return deco
 
 
+_PREPPED: set = set()
+
+
 def _prep(spark: SparkSession) -> None:
+    if id(spark) in _PREPPED:
+        return
+    _PREPPED.add(id(spark))
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Bigger Arrow batches cut JVM<->Python framing overhead on every pandas
+    # UDF stage (default 10k rows is conservative for numeric payloads).
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
 
 
 def _f32(*names):
