@@ -18,6 +18,7 @@ _FUNCTIONS = {
     "ddsketch_merge": scalar.ddsketch_merge,
     "ddsketch_quantile": scalar.ddsketch_quantile,
     "ddsketch_quantiles": scalar.ddsketch_quantiles,
+    "ddsketch_cdf": scalar.ddsketch_cdf,
     "ddsketch_count": scalar.ddsketch_count,
     "ddsketch_min": scalar.ddsketch_min,
     "ddsketch_max": scalar.ddsketch_max,

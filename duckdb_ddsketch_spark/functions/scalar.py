@@ -40,6 +40,7 @@ __all__ = [
     "ddsketch_merge",
     "ddsketch_quantile",
     "ddsketch_quantiles",
+    "ddsketch_cdf",
     "ddsketch_count",
     "ddsketch_min",
     "ddsketch_max",
@@ -163,6 +164,21 @@ def ddsketch_quantiles(sketch: pd.Series, qs: pd.Series) -> pd.Series:
         return [s.quantile(float(q)) if q is not None else None for q in quantiles]
 
     return pd.Series([go(b, q) for b, q in zip(sketch, qs)], dtype=object)
+
+
+@pandas_udf(DoubleType())
+def ddsketch_cdf(sketch: pd.Series, v: pd.Series) -> pd.Series:
+    """Beyond-reference inverse of ``ddsketch_quantile``: fraction of values
+    <= v at bin granularity (see DDSketch.cdf). NULL semantics match the
+    other scalars: bad blob/NULL input/empty sketch -> NULL."""
+
+    def go(blob, value):
+        s = _try_decode(blob)
+        if s is None or value is None:
+            return None
+        return s.cdf(float(value))
+
+    return pd.Series([go(b, x) for b, x in zip(sketch, v)], dtype="float64")
 
 
 @pandas_udf(LongType())

@@ -50,6 +50,8 @@ __all__ = [
     "sketch_quantile_agg",
     "sketch_struct_agg",
     "struct_quantile",
+    "struct_cdf_sql",
+    "struct_histogram",
     "struct_count",
     "struct_sum",
     "struct_to_wire",
@@ -391,6 +393,83 @@ def struct_quantile(sketch, q: float) -> Column:
     raise TypeError(
         "struct_quantile expects the sketch column *name*; pass the column's "
         "string name so the expression can be assembled as SQL"
+    )
+
+
+def struct_cdf_sql(sketch_col: str, v: float, alpha: Optional[float] = None) -> str:
+    """SQL text of the bin-granular CDF (P[x <= v]) over the struct form —
+    the native twin of :func:`DDSketch.cdf`. Pure fold, no Python.
+
+    When ``alpha`` is given, the threshold bin is precomputed in Python so
+    the JVM's libm never enters the comparison (keeps native, kernel, and
+    DuckDB-oracle results on the identical bin even when ln() differs by
+    an ulp between runtimes).
+    """
+    s = f"`{sketch_col}`"
+    if v is None or math.isnan(v):
+        return "CAST(NULL AS DOUBLE)"
+
+    def bin_of(x: float) -> str:
+        if alpha is not None:
+            return str(math.ceil(math.log(x) / math.log(gamma_of(alpha))))
+        return f"CAST(CEIL(LN({x!r}D) / LN({s}.gamma)) AS INT)"
+
+    negc = f"coalesce(aggregate(map_values({s}.neg), 0.0D, (acc, x) -> acc + x), 0.0D)"
+    if v > 0.0:
+        b = bin_of(float(v))
+        le = (
+            f"coalesce(aggregate(map_entries({s}.pos), 0.0D,"
+            f" (acc, e) -> acc + CASE WHEN e.key <= {b} THEN e.value ELSE 0.0D END), 0.0D)"
+        )
+        frac = f"({negc} + {s}.zero_count + {le}) / {s}.count"
+    elif v == 0.0:
+        frac = f"({negc} + {s}.zero_count) / {s}.count"
+    else:
+        b = bin_of(float(-v))
+        ge = (
+            f"coalesce(aggregate(map_entries({s}.neg), 0.0D,"
+            f" (acc, e) -> acc + CASE WHEN e.key >= {b} THEN e.value ELSE 0.0D END), 0.0D)"
+        )
+        frac = f"{ge} / {s}.count"
+    return f"CASE WHEN {s}.count > 0 THEN {frac} END"
+
+
+def struct_histogram(
+    df: DataFrame, keys: Sequence[str], sketch_col: str = "sketch"
+) -> DataFrame:
+    """Explode a struct sketch into its occupied bins as value ranges.
+
+    Output: keys + (bin_lo, bin_hi, count), one row per occupied bin. Bin i
+    of the log mapping covers (gamma^(i-1), gamma^i] for positives
+    (datadog_encoding.rs:750-753: bin = ceil(ln v / ln gamma)); negatives
+    mirror to [-gamma^i, -gamma^(i-1)); zeros get [0, 0]. Native explode —
+    at scale this is a projection + generate, no shuffle, no Python.
+    """
+    keys = list(keys)
+    kq = ", ".join(f"`{k}`" for k in keys)
+    kq_pre = f"{kq}, " if keys else ""
+    s = f"`{sketch_col}`"
+    g = f"{s}.gamma"
+    rows = (
+        "concat("
+        f" transform(map_entries({s}.pos), e -> struct("
+        f"  POWER({g}, CAST(e.key AS DOUBLE) - 1.0D) AS bin_lo,"
+        f"  POWER({g}, CAST(e.key AS DOUBLE)) AS bin_hi,"
+        "   e.value AS count)),"
+        f" filter(array(struct(0.0D AS bin_lo, 0.0D AS bin_hi,"
+        f"  {s}.zero_count AS count)), x -> {s}.zero_count > 0),"
+        f" transform(map_entries({s}.neg), e -> struct("
+        f"  -POWER({g}, CAST(e.key AS DOUBLE)) AS bin_lo,"
+        f"  -POWER({g}, CAST(e.key AS DOUBLE) - 1.0D) AS bin_hi,"
+        "   e.value AS count))"
+        ")"
+    )
+    return df.sparkSession.sql(
+        f"SELECT {kq_pre}b.bin_lo AS bin_lo, b.bin_hi AS bin_hi,"
+        " b.count AS count"
+        f" FROM (SELECT {kq_pre}explode({rows}) AS b FROM {{df}}"
+        f" WHERE {s} IS NOT NULL)",
+        df=df,
     )
 
 

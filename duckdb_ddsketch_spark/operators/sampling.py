@@ -1,0 +1,60 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random samples are useless at 100 TB if they change between runs (or
+between engines): every operator here derives its decisions from md5 of a
+stable key, so the same rows are picked on any cluster size, any partition
+layout, and by any engine that can compute md5 — which is also what makes
+the DuckDB oracles exact.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["hash_sample", "hash_threshold_hex", "stratified_hash_topn"]
+
+_HEX_DIGITS = 15  # 60 bits: safely inside BIGINT/double-exact range
+
+
+def hash_threshold_hex(fraction: float) -> str:
+    """The 15-hex-digit threshold string for a sampling fraction: a row is
+    kept when the first 15 hex chars of md5(seed|key) compare lexicographically
+    below it. String comparison keeps the predicate engine-portable (no
+    hex->int cast differences)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(int(fraction * (16**_HEX_DIGITS)), "015x")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key: str, seed: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on ``key``.
+
+    The predicate is a pure per-row expression — it pushes past projections,
+    survives repartitioning, and never needs a shuffle or an RNG state. The
+    same (seed, key) always lands on the same side, so downstream joins on
+    sampled ids stay consistent across pipeline runs.
+    """
+    thr = hash_threshold_hex(fraction)
+    h = F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col(key).cast("string"))), 1, _HEX_DIGITS)
+    return df.where(h < F.lit(thr))
+
+
+def stratified_hash_topn(
+    df: DataFrame, strata: Sequence[str], n: int, key: str, seed: str = ""
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rank rows inside each
+    stratum by md5(seed|key) and keep the n smallest. One shuffle on the
+    strata; ties are impossible for distinct keys (md5 collision-free in
+    practice), so the pick is total-order stable."""
+    strata = list(strata)
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(key).cast("string")))
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

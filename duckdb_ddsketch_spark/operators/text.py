@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "tokens",
@@ -23,6 +23,8 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "top_k_tokens",
+    "tfidf_top_terms",
     "DEFAULT_STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -120,6 +122,89 @@ def language_id(text: Column) -> Column:
     # language code; callers wanting 'unknown' can threshold on the score.
     best = F.array_max(scored)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def top_k_tokens(
+    df: DataFrame,
+    group: Sequence[str],
+    text: str = "text",
+    k: int = 10,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Exact heavy hitters: the k most frequent tokens per group with their
+    counts, rank ties broken by token (deterministic).
+
+    Scale shape: explode -> groupBy(group, token).count runs with map-side
+    partial aggregation, so the shuffle carries one row per distinct
+    (group, token) per map task — vocabulary-bounded, not corpus-bounded.
+    The row_number window then only sees the distinct-token counts.
+    """
+    group = list(group)
+    t = F.col(text)
+    toks = tokens(F.lower(t) if lowercase else t)
+    counts = (
+        df.select(*group, F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy(*group, "token")
+        .agg(F.count("*").alias("token_count"))
+    )
+    w = Window.partitionBy(*group).orderBy(
+        F.col("token_count").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*group, "token", "token_count", "rank")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group: Sequence[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per group by corpus-wide tf-idf.
+
+    score(group, term) = total_tf(group, term) * ln((N + 1) / (df + 1))
+    with N = corpus doc count and df = docs containing the term. The score
+    factors into (integer total tf) x (one idf double), so it is
+    reproducible across engines; ranking happens on the float32-rounded
+    score with a term tie-break, which absorbs libm ulp differences in ln.
+
+    Shape: one explode + two vocabulary-bounded hash aggregates + one
+    broadcast of the (1-row) corpus count + a per-group window over
+    distinct terms. No Python anywhere.
+    """
+    group = list(group)
+    toks = df.select(
+        *group, F.col(id_col).alias("__doc"), F.explode(tokens(F.lower(F.col(text)))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(*group, "term").agg(F.count("*").alias("tf"))
+    docfreq = toks.groupBy("term").agg(F.countDistinct("__doc").alias("df_docs"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df_docs") + 1.0))
+            ).cast("float"),
+        )
+    )
+    w = Window.partitionBy(*group).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*group, "term", "tf", "tfidf", "rank")
+    )
 
 
 def fingerprint(text: Column) -> Column:

@@ -16,9 +16,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import scalar as fs
 from ..functions.aggregate import ddsketch_agg, sketch_values_agg
-from ..operators import dedup, native, similarity, text
+from ..operators import dedup, native, relational, sampling, similarity, text
 from ..sources import load_table
-from .oracle import qname, quantile_oracle_sql, rowwise_bin_value_sql
+from .oracle import constants, qname, quantile_oracle_sql, rowwise_bin_value_sql
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
@@ -1288,3 +1288,381 @@ def q36(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = dedup.simhash_pairs(docs, max_hamming=3, bits=60, blocks=4)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ===========================================================================
+# Round 2: sketch CDF/histogram, relational operators (as-of / sessions /
+# band join), deterministic sampling, heavy hitters, tf-idf
+# ===========================================================================
+
+_C01 = constants(0.01)
+_CDF_THRESHOLDS = (0.0, 2.0, 10.0, 50.0)
+
+
+def _cdf_bin(v: float) -> int:
+    import math as _m
+
+    return _m.ceil(_m.log(v) / _C01["log_gamma"])
+
+
+def _q37_oracle() -> str:
+    lg = repr(_C01["log_gamma"])
+    les = []
+    outs = []
+    for t in _CDF_THRESHOLDS:
+        n = f"{t:g}".replace(".", "_")
+        if t == 0.0:
+            outs.append("CAST((negc + zeroc) / total AS REAL) AS cdf_0")
+            continue
+        b = _cdf_bin(t)
+        les.append(
+            f"SUM(CASE WHEN v > 0 AND CEIL(LN(v) / {lg}) <= {b} THEN 1 ELSE 0 END) AS le_{b}"
+        )
+        outs.append(
+            f"CAST((negc + zeroc + le_{b}) / total AS REAL) AS cdf_{n}"
+        )
+    le_sql = ",\n           ".join(les)
+    out_sql = ",\n       ".join(outs)
+    return f"""
+    WITH vals AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS total,
+           SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS negc,
+           SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS zeroc,
+           {le_sql}
+        FROM vals GROUP BY event_type
+    )
+    SELECT event_type, CAST(total AS BIGINT) AS count,
+       {out_sql}
+    FROM agg
+    """
+
+
+@_declare("q37_cdf_by_event_type", _q37_oracle())
+def q37(spark, sf_dir):
+    """ddsketch_cdf (beyond-reference inverse quantile): P[value <= t] per
+    event_type, fully native over the struct working form."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per = native.sketch_struct_agg(ev, ["event_type"], "value", 0.01)
+    cols = ["event_type", "CAST(sketch.count AS BIGINT) AS count"]
+    for t in _CDF_THRESHOLDS:
+        n = f"{t:g}".replace(".", "_")
+        cols.append(
+            f"CAST({native.struct_cdf_sql('sketch', t, alpha=0.01)} AS FLOAT)"
+            f" AS cdf_{n}"
+        )
+    return per.selectExpr(*cols)
+
+
+def _q38_oracle() -> str:
+    g = repr(_C01["gamma"])
+    lg = repr(_C01["log_gamma"])
+    return f"""
+    WITH vals AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT event_type,
+            CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+            CASE WHEN v > 0 THEN CAST(CEIL(LN(v) / {lg}) AS INTEGER)
+                 WHEN v < 0 THEN CAST(CEIL(LN(-v) / {lg}) AS INTEGER)
+                 ELSE 0 END AS bin,
+            COUNT(*) AS cnt
+        FROM vals GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+        CAST(CASE WHEN sign = 1 THEN POWER({g}, bin - 1.0)
+                  WHEN sign = 0 THEN 0.0
+                  ELSE -POWER({g}, CAST(bin AS DOUBLE)) END AS REAL) AS bin_lo,
+        CAST(CASE WHEN sign = 1 THEN POWER({g}, CAST(bin AS DOUBLE))
+                  WHEN sign = 0 THEN 0.0
+                  ELSE -POWER({g}, bin - 1.0) END AS REAL) AS bin_hi,
+        CAST(cnt AS BIGINT) AS count
+    FROM b
+    """
+
+
+@_declare("q38_sketch_histogram", _q38_oracle())
+def q38(spark, sf_dir):
+    """ddsketch_histogram: explode per-type sketches into (bin_lo, bin_hi,
+    count) value ranges — native explode, no Python."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per = native.sketch_struct_agg(ev, ["event_type"], "value", 0.01)
+    hist = native.struct_histogram(per, ["event_type"])
+    return hist.selectExpr(
+        "event_type",
+        "CAST(bin_lo AS FLOAT) AS bin_lo",
+        "CAST(bin_hi AS FLOAT) AS bin_hi",
+        "CAST(count AS BIGINT) AS count",
+    )
+
+
+@_declare(
+    "q39_asof_join_click_error",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        CAST(COUNT(e.ts) AS BIGINT) AS n_matched,
+        CAST(SUM(epoch_us(c.ts) - epoch_us(e.ts)) AS BIGINT) AS total_lag_us,
+        CAST(MAX(epoch_us(c.ts) - epoch_us(e.ts)) / 1000000.0 AS REAL) AS max_lag_s
+    FROM clicks c ASOF LEFT JOIN errors e
+        ON c.user_id = e.user_id AND c.ts >= e.ts
+    GROUP BY c.user_id
+    """,
+)
+def q39(spark, sf_dir):
+    """As-of join (union-tag-window form): each click enriched with the
+    latest preceding error of the same user; DuckDB ASOF JOIN is the oracle."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select("user_id", "ts")
+    errors = ev.where("event_type = 'error'").select("user_id", "ts")
+    j = relational.asof_join(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=[], direction="backward",
+    )
+    return j.groupBy("user_id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_clicks"),
+        F.expr("CAST(count(ts_r) AS BIGINT) AS n_matched"),
+        F.expr(
+            "CAST(sum(unix_micros(ts) - unix_micros(ts_r)) AS BIGINT)"
+            " AS total_lag_us"
+        ),
+        F.expr(
+            "CAST(max(unix_micros(ts) - unix_micros(ts_r)) / 1000000.0"
+            " AS FLOAT) AS max_lag_s"
+        ),
+    )
+
+
+@_declare(
+    "q40_sessionization",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    lagged AS (
+        SELECT user_id, us,
+            CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_s,
+            event_id
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, us,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        FROM lagged
+    ),
+    grp AS (
+        SELECT user_id, session_idx, COUNT(*) AS n_events,
+               MAX(us) - MIN(us) AS dur_us
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(n_events) AS BIGINT) AS n_events,
+        CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+        CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+    FROM grp GROUP BY user_id
+    """,
+)
+def q40(spark, sf_dir):
+    """Gap-based sessionization (30 min) per user; window-SQL oracle."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = relational.sessionize(
+        ev, ["user_id"], "ts", gap_seconds=1800, tiebreak="event_id"
+    )
+    per_session = s.groupBy("user_id", "session_idx").agg(
+        F.expr("count(*) AS n_events"),
+        F.expr("max(unix_micros(ts)) - min(unix_micros(ts)) AS dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_sessions"),
+        F.expr("CAST(sum(n_events) AS BIGINT) AS n_events"),
+        F.expr("CAST(max(n_events) AS BIGINT) AS max_session_events"),
+        F.expr("CAST(sum(dur_us) AS BIGINT) AS total_dur_us"),
+    )
+
+
+@_declare(
+    "q41_range_band_join",
+    """
+    WITH errors AS (
+        SELECT event_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+        SELECT ts FROM events WHERE event_type = 'click'
+    )
+    SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(COUNT(DISTINCT e.event_id) AS BIGINT) AS n_errors_hit
+    FROM errors e JOIN clicks c
+        ON epoch_us(c.ts) >= epoch_us(e.ts)
+       AND epoch_us(c.ts) <= epoch_us(e.ts) + 300000000
+    GROUP BY 1
+    """,
+)
+def q41(spark, sf_dir):
+    """Band range-join (bucketed equi-join form): clicks within 5 minutes
+    after each error, rolled up per day; plain inequality join is the oracle."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where("event_type = 'error'").selectExpr(
+        "event_id AS err_id", "ts"
+    )
+    clicks = ev.where("event_type = 'click'").select("ts")
+    j = relational.range_band_join(
+        errors, clicks, "ts", "ts", 0.0, 300.0
+    )
+    return (
+        j.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_pairs"),
+            F.expr("CAST(count(DISTINCT err_id) AS BIGINT) AS n_errors_hit"),
+        )
+    )
+
+
+@_declare(
+    "q42_hash_sample",
+    f"""
+    SELECT lang,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))), 1, 15)
+          < '{"%015x" % int(0.1 * (16 ** 15))}'
+    GROUP BY lang
+    """,
+)
+def q42(spark, sf_dir):
+    """Deterministic 10% hash sample of documents (engine-portable md5
+    predicate), summarized per language."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = sampling.hash_sample(docs, 0.1, "doc_id")
+    return sampled.groupBy("lang").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(sum(n_chars) AS BIGINT) AS sum_chars"),
+    )
+
+
+@_declare(
+    "q43_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT source,
+               unnest(string_split(trim(lower(text)), ' ')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, token, COUNT(*) AS c
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, token, c,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c DESC, token ASC) AS rank
+        FROM counts
+    )
+    SELECT source, token, CAST(c AS BIGINT) AS token_count,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q43(spark, sf_dir):
+    """Exact heavy hitters: top-10 tokens per source (vocabulary-bounded
+    partial aggregation + per-group window)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.top_k_tokens(docs, ["source"], "text", k=10)
+    return out.selectExpr(
+        "source", "token", "CAST(token_count AS BIGINT) AS token_count",
+        "CAST(rank AS INT) AS rank",
+    )
+
+
+@_declare(
+    "q44_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT source, doc_id,
+               unnest(string_split(trim(lower(text)), ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT source, token, COUNT(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    ),
+    dfq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS dfd
+        FROM toks WHERE token <> '' GROUP BY 1
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (
+        SELECT source, token AS term, tf,
+               CAST(tf * ln((nd + 1.0) / (dfd + 1.0)) AS REAL) AS tfidf
+        FROM tf JOIN dfq USING (token), n
+    ),
+    ranked AS (
+        SELECT source, term, tf, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT source, term, CAST(tf AS BIGINT) AS tf, tfidf,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q44(spark, sf_dir):
+    """Corpus tf-idf top-5 terms per source; the score factors into
+    (integer tf) x (single idf) so it is engine-reproducible after a
+    float32 round."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(docs, ["source"], "text", "doc_id", k=5)
+    return out.selectExpr(
+        "source", "term", "CAST(tf AS BIGINT) AS tf",
+        "CAST(tfidf AS FLOAT) AS tfidf", "CAST(rank AS INT) AS rank",
+    )
+
+
+@_declare(
+    "q45_stratified_sample",
+    """
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))) ASC,
+                            doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q45(spark, sf_dir):
+    """Exactly-20-per-language deterministic stratified sample (md5 ranking:
+    stable across engines, partitionings, and runs)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_hash_topn(docs, ["lang"], 20, "doc_id")
+    return out.select("lang", "doc_id")

@@ -181,6 +181,29 @@ class DDSketch:
         pos_rank = rank - self.zero_count - negative_count
         return self._key_at_rank(self.positive_bins, pos_rank)
 
+    def cdf(self, v: float) -> Optional[float]:
+        """Fraction of tracked values <= v, at bin granularity.
+
+        Beyond-reference operator (no counterpart in /root/reference): the
+        inverse of ``quantile``, defined over the same log-binned state —
+        a value x <= v iff x's bin index <= ``value_to_bin(v)`` (positives),
+        with negatives compared on reversed bins. Empty sketch -> None.
+        """
+        if self.count == 0.0:
+            return None
+        if v is None or math.isnan(v):
+            return None
+        negative_count = sum(self.negative_bins.values())
+        if v > 0.0:
+            b = self.value_to_bin(v)
+            le = sum(c for i, c in self.positive_bins.items() if i <= b)
+            return (negative_count + self.zero_count + le) / self.count
+        if v == 0.0:
+            return (negative_count + self.zero_count) / self.count
+        b = self.value_to_bin(-v)
+        ge = sum(c for i, c in self.negative_bins.items() if i >= b)
+        return ge / self.count
+
     def _key_at_rank(self, bins: dict[int, float], rank: float) -> float:
         if rank < 0.0:
             rank = 0.0

@@ -45,7 +45,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integral `div`, NOT double division: nanos ~2^60 exceed double
+        # mantissa range, so (ts/1000).cast(long) is off by ±1us for a
+        # quarter of the rows vs DuckDB's exact ns->us truncation — harmless
+        # for hour/day buckets, fatal for exact timestamp arithmetic
+        # (as-of lags, session durations).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     _TABLE_CACHE[key] = df
     return df
 

@@ -224,3 +224,55 @@ def test_struct_to_wire_null_struct_encodes_null(spark):
     # and a real struct still encodes to decodable wire bytes
     good = s.select(native.struct_to_wire("sketch").alias("b")).first()
     assert DDSketch.decode(bytes(good.b)).get_count() == 2
+
+
+def test_struct_cdf_matches_kernel(spark):
+    """Native CDF fold == kernel cdf == scalar UDF over the wire, across
+    sign classes and thresholds."""
+    import random
+
+    from duckdb_ddsketch_spark.functions import scalar as fs
+
+    rng = random.Random(11)
+    values = [rng.uniform(-50, 200) for _ in range(500)] + [0.0] * 25
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    s = native.sketch_struct_agg(df.withColumn("k", F.lit("k")), ["k"], "v", 0.01)
+    kernel = DDSketch(0.01).extend(values)
+    thresholds = (-10.0, -0.5, 0.0, 0.5, 30.0, 1000.0)
+    cols = [
+        f"{native.struct_cdf_sql('sketch', t, alpha=0.01)} AS c{i}"
+        for i, t in enumerate(thresholds)
+    ]
+    row = s.selectExpr(*cols).first()
+    blob_df = spark.createDataFrame([(kernel.encode(),)], "b binary")
+    for i, t in enumerate(thresholds):
+        expect = kernel.cdf(t)
+        assert rel_eq(row[f"c{i}"], expect), (t, row[f"c{i}"], expect)
+        got = blob_df.select(
+            fs.ddsketch_cdf(F.col("b"), F.lit(t)).alias("c")
+        ).first().c
+        assert rel_eq(got, expect), (t, got, expect)
+    # empty sketch -> NULL
+    empty = spark.createDataFrame([(DDSketch(0.01).encode(),)], "b binary")
+    assert (
+        empty.select(fs.ddsketch_cdf(F.col("b"), F.lit(1.0)).alias("c")).first().c
+        is None
+    )
+
+
+def test_struct_histogram_totals_and_ranges(spark):
+    values = [1.5, 2.5, 100.0, -3.0, 0.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    s = native.sketch_struct_agg(df.withColumn("k", F.lit("k")), ["k"], "v", 0.01)
+    rows = native.struct_histogram(s, ["k"]).collect()
+    assert sum(r["count"] for r in rows) == len(values)
+    zero = [r for r in rows if r.bin_lo == 0.0 and r.bin_hi == 0.0]
+    assert len(zero) == 1 and zero[0]["count"] == 2.0
+    for r in rows:
+        assert r.bin_lo <= r.bin_hi
+    # each positive value falls inside its bin's range
+    pos_bins = sorted((r.bin_lo, r.bin_hi) for r in rows if r.bin_lo > 0)
+    for v in (1.5, 2.5, 100.0):
+        assert any(lo < v <= hi * (1 + 1e-12) for lo, hi in pos_bins), v
+    neg_bins = [(r.bin_lo, r.bin_hi) for r in rows if r.bin_hi < 0]
+    assert any(lo * (1 + 1e-12) <= -3.0 < hi for lo, hi in neg_bins)

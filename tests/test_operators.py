@@ -265,3 +265,61 @@ def test_jaccard_max_df_uses_filtered_universe(spark):
     }
     assert (1, 2) in out
     assert abs(out[(1, 2)] - 0.5) < 1e-12
+
+
+def test_hash_sample_deterministic_and_consistent(spark):
+    from duckdb_ddsketch_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k for r in sampling.hash_sample(df, 0.2, "k").collect()}
+    b = {r.k for r in sampling.hash_sample(df, 0.2, "k").collect()}
+    assert a == b
+    # roughly the right size
+    assert 0.15 * 2000 < len(a) < 0.25 * 2000
+    # nested property: a 10% sample is a subset of the 20% sample
+    c = {r.k for r in sampling.hash_sample(df, 0.1, "k").collect()}
+    assert c <= a
+    # different seed -> different (mostly) subset
+    d = {r.k for r in sampling.hash_sample(df, 0.2, "k", seed="s2").collect()}
+    assert d != a
+
+
+def test_stratified_hash_topn_exact_n(spark):
+    from duckdb_ddsketch_spark.operators import sampling
+
+    df = spark.range(0, 300).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS g")
+    out = sampling.stratified_hash_topn(df, ["g"], 7, "k")
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7}
+    again = sampling.stratified_hash_topn(df, ["g"], 7, "k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_top_k_tokens_ties_and_rank(spark):
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "b a a c b z", "s")], "doc_id long, text string, source string"
+    )
+    rows = tx.top_k_tokens(docs, ["source"], k=3).collect()
+    got = [(r.token, r.token_count, r.rank) for r in sorted(rows, key=lambda r: r.rank)]
+    # a and b tie at 2 -> 'a' first (token asc); then c/z tie at 1 -> 'c'
+    assert got == [("a", 2, 1), ("b", 2, 2), ("c", 1, 3)]
+
+
+def test_tfidf_common_term_scores_zeroish(spark):
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared rare1", "s1"),
+            (2, "shared rare2", "s1"),
+            (3, "shared rare3", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = tx.tfidf_top_terms(docs, ["source"], k=10).collect()
+    scores = {(r.source, r.term): r.tfidf for r in rows}
+    # a term present in every doc has idf = ln(4/4) = 0
+    assert abs(scores[("s1", "shared")]) < 1e-9
+    assert scores[("s1", "rare1")] > 0

@@ -1,0 +1,160 @@
+"""asof_join / sessionize / range_band_join semantics, verified against
+brute-force references on synthetic frames (and, in the declared queries,
+against DuckDB ASOF JOIN / window SQL — tests here pin the edge cases)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ddsketch_spark.operators import relational
+
+UTC = dt.timezone.utc
+
+
+def ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, tzinfo=UTC)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts(10), "l1"),
+            (1, ts(20), "l2"),
+            (2, ts(5), "l3"),
+            (3, ts(30), "l4"),  # key with no right rows
+        ],
+        "k long, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(10), 100.0),  # ties l1 exactly
+            (1, ts(15), 150.0),
+            (2, ts(6), 60.0),  # after l3
+        ],
+        "k long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward(spark, frames):
+    left, right = frames
+    out = {
+        r.lbl: (r.ts_r, r.v)
+        for r in relational.asof_join(left, right, ["k"]).collect()
+    }
+    assert out["l1"] == (ts(10).replace(tzinfo=None), 100.0)  # inclusive tie
+    assert out["l2"] == (ts(15).replace(tzinfo=None), 150.0)  # latest <=
+    assert out["l3"] == (None, None)  # right row is after
+    assert out["l4"] == (None, None)  # no right rows for key
+
+
+def test_asof_forward(spark, frames):
+    left, right = frames
+    out = {
+        r.lbl: (r.ts_r, r.v)
+        for r in relational.asof_join(
+            left, right, ["k"], direction="forward"
+        ).collect()
+    }
+    assert out["l1"] == (ts(10).replace(tzinfo=None), 100.0)  # inclusive tie
+    assert out["l2"] == (None, None)  # nothing after
+    assert out["l3"] == (ts(6).replace(tzinfo=None), 60.0)  # earliest >=
+
+
+def test_asof_column_collision_gets_suffix(spark, frames):
+    left, right = frames
+    j = relational.asof_join(
+        left.withColumn("v", F.lit(0.0)), right, ["k"]
+    )
+    assert "v_r" in j.columns and "v" in j.columns
+
+
+def test_sessionize_gaps_and_ties(spark):
+    rows = [
+        (1, ts(0), 1),
+        (1, ts(0), 2),      # exact tie -> same session, tiebreak keeps order stable
+        (1, ts(10), 3),     # 10 min <= 30 min gap -> same session
+        (1, ts(50), 4),     # 40 min > 30 -> new session
+        (2, ts(0), 5),      # separate key
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long")
+    out = {
+        r.eid: r.session_idx
+        for r in relational.sessionize(
+            df, ["k"], "ts", gap_seconds=1800, tiebreak="eid"
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3] == 0
+    assert out[4] == 1
+    assert out[5] == 0
+
+
+def test_sessionize_gap_is_strict(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0), 1), (1, ts(30), 2)], "k long, ts timestamp, eid long"
+    )
+    out = {
+        r.eid: r.session_idx
+        for r in relational.sessionize(
+            df, ["k"], "ts", gap_seconds=1800, tiebreak="eid"
+        ).collect()
+    }
+    # gap == 1800s exactly: NOT a new session (strict >)
+    assert out[1] == out[2] == 0
+
+
+def test_range_band_join_matches_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    lrows = [(i, ts(0) + dt.timedelta(seconds=rng.randint(0, 3600))) for i in range(80)]
+    rrows = [(i, ts(0) + dt.timedelta(seconds=rng.randint(0, 3600))) for i in range(80)]
+    left = spark.createDataFrame(lrows, "lid long, ts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, ts timestamp")
+    got = {
+        (r.lid, r.rid)
+        for r in relational.range_band_join(
+            left, right, "ts", "ts", 0.0, 120.0
+        ).collect()
+    }
+    naive = {
+        (l.lid, r.rid)
+        for l in left.collect()
+        for r in right.collect()
+        if 0 <= (r.ts - l.ts).total_seconds() <= 120
+    }
+    assert got == naive
+
+
+def test_range_band_join_with_keys_and_negative_band(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts(10)), (1, 11, ts(20))], "k long, lid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9)), (1, ts(11)), (2, ts(10))], "k long, ts timestamp"
+    )
+    got = {
+        (r.lid, r.ts_r)
+        for r in relational.range_band_join(
+            left, right, "ts", "ts", -120.0, 120.0, on=["k"]
+        ).collect()
+    }
+    # key 2's right row never matches key 1's probes; both of key 1's
+    # right rows fall within +/-2 min of l10 only
+    assert got == {
+        (10, ts(9).replace(tzinfo=None)),
+        (10, ts(11).replace(tzinfo=None)),
+    }
+
+
+def test_asof_plan_single_shuffle_per_side(spark, frames):
+    """The union-tag-window form must not contain a join operator."""
+    left, right = frames
+    plan = (
+        relational.asof_join(left, right, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Window" in plan
