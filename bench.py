@@ -85,22 +85,28 @@ def main() -> None:
 
     # Marginal throughput of the native sketch path at 100x the bench rows —
     # the number that extrapolates to cluster scale (per-query times above are
-    # dominated by fixed scheduling overhead at this tiny SF).
+    # dominated by fixed scheduling overhead at this tiny SF). The plan is
+    # REBUILT for the timed run: re-collecting one DataFrame would reuse its
+    # materialized shuffle outputs and time only the final stage.
     from pyspark.sql import functions as F
 
     from duckdb_ddsketch_spark.operators import native
 
     n = 60_000_000
-    gen = spark.range(n, numPartitions=128).select(
-        (F.col("id") % 25).cast("string").alias("grp"),
-        (F.pow(F.rand(seed=42) * 4 + 1, 3) * 10).alias("v"),
-    )
-    nq = native.sketch_quantile_agg(gen, ["grp"], "v", 0.01, (0.5, 0.95, 0.99))
-    nq.collect()
+
+    def native_60m():
+        gen = spark.range(n, numPartitions=64).select(
+            (F.col("id") % 25).cast("string").alias("grp"),
+            (F.pow(F.rand(seed=42) * 4 + 1, 3) * 10).alias("v"),
+        )
+        return native.sketch_quantile_agg(gen, ["grp"], "v", 0.01, (0.5, 0.95, 0.99))
+
+    native_60m().collect()
     t0 = time.perf_counter()
-    nq.collect()
+    native_60m().collect()
     dt = time.perf_counter() - t0
     result["native_sketch_rows_per_sec"] = int(n / dt)
+    result["native_sketch_60m_sec"] = round(dt, 3)
 
     if "--no-compare" not in sys.argv:
         import duckdb
@@ -121,6 +127,43 @@ def main() -> None:
                 con.execute(oracles[name]).fetchall()
                 ducks[name] = round(time.perf_counter() - t0, 3)
         result["duckdb_oracle"] = ducks
+
+        # Same 60M-row workload in DuckDB (generation + binned quantile
+        # aggregation, one query, all threads) — the apples-to-apples
+        # scale-proxy comparison for the native path.
+        import math as _math
+
+        con.execute(f"SET threads={CPUS}")
+        _gamma = 1.0 + 2.0 * 0.01 / 0.99
+        _lg = repr(_math.log(_gamma))
+        duck_60m = f"""
+        WITH gen AS (
+            SELECT CAST(range % 25 AS VARCHAR) AS grp,
+                   POWER(random() * 4 + 1, 3) * 10 AS v
+            FROM range({n})
+        ),
+        binned AS (
+            SELECT grp, CAST(CEIL(LN(v) / {_lg}) AS INTEGER) AS bin,
+                   CAST(COUNT(*) AS DOUBLE) AS cnt
+            FROM gen GROUP BY 1, 2
+        ),
+        tot AS (SELECT grp, SUM(cnt) AS total FROM binned GROUP BY 1),
+        cum AS (
+            SELECT grp, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY grp ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM binned
+        )
+        SELECT t.grp,
+               MIN(CASE WHEN c.cum > 0.5 * (t.total - 1) THEN c.bin END),
+               MIN(CASE WHEN c.cum > 0.95 * (t.total - 1) THEN c.bin END),
+               MIN(CASE WHEN c.cum > 0.99 * (t.total - 1) THEN c.bin END)
+        FROM cum c JOIN tot t USING (grp) GROUP BY 1
+        """
+        con.execute(duck_60m).fetchall()
+        t0 = time.perf_counter()
+        con.execute(duck_60m).fetchall()
+        result["duckdb_60m_sec"] = round(time.perf_counter() - t0, 3)
 
     spark.stop()
     print(json.dumps(result))
