@@ -1666,3 +1666,159 @@ def q45(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = sampling.stratified_hash_topn(docs, ["lang"], 20, "doc_id")
     return out.select("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q46/q47 — multimodal plumbing under the correctness gate: the deterministic
+# fake decoder (byte-histogram features) and byte-strided frame sampling are
+# exactly mirrorable in SQL because the synthetic corpus is ASCII (byte ==
+# codepoint), so the mapInPandas machinery itself gets hash-checked.
+# ---------------------------------------------------------------------------
+
+_Q46_HIST = ", ".join(
+    "len(list_filter(cps, x -> x % 8 = {j}))".format(j=j) for j in range(8)
+)
+
+
+@_declare(
+    "q46_multimodal_features",
+    f"""
+    WITH m AS (
+        SELECT doc_id, lang, len(text) AS n_bytes,
+               list_transform(range(1, least(len(text), 4096) + 1),
+                              i -> ord(text[CAST(i AS INT)])) AS cps
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, lang, n_bytes,
+               16 + (n_bytes % 64) AS width,
+               16 + ((n_bytes // 64) % 64) AS height,
+               [{_Q46_HIST}] AS hist
+        FROM m
+    )
+    SELECT lang,
+           CAST(list_position(hist, list_aggregate(hist, 'max')) - 1 AS INT)
+               AS dominant_class,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(height) AS BIGINT) AS sum_height
+    FROM f GROUP BY 1, 2
+    """,
+)
+def q46(spark, sf_dir):
+    """Multimodal decode/featurize (mapInPandas, deterministic fake codec):
+    per-language distribution of the dominant byte-histogram class plus
+    width/height sums derived by the decoder."""
+    _prep(spark)
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    media = multimodal.as_media(docs, "doc_id", "payload")
+    feats = multimodal.extract_features(media)
+    joined = feats.join(
+        docs.select(F.col("doc_id").alias("media_id"), "lang"), "media_id"
+    )
+    return (
+        joined.selectExpr(
+            "lang",
+            "CAST(array_position(feature, array_max(feature)) - 1 AS INT)"
+            " AS dominant_class",
+            "width", "height",
+        )
+        .groupBy("lang", "dominant_class")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n"),
+            F.expr("CAST(sum(width) AS BIGINT) AS sum_width"),
+            F.expr("CAST(sum(height) AS BIGINT) AS sum_height"),
+        )
+    )
+
+
+@_declare(
+    "q47_multimodal_frames",
+    """
+    WITH frames AS (
+        SELECT doc_id AS media_id, f.frame_no,
+               substr(text, f.frame_no * 128 + 1, 128) AS frame_text
+        FROM documents,
+             (SELECT CAST(unnest(range(0, 8)) AS INT) AS frame_no) f
+        WHERE f.frame_no < least(8, greatest(1, len(text) // 128))
+    )
+    SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+           md5(frame_text) AS frame_md5,
+           CAST(len(frame_text) AS BIGINT) AS frame_bytes
+    FROM frames
+    """,
+)
+def q47(spark, sf_dir):
+    """Frame-sampling plumbing (byte-strided stand-in for keyframe
+    extraction): one row per sampled frame with its digest."""
+    _prep(spark)
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    media = multimodal.as_media(docs, "doc_id", "payload")
+    frames = multimodal.sample_frames(media, every_n_bytes=128, max_frames=8)
+    return frames.selectExpr(
+        "media_id",
+        "CAST(frame_no AS INT) AS frame_no",
+        "md5(frame_payload) AS frame_md5",
+        "CAST(octet_length(frame_payload) AS BIGINT) AS frame_bytes",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 — streaming sessionization (applyInPandasWithState custom stateful
+# operator) checked against the batch window-SQL oracle: the running per-key
+# summaries' final emission must equal batch gap-sessionization exactly
+# ---------------------------------------------------------------------------
+
+
+@_declare("q48_streaming_sessions", ORACLES["q40_sessionization"])
+def q48(spark, sf_dir):
+    import tempfile
+
+    _prep(spark)
+    from ..streaming import sessionized_gap_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sess = sessionized_gap_stats(
+        stream, "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
+    )
+    state = {}
+
+    def sink(batch_df, _id):
+        for r in batch_df.collect():
+            state[r.key] = (
+                r.n_sessions, r.n_events, r.max_session_events, r.total_dur_us
+            )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sess.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    return spark.createDataFrame(
+        [(k, *v) for k, v in state.items()],
+        "user_id long, n_sessions long, n_events long,"
+        " max_session_events long, total_dur_us long",
+    )

@@ -45,6 +45,7 @@ __all__ = [
     "finalize_window_sketches",
     "streaming_quantiles",
     "sessionized_sketches",
+    "sessionized_gap_stats",
 ]
 
 
@@ -204,6 +205,107 @@ def sessionized_sketches(
 
     return (
         stream.select(F.col(key_col).cast("string").alias("key"), value)
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def sessionized_gap_stats(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Streaming gap-based sessionization via ``applyInPandasWithState``.
+
+    Per key, carries (last event time, current-session start, session
+    counters) across micro-batches and emits the RUNNING per-key summary
+    each batch (update-mode semantics): the last emission per key is the
+    final answer — identical to the batch :func:`~duckdb_ddsketch_spark.
+    operators.relational.sessionize` roll-up. Gap comparison is strict
+    (``> gap`` starts a new session), matching the batch operator and the
+    window-SQL oracle.
+
+    State is O(1) per key (six longs) regardless of event count. Assumes
+    per-key event-time-ordered arrival WITHIN the replayed source (true
+    for log replay / availableNow over time-ordered files); a production
+    out-of-order stream would buffer behind a watermark first.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_session_events", LongType()),
+            StructField("total_dur_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("cur_start_us", LongType()),
+            StructField("cur_events", LongType()),
+            StructField("closed_sessions", LongType()),
+            StructField("closed_dur_us", LongType()),
+            StructField("max_events", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def update(key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (last, cur_start, cur_ev, closed_s, closed_d, max_ev, n_ev) = state.get
+        else:
+            last = cur_start = None
+            cur_ev = closed_s = closed_d = max_ev = n_ev = 0
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames)
+            order = ["__us"] + (["__tb"] if tiebreak else [])
+            pdf = pdf.sort_values(order)
+            for us in pdf["__us"].tolist():
+                us = int(us)
+                if last is None or us - last > gap_us:
+                    if cur_start is not None:
+                        closed_s += 1
+                        closed_d += last - cur_start
+                        max_ev = max(max_ev, cur_ev)
+                    cur_start = us
+                    cur_ev = 0
+                cur_ev += 1
+                n_ev += 1
+                last = us
+        state.update((last, cur_start, cur_ev, closed_s, closed_d, max_ev, n_ev))
+        if n_ev:
+            open_dur = (last - cur_start) if cur_start is not None else 0
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_sessions": [closed_s + (1 if cur_ev else 0)],
+                    "n_events": [n_ev],
+                    "max_session_events": [max(max_ev, cur_ev)],
+                    "total_dur_us": [closed_d + open_dur],
+                }
+            )
+
+    cols = [
+        F.col(key_col).cast("long").alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+    ]
+    if tiebreak:
+        cols.append(F.col(tiebreak).alias("__tb"))
+    return (
+        stream.select(*cols)
         .groupBy("key")
         .applyInPandasWithState(
             update,

@@ -161,3 +161,72 @@ def test_sliding_windows_match_batch(spark, stream_input, tmp_path):
         s = DDSketch.decode(bytes(blob))
         assert s.count == kernel.count, (ws, we, svc)
         assert s.positive_bins == kernel.positive_bins, (ws, we, svc)
+
+
+def test_sessionized_gap_stats_multibatch(spark, tmp_path):
+    """Cross-micro-batch session state: two time-ordered files replayed one
+    per batch must reproduce batch sessionization exactly (including a
+    session that spans the batch boundary)."""
+    import datetime as dt
+
+    from duckdb_ddsketch_spark.operators.relational import sessionize
+    from duckdb_ddsketch_spark.streaming import sessionized_gap_stats
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(k, minutes, eid):
+        return (eid, k, t0 + dt.timedelta(minutes=minutes))
+
+    early = [ev(1, 0, 1), ev(1, 10, 2), ev(2, 0, 3)]
+    late = [ev(1, 20, 4), ev(1, 120, 5), ev(2, 200, 6), ev(3, 0, 7)]
+    schema = "event_id long, user_id long, ts timestamp"
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(early, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    sess = sessionized_gap_stats(stream, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    state = {}
+    n_batches = []
+
+    def sink(batch_df, bid):
+        rows = batch_df.collect()
+        if rows:
+            n_batches.append(bid)
+        for r in rows:
+            state[r.key] = (r.n_sessions, r.n_events, r.max_session_events, r.total_dur_us)
+
+    q = (
+        sess.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(n_batches) >= 2, "expected one micro-batch per file"
+
+    batch_df = spark.createDataFrame(early + late, schema)
+    s = sessionize(batch_df, ["user_id"], "ts", 1800, tiebreak="event_id")
+    per = s.groupBy("user_id", "session_idx").agg(
+        F.expr("count(*) AS n_events"),
+        F.expr("max(unix_micros(ts)) - min(unix_micros(ts)) AS dur_us"),
+    )
+    expect = {
+        r.user_id: (r.ns, r.ne, r.me, r.td)
+        for r in per.groupBy("user_id")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS ns"),
+            F.expr("CAST(sum(n_events) AS BIGINT) AS ne"),
+            F.expr("CAST(max(n_events) AS BIGINT) AS me"),
+            F.expr("CAST(sum(dur_us) AS BIGINT) AS td"),
+        )
+        .collect()
+    }
+    assert state == expect
+    # user 1: events at 0/10/20 min are one session (gaps <= 30), 120 min is
+    # a second; the 0-10-20 session SPANS the two files/batches
+    assert state[1] == (2, 4, 3, 20 * 60 * 1_000_000)
