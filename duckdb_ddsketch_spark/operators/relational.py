@@ -93,7 +93,14 @@ def asof_join(
             w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
     out = unioned.withColumn("__m", matched).where(F.col("__tag") == l_tag)
-    cols = [F.col(f"__left.`{c}`").alias(c) for c in left.columns]
+    # key columns come from the TOP-LEVEL union columns, not the __left
+    # struct: extracting them from the struct would hide the fact that the
+    # output is still hash-partitioned on the keys, forcing downstream
+    # groupBy(on)/join(on) to re-shuffle.
+    cols = [
+        (F.col(f"`{c}`").alias(c) if c in on else F.col(f"__left.`{c}`").alias(c))
+        for c in left.columns
+    ]
     cols.append(F.col("__m.__rts").alias(f"{right_ts}{suffix}"))
     for c in right_cols:
         out_name = f"{c}{suffix}" if c in left.columns else c

@@ -181,8 +181,16 @@ def tfidf_top_terms(
     toks = df.select(
         *group, F.col(id_col).alias("__doc"), F.explode(tokens(F.lower(F.col(text)))).alias("term")
     ).where(F.col("term") != "")
-    tf = toks.groupBy(*group, "term").agg(F.count("*").alias("tf"))
-    docfreq = toks.groupBy("term").agg(F.countDistinct("__doc").alias("df_docs"))
+    # single scan+explode: per-(doc, term) counts feed BOTH aggregates (the
+    # shared shuffle is deduplicated by ReuseExchange), instead of scanning
+    # and exploding the corpus once per aggregate.
+    per_doc = toks.groupBy(*group, "__doc", "term").agg(
+        F.count("*").alias("tf_doc")
+    )
+    tf = per_doc.groupBy(*group, "term").agg(F.sum("tf_doc").alias("tf"))
+    # per_doc rows are unique per (doc, term), and a doc has one group, so
+    # the plain row count per term IS the document frequency
+    docfreq = per_doc.groupBy("term").agg(F.count("*").alias("df_docs"))
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).alias("n_docs")
     )
