@@ -42,6 +42,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_summary",
     "minhash_signature",
+    "ngram_contamination",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "minhash_lsh_dedup",
@@ -437,3 +438,44 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, the fraction of its
+    distinct word n-grams that appear anywhere in the benchmark corpus.
+
+    The standard decontamination pass for training data (n-gram overlap
+    against eval sets). Distributed shape: the benchmark's distinct n-gram
+    set is small by construction (eval sets are thousands of docs, not
+    billions), so it broadcasts; corpus n-grams stream past it with a
+    broadcast LEFT SEMI-style join — no shuffle of corpus text, partial
+    aggregation on (doc, matched) counts. Returns
+    (id, n_grams, n_matched, overlap); docs with fewer than ``ngram``
+    tokens have zero n-grams and report overlap 0.0.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text), ngram)).alias("g"))
+        .where(F.col("g") != "")
+        .distinct()
+    )
+    corpus = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_ngrams(F.col(text), ngram)).alias("g"),
+    )
+    marked = corpus.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "g", "left"
+    )
+    return marked.groupBy("id").agg(
+        F.expr("CAST(count(g) AS BIGINT) AS n_grams"),
+        F.expr("CAST(count(__hit) AS BIGINT) AS n_matched"),
+        F.expr(
+            "CASE WHEN count(g) > 0 THEN count(__hit) / CAST(count(g) AS DOUBLE)"
+            " ELSE 0.0D END AS overlap"
+        ),
+    )

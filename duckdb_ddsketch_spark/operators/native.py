@@ -48,6 +48,7 @@ __all__ = [
     "bin_to_value_expr",
     "binned_counts",
     "sketch_quantile_agg",
+    "sketch_range_bucket",
     "sketch_struct_agg",
     "struct_quantile",
     "struct_cdf_sql",
@@ -614,3 +615,35 @@ def wire_to_struct(blob_col) -> Column:
     if isinstance(blob_col, str):
         blob_col = F.col(blob_col)
     return _wire_to_struct(blob_col)
+
+
+def sketch_range_bucket(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    alpha: float = DEFAULT_RELATIVE_ACCURACY,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Tag every row with its quantile bucket (sketch-driven range
+    partitioning): bucket k means ``p_{k-1} < v <= p_k`` with boundaries
+    from the group's DDSketch quantiles.
+
+    This is the scale pattern behind approximate range-partitioning and
+    ntile-without-a-sort: ONE cheap pass builds the (tiny) per-group
+    boundary table via the native sketch aggregate, which broadcasts back
+    onto the stream — no global sort, no window over the full data, and
+    the second pass is map-only. Appends ``bucket_col`` (0-based INT).
+    """
+    keys = list(keys)
+    qs = sorted(quantiles)
+    bounds = sketch_quantile_agg(df, keys, value, alpha, qs)
+    bcols = [f"p{_qname(q)}" for q in qs]
+    bounds = bounds.select(*keys, *bcols)
+    joined = df.join(F.broadcast(bounds), keys, "left")
+    bucket = f"CASE WHEN `{value}` IS NULL THEN NULL "
+    for i, b in enumerate(bcols):
+        bucket += f"WHEN `{value}` <= `{b}` THEN {i} "
+    bucket += f"ELSE {len(bcols)} END"
+    out = joined.withColumn(bucket_col, F.expr(f"CAST({bucket} AS INT)"))
+    return out.drop(*bcols)

@@ -55,14 +55,18 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
     """
     toks = tokens(text)
     ntok = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(ntok - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), ntok - (n - 1))
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(gram)
+    # guard short texts: sequence(1, 0) is DESCENDING in Spark ([1, 0]),
+    # which would index token 0 and (under ANSI) error out
+    return F.when(ntok >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1822,3 +1822,119 @@ def q48(spark, sf_dir):
         "user_id long, n_sessions long, n_events long,"
         " max_session_events long, total_dur_us long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q49 — benchmark-contamination check (n-gram overlap against an eval set):
+# the standard decontamination pass for training corpora
+# ---------------------------------------------------------------------------
+
+_G3 = (
+    "list_distinct(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),"
+    " i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]"
+    " || ' ' || tk[CAST(i AS INT) + 2]))"
+)
+
+
+@_declare(
+    "q49_contamination_check",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(trim(text), ' ') AS tk
+        FROM documents
+    ),
+    g AS (SELECT doc_id, source, {_G3} AS gs FROM toks),
+    bench AS (
+        SELECT DISTINCT unnest(gs) AS bg FROM g WHERE doc_id % 17 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, source, unnest(gs) AS gg FROM g WHERE doc_id % 17 <> 0
+    ),
+    per AS (
+        SELECT c.doc_id, c.source,
+               COUNT(*) AS n_grams, COUNT(b.bg) AS n_matched
+        FROM corpus c LEFT JOIN bench b ON c.gg = b.bg
+        GROUP BY 1, 2
+    ),
+    alldocs AS (
+        SELECT doc_id, source FROM g WHERE doc_id % 17 <> 0
+    ),
+    fulld AS (
+        SELECT a.doc_id, a.source,
+               COALESCE(p.n_grams, 0) AS n_grams,
+               COALESCE(p.n_matched, 0) AS n_matched,
+               CASE WHEN COALESCE(p.n_grams, 0) > 0
+                    THEN COALESCE(p.n_matched, 0) * 1.0 / p.n_grams
+                    ELSE 0.0 END AS overlap
+        FROM alldocs a LEFT JOIN per p ON a.doc_id = p.doc_id
+    )
+    SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN overlap >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_contaminated,
+        CAST(SUM(n_matched) AS BIGINT) AS total_matched,
+        CAST(MAX(overlap) AS REAL) AS max_overlap
+    FROM fulld GROUP BY source
+    """,
+)
+def q49(spark, sf_dir):
+    """Decontamination: 3-gram overlap of each corpus doc against the
+    broadcast benchmark gram set (doc_id % 17 == 0 plays the eval set)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 17 = 0")
+    corpus = docs.where("doc_id % 17 <> 0")
+    per = dedup.ngram_contamination(corpus, bench, "text", "doc_id", ngram=3)
+    joined = per.join(
+        corpus.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return joined.groupBy("source").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr(
+            "CAST(sum(CASE WHEN overlap >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_contaminated"
+        ),
+        F.expr("CAST(sum(n_matched) AS BIGINT) AS total_matched"),
+        F.expr("CAST(max(overlap) AS FLOAT) AS max_overlap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 — sketch-driven range bucketing (approximate ntile without a sort):
+# boundaries from the native sketch broadcast back onto the stream
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q50_sketch_range_bucket",
+    f"""
+    WITH q AS ({quantile_oracle_sql(
+        "lineitem",
+        {"l_returnflag": "l_returnflag"},
+        "l_extendedprice",
+        quantiles=(0.25, 0.5, 0.75),
+        stats=(),
+        quantile_cast="DOUBLE",
+    )})
+    SELECT v.l_returnflag,
+        CAST(CASE WHEN v.l_extendedprice IS NULL THEN NULL
+                  WHEN v.l_extendedprice <= q.p25 THEN 0
+                  WHEN v.l_extendedprice <= q.p50 THEN 1
+                  WHEN v.l_extendedprice <= q.p75 THEN 2
+                  ELSE 3 END AS INT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem v JOIN q ON v.l_returnflag = q.l_returnflag
+    GROUP BY 1, 2
+    """,
+)
+def q50(spark, sf_dir):
+    """Quantile bucketing via broadcast sketch boundaries — the scale
+    pattern for approximate range partitioning (no global sort/window)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    b = native.sketch_range_bucket(
+        li, ["l_returnflag"], "l_extendedprice", 0.01, (0.25, 0.5, 0.75)
+    )
+    return b.groupBy("l_returnflag", "bucket").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n")
+    )

@@ -49,6 +49,7 @@ def quantile_oracle_sql(
     stats: Sequence[str] = STAT_COLUMNS,
     where: Optional[str] = None,
     weight: Optional[str] = None,
+    quantile_cast: str = "REAL",
 ) -> str:
     """Build the oracle query.
 
@@ -122,7 +123,7 @@ def quantile_oracle_sql(
         out_cols.append(
             f"CAST(CASE WHEN {rank} < t.negc THEN -{binval(nsel)}"
             f" WHEN {rank} < t.negc + t.zeroc THEN 0.0"
-            f" ELSE {binval(psel)} END AS REAL) AS p{qn}"
+            f" ELSE {binval(psel)} END AS {quantile_cast}) AS p{qn}"
         )
     out_sql = ",\n    ".join(out_cols)
     join_cond = (

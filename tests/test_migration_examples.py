@@ -91,3 +91,19 @@ def test_stats_agg_composed_sql(spark, fixtures):
         assert r["count"] == 60
         assert r["p50"] is not None
         assert DDSketch.decode(bytes(r["sketch"])).count == 60.0
+
+
+def test_cdf_sql_surface(spark, fixtures):
+    """MIGRATION §9: ddsketch_cdf through spark.sql, empty -> NULL."""
+    row = spark.sql(
+        """
+        WITH s AS (SELECT ddsketch_prepare(10.0d, 0.01d) AS sk)
+        SELECT ddsketch_cdf(sk, 10.0d) AS at10,
+               ddsketch_cdf(sk, 5.0d) AS at5,
+               ddsketch_cdf(ddsketch_empty(0.01d), 1.0d) AS empty
+        FROM s
+        """
+    ).first()
+    assert row.at10 == 1.0
+    assert row.at5 == 0.0
+    assert row.empty is None

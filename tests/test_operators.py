@@ -323,3 +323,53 @@ def test_tfidf_common_term_scores_zeroish(spark):
     # a term present in every doc has idf = ln(4/4) = 0
     assert abs(scores[("s1", "shared")]) < 1e-9
     assert scores[("s1", "rare1")] > 0
+
+
+def test_ngram_contamination_overlap(spark):
+    from duckdb_ddsketch_spark.operators import dedup as dd
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sleeps"),  # 3-grams: 3 total, 2 in bench
+            (2, "completely different text here now"),
+            (3, "ab cd"),  # too short for 3-grams -> overlap 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.n_grams, r.n_matched, r.overlap)
+        for r in dd.ngram_contamination(corpus, bench, ngram=3).collect()
+    }
+    assert out[1] == (3, 2, 2 / 3)
+    assert out[2][1] == 0 and out[2][2] == 0.0
+    assert out[3] == (0, 0, 0.0)
+
+
+def test_sketch_range_bucket_respects_boundaries(spark):
+    from duckdb_ddsketch_spark import DDSketch
+    from duckdb_ddsketch_spark.operators import native
+
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v double")
+    out = native.sketch_range_bucket(df, ["k"], "v", 0.01, (0.25, 0.5, 0.75))
+    kernel = DDSketch(0.01).extend(vals)
+    bounds = [kernel.quantile(q) for q in (0.25, 0.5, 0.75)]
+    for r in out.collect():
+        expect = next(
+            (i for i, b in enumerate(bounds) if r.v <= b), len(bounds)
+        )
+        assert r.bucket == expect, (r.v, r.bucket, expect, bounds)
+    # buckets are roughly quartile-sized
+    sizes = {r.bucket: r.n for r in out.groupBy("bucket").agg(F.expr("count(*) AS n")).collect()}
+    assert all(15 <= sizes[b] <= 35 for b in range(4)), sizes
+
+
+def test_word_ngrams_short_text_empty(spark):
+    from duckdb_ddsketch_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame([("one",), ("one two",)], "text string")
+    rows = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert rows[0].g == [] and rows[1].g == []
