@@ -34,6 +34,8 @@ HEADLINE = [
     "q14_struct_merge_native",
     "q20_exact_dedup_summary",
     "q25_ann_bruteforce_topk",
+    "q39_asof_join_click_error",
+    "q43_heavy_hitters",
 ]
 
 

@@ -23,7 +23,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "sessionize", "range_band_join"]
+__all__ = ["asof_join", "sessionize", "range_band_join", "salted_join"]
 
 
 def asof_join(
@@ -208,3 +208,34 @@ def range_band_join(
         out_name = f"{c}{suffix}" if c in left.columns else c
         cols.append(F.col(f"__payload.`{c}`").alias(out_name))
     return joined.select(*cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: spread each hot key of the (big) left side over
+    ``salt`` sub-partitions and replicate the right side's rows across them.
+
+    The classic pre-AQE remedy for a shuffle join whose key histogram has a
+    few giants (AQE's skew-join only splits sort-merge partitions after the
+    fact; salting also fixes downstream per-key parallelism). Left rows get
+    ``pmod(hash(all left columns), salt)`` — deterministic per row, uniform
+    within a key; right rows explode x``salt``, so choose ``salt`` ~ the
+    ratio of hottest-key size to average-partition size, and keep the right
+    side the smaller input.
+    """
+    on = list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    lcols = [F.col(f"`{c}`") for c in left.columns]
+    l2 = left.withColumn(
+        "__salt", F.pmod(F.hash(*lcols), F.lit(salt)).cast("int")
+    )
+    r2 = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l2.join(r2, on + ["__salt"], how).drop("__salt")

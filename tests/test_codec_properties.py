@@ -149,3 +149,45 @@ def test_decode_prefix_of_valid_sketch(data):
             DDSketch.decode(raw[:cut])
         except ValueError:
             pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.floats(min_value=-1e7, max_value=1e7, allow_nan=False, allow_infinity=False),
+)
+def test_cdf_bounds_and_edges(values, v):
+    """cdf is in [0,1], 1 at/above the max, 0 below the min."""
+    s = DDSketch(0.01).extend(values)
+    c = s.cdf(v)
+    assert 0.0 <= c <= 1.0
+    assert s.cdf(max(values) + 1.0) == 1.0
+    if min(values) > 0:
+        assert s.cdf(min(values) / 2.0) in (0.0, s.zero_count / s.count)
+    # empty sketch -> None
+    assert DDSketch(0.01).cdf(v) is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e5, max_value=1e5, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.floats(min_value=-2e5, max_value=2e5, allow_nan=False, allow_infinity=False),
+    st.floats(min_value=-2e5, max_value=2e5, allow_nan=False, allow_infinity=False),
+)
+def test_cdf_monotone(values, a, b):
+    """cdf is non-decreasing in v."""
+    s = DDSketch(0.01).extend(values)
+    lo, hi = (a, b) if a <= b else (b, a)
+    assert s.cdf(lo) <= s.cdf(hi)
