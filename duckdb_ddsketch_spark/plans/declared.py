@@ -1938,3 +1938,147 @@ def q50(spark, sf_dir):
     return b.groupBy("l_returnflag", "bucket").agg(
         F.expr("CAST(count(*) AS BIGINT) AS n")
     )
+
+
+# ---------------------------------------------------------------------------
+# q51 — sliding streaming windows (1h window / 30min slide): every event
+# lands in two windows; the oracle replays that duplication with an unnest
+# ---------------------------------------------------------------------------
+
+_Q51_TABLE = """(
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - o.off,
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, value
+    FROM events,
+         (SELECT unnest([INTERVAL '0 minutes', INTERVAL '30 minutes']) AS off) o
+)"""
+
+
+@_declare(
+    "q51_streaming_sliding_windows",
+    quantile_oracle_sql(
+        _Q51_TABLE,
+        {"window_start": "window_start", "event_type": "event_type"},
+        "value",
+        quantiles=(0.5, 0.95),
+        stats=("count",),
+    ),
+)
+def q51(spark, sf_dir):
+    import tempfile
+
+    _prep(spark)
+    from ..streaming import streaming_quantiles, windowed_binned_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    binned = windowed_binned_counts(
+        stream, "ts", ["event_type"], "value",
+        window="1 hour", slide="30 minutes", watermark="0 seconds",
+    )
+    state = {}
+
+    def sink(batch_df, _id):
+        for r in batch_df.collect():
+            state[(r.window_start, r.window_end, r.event_type, r.sign, r.bin)] = r.cnt
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            binned.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    sink_df = spark.createDataFrame(
+        [(*k, cnt) for k, cnt in state.items()],
+        "window_start timestamp, window_end timestamp, event_type string,"
+        " sign int, bin int, cnt double",
+    )
+    out = streaming_quantiles(sink_df, ["event_type"], quantiles=(0.5, 0.95))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "count",
+        F.col("p50").cast("float").alias("p50"),
+        F.col("p95").cast("float").alias("p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — the reference's storage pattern under the gate: pre-aggregated
+# sketch tables persisted as day-partitioned parquet (BLOB column), read
+# back with partition pruning, rolled up over a date range
+# ---------------------------------------------------------------------------
+
+_Q52_LO, _Q52_HI = "2024-01-10", "2024-01-20"
+
+
+def _q52_store(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir) the day-partitioned sketch store the query
+    reads — the hourly->daily roll-up tables of README.md:119-124."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sketch_store_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(base, "_SUCCESS_STORE")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        )
+        pre = native.sketch_struct_agg(ev, ["day", "event_type"], "value", 0.01)
+        wire = pre.select(
+            "day", "event_type", native.struct_to_wire("sketch").alias("sketch")
+        )
+        from ..sources import write_sketch_table
+
+        write_sketch_table(wire, base, partition_by=["day"])
+        with open(marker, "w") as f:
+            f.write("ok")
+    return base
+
+
+@_declare(
+    "q52_partitioned_store_rollup",
+    quantile_oracle_sql(
+        "events",
+        {"event_type": "event_type"},
+        "value",
+        quantiles=(0.5, 0.95),
+        stats=("count",),
+        where=(
+            f"strftime(date_trunc('day', ts), '%Y-%m-%d')"
+            f" BETWEEN '{_Q52_LO}' AND '{_Q52_HI}'"
+        ),
+    ),
+)
+def q52(spark, sf_dir):
+    """Partition-pruned roll-up over a stored sketch table: only the 11
+    day-directories inside the range are scanned (the filter sits on the
+    partition column), then the reference's ddsketch_agg merges the blobs."""
+    _prep(spark)
+    store = _q52_store(spark, sf_dir)
+    stored = spark.read.parquet(store).where(
+        (F.col("day") >= _Q52_LO) & (F.col("day") <= _Q52_HI)
+    )
+    rolled = stored.groupBy("event_type").agg(ddsketch_agg("sketch").alias("s"))
+    return rolled.select(
+        "event_type",
+        fs.ddsketch_count(F.col("s")).alias("count"),
+        fs.ddsketch_quantile(F.col("s"), F.lit(0.5)).cast("float").alias("p50"),
+        fs.ddsketch_quantile(F.col("s"), F.lit(0.95)).cast("float").alias("p95"),
+    )

@@ -88,3 +88,71 @@ def test_topk_broadcasts_queries(spark, sf_dir):
     q = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
     assert checks.broadcast_exchange_count(q) >= 1  # corpus never shuffles
     assert checks.python_eval_nodes(q) == []
+
+
+def test_range_bucket_broadcasts_boundaries(spark, lineitem):
+    """q50's boundary table must broadcast — the stream side re-shuffling
+    on the group key would defeat the whole design."""
+    from duckdb_ddsketch_spark.operators import native
+    from duckdb_ddsketch_spark.plans import checks
+
+    df = native.sketch_range_bucket(
+        lineitem, ["l_returnflag"], "l_extendedprice", 0.01, (0.25, 0.5, 0.75)
+    )
+    assert checks.broadcast_exchange_count(df) >= 1
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set broadcasts; corpus text never shuffles."""
+    import os
+
+    from duckdb_ddsketch_spark.operators import dedup
+    from duckdb_ddsketch_spark.plans import checks
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = dedup.ngram_contamination(
+        docs.where("doc_id % 17 <> 0"), docs.where("doc_id % 17 = 0")
+    )
+    assert checks.broadcast_exchange_count(out) >= 1
+    plan = checks.formatted_plan(out)
+    assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate the join: a sortMergeJoin over two tables
+    bucketed on the key runs with ZERO shuffle exchanges — the storage-side
+    lever for repeated 100 TB joins on the same key."""
+    import os
+
+    from duckdb_ddsketch_spark.plans import checks
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("b_orders"))
+        (li.withColumnRenamed("l_orderkey", "o_orderkey")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("b_lineitem"))
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        agg = j.groupBy("o_orderstatus").count()
+        # join itself: no Exchange before the SortMergeJoin
+        jplan = checks.formatted_plan(j)
+        assert "SortMergeJoin" in jplan
+        assert checks.exchange_count(j) == 0
+        # and the count matches the unbucketed join
+        got = {r.o_orderstatus: r["count"] for r in agg.collect()}
+        want = {
+            r.o_orderstatus: r["count"]
+            for r in orders.join(
+                li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+            ).groupBy("o_orderstatus").count().collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
