@@ -1315,8 +1315,13 @@ def _q37_oracle() -> str:
             outs.append("CAST((negc + zeroc) / total AS REAL) AS cdf_0")
             continue
         b = _cdf_bin(t)
+        # LN argument guarded: DuckDB evaluates the expression eagerly for
+        # the whole vector inside aggregate arguments, so LN(0) would raise
+        # even under CASE WHEN v > 0
         les.append(
-            f"SUM(CASE WHEN v > 0 AND CEIL(LN(v) / {lg}) <= {b} THEN 1 ELSE 0 END) AS le_{b}"
+            f"SUM(CASE WHEN v > 0 AND"
+            f" CEIL(LN(CASE WHEN v > 0 THEN v ELSE 1 END) / {lg}) <= {b}"
+            f" THEN 1 ELSE 0 END) AS le_{b}"
         )
         outs.append(
             f"CAST((negc + zeroc + le_{b}) / total AS REAL) AS cdf_{n}"
