@@ -35,6 +35,7 @@ __all__ = [
     "ddsketch_stats_agg",
     "sketch_values_agg",
     "merge_sketches_scalable",
+    "ingest_values_scalable",
 ]
 
 
@@ -142,4 +143,51 @@ def merge_sketches_scalable(
             )
 
     partial = df.select(*keys, sketch_col).mapInPandas(partial_merge, schema=fields)
+    return partial.groupBy(*keys).agg(ddsketch_agg(sketch_col).alias(sketch_col))
+
+
+def ingest_values_scalable(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    alpha: float = DEFAULT_RELATIVE_ACCURACY,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Raw-value ingest with partial aggregation on the Python path.
+
+    ``sketch_values_agg`` (a grouped-agg pandas UDF) shuffles every raw row
+    to its group's reducer; this form builds one partial sketch per
+    (input partition, group) with ``mapInPandas`` — no shuffle of raw rows,
+    numpy-vectorized binning — and only the tiny partial sketches move,
+    exactly the reference's update/combine split (lib.rs:687-765). Use when
+    the wire/pandas path is required end-to-end; the fully native
+    ``operators/native.sketch_struct_agg`` remains the fastest ingest.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    keys = list(keys)
+    out_schema = StructType(
+        list(df.select(*keys).schema.fields)
+        + [StructField(sketch_col, BinaryType())]
+    )
+
+    def partial_ingest(batches: Iterable[pd.DataFrame]):
+        states: dict[tuple, DDSketch] = {}
+        for pdf in batches:
+            for k, sub in pdf.groupby(keys, dropna=False, sort=False):
+                key = k if isinstance(k, tuple) else (k,)
+                vals = sub[value].dropna().to_numpy()
+                if len(vals) == 0:
+                    continue
+                s = states.get(key)
+                if s is None:
+                    s = states[key] = DDSketch(alpha)
+                s.extend_array(vals)
+        if states:
+            yield pd.DataFrame(
+                [(*k, s.encode()) for k, s in states.items() if s.count > 0],
+                columns=[*keys, sketch_col],
+            )
+
+    partial = df.select(*keys, value).mapInPandas(partial_ingest, schema=out_schema)
     return partial.groupBy(*keys).agg(ddsketch_agg(sketch_col).alias(sketch_col))

@@ -2087,3 +2087,39 @@ def q52(spark, sf_dir):
         fs.ddsketch_quantile(F.col("s"), F.lit(0.5)).cast("float").alias("p50"),
         fs.ddsketch_quantile(F.col("s"), F.lit(0.95)).cast("float").alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q53 — scalable raw-value ingest on the wire path: mapInPandas partial
+# sketches per (partition, group), then the blob merge — the reference's
+# update/combine split with no raw-row shuffle
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q53_scalable_ingest_rollup",
+    quantile_oracle_sql(
+        "lineitem",
+        {"l_returnflag": "l_returnflag"},
+        "l_quantity",
+        quantiles=(0.5, 0.9, 0.99),
+        stats=("count", "avg"),
+    ),
+)
+def q53(spark, sf_dir):
+    _prep(spark)
+    from ..functions.aggregate import ingest_values_scalable
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pre = ingest_values_scalable(li, ["l_returnflag"], "l_quantity", 0.01)
+    st = pre.select(
+        "l_returnflag", fs.ddsketch_stats_full(F.col("sketch")).alias("st")
+    )
+    return st.select(
+        "l_returnflag",
+        F.col("st.count").alias("count"),
+        F.col("st.avg").cast("float").alias("avg"),
+        F.col("st.p50").cast("float").alias("p50"),
+        F.col("st.p90").cast("float").alias("p90"),
+        F.col("st.p99").cast("float").alias("p99"),
+    )

@@ -267,3 +267,37 @@ def test_multi_quantile_array(spark):
     assert row.qs == [row.q25, row.q50, row.q99]
     assert row.bad == [None]
     assert row.nul is None
+
+
+def test_ingest_values_scalable_matches_grouped_agg(spark):
+    """mapInPandas partial ingest must produce byte-identical sketches to
+    the direct grouped-agg ingest (bin counts are additive)."""
+    import random
+
+    from duckdb_ddsketch_spark.functions.aggregate import (
+        ingest_values_scalable,
+        sketch_values_agg,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (f"k{i % 4}", rng.uniform(-5, 500) if i % 13 else 0.0)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(6)
+    a = {
+        r.k: bytes(r.sketch)
+        for r in ingest_values_scalable(df, ["k"], "v", 0.01).collect()
+    }
+    b = {
+        r.k: bytes(r.sk)
+        for r in df.groupBy("k").agg(sketch_values_agg(F.col("v")).alias("sk")).collect()
+    }
+    from duckdb_ddsketch_spark import DDSketch
+
+    assert set(a) == set(b)
+    for k in a:
+        sa, sb = DDSketch.decode(a[k]), DDSketch.decode(b[k])
+        assert sa.positive_bins == sb.positive_bins, k
+        assert sa.negative_bins == sb.negative_bins, k
+        assert sa.zero_count == sb.zero_count and sa.count == sb.count, k
