@@ -43,6 +43,7 @@ __all__ = [
     "exact_dedup_summary",
     "minhash_signature",
     "ngram_contamination",
+    "incremental_dedup",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "minhash_lsh_dedup",
@@ -478,4 +479,37 @@ def ngram_contamination(
             "CASE WHEN count(g) > 0 THEN count(__hit) / CAST(count(g) AS DOUBLE)"
             " ELSE 0.0D END AS overlap"
         ),
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup: which rows of ``new_df`` are genuinely new?
+
+    Two-level check, the standard shape for appending a batch to a corpus:
+    (1) within-batch exact dedup (min id is canonical), and (2) an anti
+    join of normalized-text hashes against the existing corpus. The corpus
+    side reduces to DISTINCT hashes first (partial aggregation; one 16-byte
+    digest per distinct text crosses the wire — never the text itself).
+    Adds ``in_corpus`` and ``is_new_unique`` flags.
+    """
+    h = F.md5(normalize_text(F.col(text)))
+    w = Window.partitionBy("__h")
+    tagged = new_df.withColumn("__h", h).withColumn(
+        "__canon", F.col(id_col) == F.min(id_col).over(w)
+    )
+    corpus_hashes = (
+        corpus_df.select(h.alias("__h")).distinct().withColumn("__hit", F.lit(1))
+    )
+    joined = tagged.join(corpus_hashes, "__h", "left")
+    return (
+        joined.withColumn("in_corpus", F.col("__hit").isNotNull())
+        .withColumn(
+            "is_new_unique", F.col("__canon") & F.col("__hit").isNull()
+        )
+        .drop("__h", "__canon", "__hit")
     )

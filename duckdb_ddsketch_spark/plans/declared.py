@@ -2123,3 +2123,101 @@ def q53(spark, sf_dir):
         F.col("st.p90").cast("float").alias("p90"),
         F.col("st.p99").cast("float").alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q54 — incremental-ingest dedup: a new batch against the existing corpus
+# (anti join on normalized-text digests; within-batch canonicalization)
+# ---------------------------------------------------------------------------
+
+_NORM = "md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))"
+
+
+@_declare(
+    "q54_incremental_dedup",
+    f"""
+    WITH newb AS (
+        SELECT doc_id, source, {_NORM} AS h,
+               doc_id = MIN(doc_id) OVER (PARTITION BY {_NORM}) AS canon
+        FROM documents WHERE doc_id % 5 = 4
+    ),
+    corpus AS (
+        SELECT DISTINCT {_NORM} AS h FROM documents WHERE doc_id % 5 <> 4
+    )
+    SELECT n.source,
+        CAST(COUNT(*) AS BIGINT) AS n_new,
+        CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_in_corpus,
+        CAST(SUM(CASE WHEN n.canon AND c.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new_unique
+    FROM newb n LEFT JOIN corpus c ON n.h = c.h
+    GROUP BY n.source
+    """,
+)
+def q54(spark, sf_dir):
+    """Appending a batch to a corpus: per source, how many rows are already
+    present (exact text match) and how many are genuinely new."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    newb = docs.where("doc_id % 5 = 4")
+    corpus = docs.where("doc_id % 5 <> 4")
+    out = dedup.incremental_dedup(newb, corpus)
+    return out.groupBy("source").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_new"),
+        F.expr("CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_in_corpus"),
+        F.expr("CAST(sum(CASE WHEN is_new_unique THEN 1 ELSE 0 END) AS BIGINT) AS n_new_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — the full preprocessing pipeline as ONE declared query:
+# exact-dedup -> quality filter -> per-language token accounting
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q55_pipeline_dedup_quality_tokens",
+    f"""
+    WITH canon AS (
+        SELECT doc_id, lang, text, n_chars
+        FROM (
+            SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY {_NORM}) AS canon
+            FROM documents
+        ) WHERE canon
+    ),
+    scored AS (
+        SELECT lang, n_chars,
+            (CASE WHEN len({_TOKS}) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END
+             + len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})
+             + least(len(list_filter(string_split(lower(trim(text)), ' '),
+                                     w -> w IN ('{_SW}'))) * 5.0 / len({_TOKS}),
+                     1.0)) / 3.0 AS q
+        FROM canon
+    )
+    SELECT lang,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN q >= 0.5 THEN CAST(CEIL(n_chars / 4.0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS kept_bpe_tokens
+    FROM scored GROUP BY lang
+    """,
+)
+def q55(spark, sf_dir):
+    """The end-to-end preprocessing pipeline as one plan: canonical-only
+    exact dedup, quality filter at 0.5, per-language token budget."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    canon = dedup.exact_dedup(docs).where("is_canonical")
+    scored = canon.select(
+        "lang",
+        "n_chars",
+        text.quality_score(F.col("text")).alias("q"),
+    )
+    return scored.groupBy("lang").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept"),
+        F.expr(
+            "CAST(sum(CASE WHEN q >= 0.5 THEN CAST(CEIL(n_chars / 4.0) AS BIGINT)"
+            " ELSE 0 END) AS BIGINT) AS kept_bpe_tokens"
+        ),
+    )

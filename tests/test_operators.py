@@ -373,3 +373,25 @@ def test_word_ngrams_short_text_empty(spark):
     df = spark.createDataFrame([("one",), ("one two",)], "text string")
     rows = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
     assert rows[0].g == [] and rows[1].g == []
+
+
+def test_incremental_dedup_flags(spark):
+    from duckdb_ddsketch_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [(1, "existing text"), (2, "other text")], "doc_id long, text string"
+    )
+    newb = spark.createDataFrame(
+        [
+            (10, "Existing   Text"),   # normalizes to a corpus dup
+            (11, "brand new text"),
+            (12, "brand new text"),    # within-batch dup of 11
+            (13, "another new one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.in_corpus, r.is_new_unique) for r in dd.incremental_dedup(newb, corpus).collect()}
+    assert out[10] == (True, False)
+    assert out[11] == (False, True)
+    assert out[12] == (False, False)  # canonical is 11
+    assert out[13] == (False, True)
