@@ -34,4 +34,17 @@ _FUNCTIONS = {
 def register_all(spark: SparkSession) -> SparkSession:
     for name, fn in _FUNCTIONS.items():
         spark.udf.register(name, fn)
+    # the reference's 0-parameter form `ddsketch_create()` (default
+    # relative accuracy 0.01, lib.rs:72-78): pandas UDFs need an input
+    # series, so the no-arg constructor registers as a plain UDF — it
+    # only ever produces one constant value per call site.
+    from pyspark.sql.types import BinaryType
+
+    from ..sketch import DDSketch, DEFAULT_RELATIVE_ACCURACY
+
+    spark.udf.register(
+        "ddsketch_create",
+        lambda: DDSketch(DEFAULT_RELATIVE_ACCURACY).encode(),
+        BinaryType(),
+    )
     return spark

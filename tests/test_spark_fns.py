@@ -301,3 +301,40 @@ def test_ingest_values_scalable_matches_grouped_agg(spark):
         assert sa.positive_bins == sb.positive_bins, k
         assert sa.negative_bins == sb.negative_bins, k
         assert sa.zero_count == sb.zero_count and sa.count == sb.count, k
+
+
+def test_zero_arg_create_default_alpha(spark):
+    """The reference's `ddsketch_create()` with no parameter defaults to
+    alpha=0.01 (lib.rs:72-78); SQL surface parity."""
+    from duckdb_ddsketch_spark import DDSketch
+
+    row = spark.sql(
+        "SELECT ddsketch_create() AS s, ddsketch_count(ddsketch_create()) AS c"
+    ).first()
+    s = DDSketch.decode(bytes(row.s))
+    assert abs(s.gamma - (1.0 + 2.0 * 0.01 / 0.99)) < 1e-12
+    assert row.c == 0
+
+
+def test_scalar_surface_survives_garbage_blobs(spark):
+    """Random bytes through every scalar: NULL out, never an exception
+    (lib.rs:191-194 bad-blob semantics), including mixed with valid rows."""
+    import random
+
+    from duckdb_ddsketch_spark import DDSketch
+
+    rng = random.Random(99)
+    rows = [(bytes(rng.randbytes(rng.randint(0, 60))),) for _ in range(200)]
+    rows += [(DDSketch(0.01).extend([1.0, 2.0]).encode(),), (None,)]
+    df = spark.createDataFrame(rows, "b binary")
+    out = df.selectExpr(
+        "ddsketch_quantile(b, 0.5d) AS q",
+        "ddsketch_count(b) AS c",
+        "ddsketch_stats(b) AS st",
+        "ddsketch_merge(b, b) AS m",
+        "ddsketch_add(b, 1.0d) AS a",
+        "ddsketch_cdf(b, 1.0d) AS f",
+    ).collect()
+    assert len(out) == 202
+    ok = [r for r in out if r.c == 2]
+    assert len(ok) >= 1  # the valid sketch still computes
