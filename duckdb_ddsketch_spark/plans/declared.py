@@ -2221,3 +2221,87 @@ def q55(spark, sf_dir):
             " ELSE 0 END) AS BIGINT) AS kept_bpe_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q56 — stream-stream time-range join: the q41 band join executed as two
+# joined STREAMS with watermarks (Spark buffers both sides in state and
+# evicts by watermark); must equal the batch inequality-join oracle
+# ---------------------------------------------------------------------------
+
+
+@_declare("q56_stream_stream_range_join", ORACLES["q41_range_band_join"])
+def q56(spark, sf_dir):
+    import tempfile
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+
+    def read(name):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .where(f"event_type = '{name}'")
+        )
+
+    # stream-stream joins REQUIRE an equality predicate: reuse the band
+    # join's bucketing (width = band = 300 s) as the equi-key — errors land
+    # in one bucket, clicks explode to the two buckets that could hold a
+    # matching error, and the exact range condition filters within state.
+    errors = (
+        read("error")
+        .selectExpr(
+            "event_id AS err_id",
+            "ts AS err_ts",
+            "unix_micros(ts) div 300000000 AS bkt",
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    clicks = (
+        read("click")
+        .selectExpr(
+            "ts AS click_ts",
+            "explode(array(unix_micros(ts) div 300000000,"
+            " unix_micros(ts) div 300000000 - 1)) AS bkt",
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    pairs = errors.join(
+        clicks,
+        (errors.bkt == clicks.bkt)
+        & F.expr(
+            "click_ts >= err_ts AND click_ts <= err_ts + INTERVAL 5 MINUTES"
+        ),
+    )
+    rows = []
+
+    def sink(batch_df, _id):
+        rows.extend(batch_df.select("err_id", "err_ts").collect())
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            pairs.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    got = spark.createDataFrame(rows, "err_id long, err_ts timestamp")
+    return (
+        got.withColumn(
+            "day", F.date_format(F.date_trunc("day", "err_ts"), "yyyy-MM-dd")
+        )
+        .groupBy("day")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_pairs"),
+            F.expr("CAST(count(DISTINCT err_id) AS BIGINT) AS n_errors_hit"),
+        )
+    )

@@ -156,3 +156,29 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_no_declared_query_uses_row_at_a_time_python(spark, sf_dir):
+    """Every declared query's physical plan must use only Arrow-vectorized
+    Python nodes (ArrowEvalPython / AggregateInPandas / MapInPandas /
+    FlatMapGroupsInPandas) — BatchEvalPython (pickle, row-at-a-time) in a
+    hot path would be a 10-100x regression at scale."""
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    # streaming queries execute during build (their returned DF is a
+    # collected createDataFrame) — nothing to inspect, and slow; skip.
+    skip = {
+        "q34_streaming_hourly_windows",
+        "q48_streaming_sessions",
+        "q51_streaming_sliding_windows",
+        "q56_stream_stream_range_join",
+    }
+    offenders = {}
+    for name, fn in sorted(queries.items()):
+        if name in skip:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders[name] = True
+    assert not offenders, f"row-at-a-time Python in: {sorted(offenders)}"
