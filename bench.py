@@ -6,9 +6,11 @@ Prints ONE JSON line:
 
 The comparator is DuckDB executing the equivalent bin-math oracle SQL over
 the same parquet (BASELINE.md); its timings are included as
-``duckdb_oracle`` unless --no-compare is passed. ``native_sketch_rows_per_sec``
-reports the native path's marginal throughput at 60M generated rows — the
-scale-relevant number (per-query times at sf0.1 are fixed-overhead-bound).
+``duckdb_oracle`` unless --no-compare is passed. The DuckDB section runs
+BEFORE the Spark JVM is started so neither engine's numbers are skewed by
+the other's threads/GC. ``native_sketch_rows_per_sec`` reports the native
+path's marginal throughput at 60M generated rows — the scale-relevant
+number (per-query times at sf0.1 are fixed-overhead-bound).
 """
 
 from __future__ import annotations
@@ -38,8 +40,85 @@ HEADLINE = [
     "q43_heavy_hitters",
 ]
 
+N_60M = 60_000_000
+
+
+def _median3(fn) -> float:
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        reps.append(time.perf_counter() - t0)
+    return round(sorted(reps)[1], 3)
+
+
+def run_duckdb(result: dict) -> None:
+    """DuckDB comparator on an otherwise-idle machine (no JVM yet)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+        " documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    oracles = entry_mod.oracle_sql()
+    ducks = {}
+    for name in HEADLINE:
+        if name in oracles:
+            sql = oracles[name]
+            con.execute(sql).fetchall()  # warm (parquet in page cache)
+            ducks[name] = _median3(lambda: con.execute(sql).fetchall())
+    result["duckdb_oracle"] = ducks
+
+    # Same 60M-row workload in DuckDB (generation + binned quantile
+    # aggregation, one query, all threads) — the apples-to-apples
+    # scale-proxy comparison for the native path.
+    import math as _math
+
+    con.execute(f"SET threads={CPUS}")
+    _gamma = 1.0 + 2.0 * 0.01 / 0.99
+    _lg = repr(_math.log(_gamma))
+    duck_60m = f"""
+    WITH gen AS (
+        SELECT CAST(range % 25 AS VARCHAR) AS grp,
+               POWER(random() * 4 + 1, 3) * 10 AS v
+        FROM range({N_60M})
+    ),
+    binned AS (
+        SELECT grp, CAST(CEIL(LN(v) / {_lg}) AS INTEGER) AS bin,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM gen GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, SUM(cnt) AS total FROM binned GROUP BY 1),
+    cum AS (
+        SELECT grp, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY grp ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM binned
+    )
+    SELECT t.grp,
+           MIN(CASE WHEN c.cum > 0.5 * (t.total - 1) THEN c.bin END),
+           MIN(CASE WHEN c.cum > 0.95 * (t.total - 1) THEN c.bin END),
+           MIN(CASE WHEN c.cum > 0.99 * (t.total - 1) THEN c.bin END)
+    FROM cum c JOIN tot t USING (grp) GROUP BY 1
+    """
+    con.execute(duck_60m).fetchall()
+    t0 = time.perf_counter()
+    con.execute(duck_60m).fetchall()
+    result["duckdb_60m_sec"] = round(time.perf_counter() - t0, 3)
+    con.close()
+
 
 def main() -> None:
+    result: dict = {}
+    if "--no-compare" not in sys.argv:
+        run_duckdb(result)
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod
@@ -49,6 +128,7 @@ def main() -> None:
         .appName("ddsketch-spark-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
@@ -68,22 +148,19 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = queries[name]
-        reps = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
-            reps.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(reps)[1], 3)  # median of 3
+        timings[name] = _median3(lambda: fn(spark, SF_DIR).collect())
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    result = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf else SF_DIR,
-    }
+    result.update(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf else SF_DIR,
+        }
+    )
 
     # Marginal throughput of the native sketch path at 100x the bench rows —
     # the number that extrapolates to cluster scale (per-query times above are
@@ -94,10 +171,8 @@ def main() -> None:
 
     from duckdb_ddsketch_spark.operators import native
 
-    n = 60_000_000
-
     def native_60m():
-        gen = spark.range(n, numPartitions=64).select(
+        gen = spark.range(N_60M, numPartitions=64).select(
             (F.col("id") % 25).cast("string").alias("grp"),
             (F.pow(F.rand(seed=42) * 4 + 1, 3) * 10).alias("v"),
         )
@@ -107,65 +182,8 @@ def main() -> None:
     t0 = time.perf_counter()
     native_60m().collect()
     dt = time.perf_counter() - t0
-    result["native_sketch_rows_per_sec"] = int(n / dt)
+    result["native_sketch_rows_per_sec"] = int(N_60M / dt)
     result["native_sketch_60m_sec"] = round(dt, 3)
-
-    if "--no-compare" not in sys.argv:
-        import duckdb
-
-        con = duckdb.connect()
-        for t in (
-            "region nation customer supplier part orders lineitem events"
-            " documents embeddings"
-        ).split():
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-            )
-        oracles = entry_mod.oracle_sql()
-        ducks = {}
-        for name in HEADLINE:
-            if name in oracles:
-                t0 = time.perf_counter()
-                con.execute(oracles[name]).fetchall()
-                ducks[name] = round(time.perf_counter() - t0, 3)
-        result["duckdb_oracle"] = ducks
-
-        # Same 60M-row workload in DuckDB (generation + binned quantile
-        # aggregation, one query, all threads) — the apples-to-apples
-        # scale-proxy comparison for the native path.
-        import math as _math
-
-        con.execute(f"SET threads={CPUS}")
-        _gamma = 1.0 + 2.0 * 0.01 / 0.99
-        _lg = repr(_math.log(_gamma))
-        duck_60m = f"""
-        WITH gen AS (
-            SELECT CAST(range % 25 AS VARCHAR) AS grp,
-                   POWER(random() * 4 + 1, 3) * 10 AS v
-            FROM range({n})
-        ),
-        binned AS (
-            SELECT grp, CAST(CEIL(LN(v) / {_lg}) AS INTEGER) AS bin,
-                   CAST(COUNT(*) AS DOUBLE) AS cnt
-            FROM gen GROUP BY 1, 2
-        ),
-        tot AS (SELECT grp, SUM(cnt) AS total FROM binned GROUP BY 1),
-        cum AS (
-            SELECT grp, bin, cnt,
-                   SUM(cnt) OVER (PARTITION BY grp ORDER BY bin
-                                  ROWS UNBOUNDED PRECEDING) AS cum
-            FROM binned
-        )
-        SELECT t.grp,
-               MIN(CASE WHEN c.cum > 0.5 * (t.total - 1) THEN c.bin END),
-               MIN(CASE WHEN c.cum > 0.95 * (t.total - 1) THEN c.bin END),
-               MIN(CASE WHEN c.cum > 0.99 * (t.total - 1) THEN c.bin END)
-        FROM cum c JOIN tot t USING (grp) GROUP BY 1
-        """
-        con.execute(duck_60m).fetchall()
-        t0 = time.perf_counter()
-        con.execute(duck_60m).fetchall()
-        result["duckdb_60m_sec"] = round(time.perf_counter() - t0, 3)
 
     spark.stop()
     print(json.dumps(result))
