@@ -15,7 +15,11 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import scalar as fs
-from ..functions.aggregate import ddsketch_agg, sketch_values_agg
+from ..functions.aggregate import (
+    ddsketch_agg,
+    ingest_values_scalable,
+    sketch_values_agg,
+)
 from ..operators import dedup, native, relational, sampling, similarity, text
 from ..sources import load_table
 from .oracle import constants, qname, quantile_oracle_sql, rowwise_bin_value_sql
@@ -325,14 +329,13 @@ _Q12_STATS = ("count", "sum", "avg", "min", "max")
 def q12(spark, sf_dir):
     _prep(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    # two-level shape: pre-sketch per (group, sub-bucket) — bounded fan-in per
-    # pandas batch — then merge the serialized sketches per group. Identical
-    # final bins to direct ingest; this is the scalable ingest topology.
-    pre = li.groupBy(
-        "l_linestatus", (F.crc32(F.col("l_orderkey").cast("string")) % 64).alias("bkt")
-    ).agg(sketch_values_agg(F.col("l_discount")).alias("sk"))
-    agg = pre.groupBy("l_linestatus").agg(
-        fs.ddsketch_stats_full(ddsketch_agg("sk")).alias("st")
+    # update/combine split on the wire path: one partial sketch per
+    # (input partition, group) map-side, so only ~KB blobs shuffle — never
+    # raw rows. Identical final bins to direct ingest (bin-count addition
+    # commutes across any partial split).
+    pre = ingest_values_scalable(li, ["l_linestatus"], "l_discount")
+    agg = pre.select(
+        "l_linestatus", fs.ddsketch_stats_full(F.col("sketch")).alias("st")
     )
     return agg.select(
         "l_linestatus",
