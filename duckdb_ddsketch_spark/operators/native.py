@@ -156,6 +156,7 @@ def sketch_quantile_agg(
     quantiles: Sequence[float] = (0.25, 0.50, 0.75, 0.90, 0.95, 0.99),
     weight: Optional[str] = None,
     exact_stats: bool = False,
+    rollup: bool = False,
 ) -> DataFrame:
     """Per-group DDSketch stats + quantiles, fully native.
 
@@ -176,6 +177,15 @@ def sketch_quantile_agg(
     Expressions are assembled as SQL strings parsed once per output column:
     building this query from nested Column operations costs hundreds of py4j
     round-trips (~1 s of driver latency per call); the string form costs ~30.
+
+    With ``rollup=True`` the result carries every ROLLUP(*keys) level plus a
+    ``gid`` column (``grouping(k0)*2^(n-1) + ... + grouping(kn-1)``, i.e.
+    0 = finest level, all-ones = grand total; rolled-up keys are NULL). The
+    coarser levels are produced by a GROUPING-SETS re-aggregation of the
+    *already binned* counts — the Expand operator multiplies ~|keys x bins|
+    pre-aggregated rows, never the raw input — so a full hypertable-style
+    rollup costs one extra exchange over the finest-grain aggregate no
+    matter the input size.
     """
     keys = list(keys)
     gamma = gamma_of(alpha)
@@ -234,10 +244,26 @@ def sketch_quantile_agg(
     # map/struct assembly; the stat/quantile folds below run on the arrays
     # directly, which keeps the analyzed expression tree small.
     entry = "struct(bin AS key, cnt AS value)"
+    binned = _binned_sql(keys, value, alpha, weight, from_clause="{df}")
+    if rollup:
+        if not keys:
+            raise ValueError("rollup=True requires at least one group key")
+        kq0 = ", ".join(f"`{k}`" for k in keys)
+        gid = " + ".join(
+            f"grouping(`{k}`) * {1 << (len(keys) - 1 - i)}"
+            for i, k in enumerate(keys)
+        )
+        binned = (
+            f"SELECT {kq0}, CAST({gid} AS INT) AS gid, sign, bin,"
+            " sum(cnt) AS cnt, sum(vsum) AS vsum,"
+            " min(vmin) AS vmin, max(vmax) AS vmax"
+            f" FROM ({binned}) GROUP BY sign, bin, ROLLUP({kq0})"
+        )
+        keys = keys + ["gid"]
+        out_cols.insert(len(keys) - 1, "`gid`")
     kq = ", ".join(f"`{k}`" for k in keys)
     kq_pre = f"{kq}, " if keys else ""
     group_by = f" GROUP BY {kq}" if keys else ""
-    binned = _binned_sql(keys, value, alpha, weight, from_clause="{df}")
     inner = (
         f"SELECT {kq_pre}"
         f"sort_array(collect_list(CASE WHEN sign = 1 THEN {entry} END)) AS pe,"

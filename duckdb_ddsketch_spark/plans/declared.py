@@ -2319,3 +2319,53 @@ def q56(spark, sf_dir):
             F.expr("CAST(count(DISTINCT err_id) AS BIGINT) AS n_errors_hit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — hypertable-style ROLLUP: every (event_type, day) level + gid in ONE
+# pass. The coarser levels re-aggregate the already-binned counts (Expand
+# runs over ~|groups x bins| rows, never the raw scan), so the whole rollup
+# costs one extra exchange over the finest-grain aggregate at any scale.
+# Oracle: UNION ALL of the per-level bin-math oracles with literal gids.
+# ---------------------------------------------------------------------------
+
+_Q57_QS = (0.5, 0.95)
+_Q57_COLS = "count, avg, p50, p95"
+
+
+def _q57_level_oracle(group_by):
+    return quantile_oracle_sql(
+        "events",
+        group_by,
+        "value",
+        quantiles=_Q57_QS,
+        stats=("count", "avg"),
+    )
+
+
+_Q57_ORACLE = f"""
+SELECT event_type, day, CAST(0 AS INTEGER) AS gid, {_Q57_COLS}
+FROM ({_q57_level_oracle({"event_type": "event_type",
+                          "day": "strftime(date_trunc('day', ts), '%Y-%m-%d')"})})
+UNION ALL
+SELECT event_type, CAST(NULL AS VARCHAR) AS day, CAST(1 AS INTEGER) AS gid, {_Q57_COLS}
+FROM ({_q57_level_oracle({"event_type": "event_type"})})
+UNION ALL
+SELECT CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS VARCHAR) AS day,
+       CAST(3 AS INTEGER) AS gid, {_Q57_COLS}
+FROM ({_q57_level_oracle({})})
+"""
+
+
+@_declare("q57_rollup_quantiles", _Q57_ORACLE)
+def q57(spark, sf_dir):
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    out = native.sketch_quantile_agg(
+        ev, ["event_type", "day"], "value", 0.01, _Q57_QS, rollup=True
+    )
+    return out.select(
+        "event_type", "day", "gid", "count", *_f32("avg", "p50", "p95")
+    )

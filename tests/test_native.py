@@ -276,3 +276,39 @@ def test_struct_histogram_totals_and_ranges(spark):
         assert any(lo < v <= hi * (1 + 1e-12) for lo, hi in pos_bins), v
     neg_bins = [(r.bin_lo, r.bin_hi) for r in rows if r.bin_hi < 0]
     assert any(lo * (1 + 1e-12) <= -3.0 < hi for lo, hi in neg_bins)
+
+
+def test_sketch_quantile_agg_rollup_levels_match_plain_aggs(spark):
+    rows = [
+        ("a", "d1", 1.0), ("a", "d1", 5.0), ("a", "d2", -2.0),
+        ("b", "d1", 0.0), ("b", "d2", 100.0), ("b", "d2", 0.25),
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, v double")
+    out = native.sketch_quantile_agg(
+        df, ["k1", "k2"], "v", 0.01, (0.5, 0.9), rollup=True
+    ).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], {})[(r["k1"], r["k2"])] = r
+    assert set(by_gid) == {0, 1, 3}
+    assert len(by_gid[0]) == 4 and len(by_gid[1]) == 2 and len(by_gid[3]) == 1
+
+    def key_of(r, keys):
+        return tuple(r[k] for k in keys)
+
+    for keys, gid in ((["k1", "k2"], 0), (["k1"], 1), ([], 3)):
+        plain = native.sketch_quantile_agg(df, keys, "v", 0.01, (0.5, 0.9))
+        for p in plain.collect():
+            got = by_gid[gid][key_of(p, keys) + (None,) * (2 - len(keys))]
+            for c in ("count", "sum", "min", "max", "p50", "p90"):
+                assert got[c] == p[c], (gid, c, got[c], p[c])
+    # rolled-up key columns are NULL at coarser levels
+    assert all(r["k2"] is None for r in out if r["gid"] == 1)
+
+
+def test_sketch_quantile_agg_rollup_requires_keys(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        native.sketch_quantile_agg(df, [], "v", rollup=True)
