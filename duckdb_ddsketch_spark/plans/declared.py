@@ -2369,3 +2369,75 @@ def q57(spark, sf_dir):
     return out.select(
         "event_type", "day", "gid", "count", *_f32("avg", "p50", "p95")
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — text source/sink round-trip: raw values ingested from CSV, the
+# resulting sketch table persisted as JSON (blobs as base64) and read back.
+# Doubles survive CSV exactly (shortest-round-trip formatting); sketch bytes
+# survive JSON exactly (base64), so the result equals the parquet-path
+# oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _q58_store(spark, sf_dir: str) -> tuple[str, str]:
+    import os
+    import tempfile
+
+    from ..sources import read_source, write_source
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_text_sources_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    csv_dir = os.path.join(base, "orders_csv")
+    json_dir = os.path.join(base, "sketches_json")
+    marker = os.path.join(base, "_SUCCESS_STORE")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderstatus", "o_totalprice"
+        )
+        write_source(orders, csv_dir, format="csv")
+        from_csv = read_source(
+            spark,
+            csv_dir,
+            format="csv",
+            schema="o_orderstatus string, o_totalprice double",
+        )
+        sketches = ingest_values_scalable(
+            from_csv, ["o_orderstatus"], "o_totalprice"
+        )
+        write_source(sketches, json_dir, format="json")
+        with open(marker, "w") as f:
+            f.write("ok")
+    return csv_dir, json_dir
+
+
+@_declare(
+    "q58_csv_json_source_roundtrip",
+    quantile_oracle_sql(
+        "orders",
+        {"o_orderstatus": "o_orderstatus"},
+        "o_totalprice",
+        quantiles=(0.5, 0.9),
+        stats=("count",),
+    ),
+)
+def q58(spark, sf_dir):
+    from ..sources import read_source
+
+    _prep(spark)
+    _, json_dir = _q58_store(spark, sf_dir)
+    sk = read_source(
+        spark,
+        json_dir,
+        format="json",
+        schema="o_orderstatus string, sketch string",
+        binary_cols=["sketch"],
+    )
+    return sk.select(
+        "o_orderstatus",
+        fs.ddsketch_count(F.col("sketch")).alias("count"),
+        fs.ddsketch_quantile(F.col("sketch"), F.lit(0.5)).cast("float").alias("p50"),
+        fs.ddsketch_quantile(F.col("sketch"), F.lit(0.9)).cast("float").alias("p90"),
+    )

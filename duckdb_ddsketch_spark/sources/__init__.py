@@ -71,3 +71,67 @@ def write_sketch_table(df: DataFrame, path: str, partition_by=None, mode="overwr
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+# Formats whose on-disk representation carries BinaryType natively. CSV/JSON
+# transport sketch blobs as base64 text (the reference's README.md:208-220
+# shows the same hex/base64 convention for moving BLOBs through text SQL).
+_BINARY_NATIVE_FORMATS = {"parquet", "orc"}
+
+
+def write_source(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    partition_by=None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame in any built-in columnar/text format.
+
+    For text formats (csv/json) every ``binary`` column is base64-encoded so
+    sketch blobs survive the round-trip byte-exactly; :func:`read_source`
+    reverses it. All formats split into one file per partition, so a
+    1000-executor write parallelizes the same way parquet does.
+    """
+    fmt = format.lower()
+    if fmt not in _BINARY_NATIVE_FORMATS:
+        for name, dtype in df.dtypes:
+            if dtype == "binary":
+                df = df.withColumn(name, F.base64(F.col(name)))
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema=None,
+    binary_cols=(),
+) -> DataFrame:
+    """Read a :func:`write_source` output back.
+
+    Pass an explicit ``schema`` (DDL string or StructType) for text formats —
+    schema inference costs an extra full scan and can widen types. Columns
+    named in ``binary_cols`` are base64-decoded back to ``binary`` (no-op
+    list for parquet/orc, which carry binary natively).
+    """
+    fmt = format.lower()
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    df = reader.load(path)
+    dtypes = dict(df.dtypes)
+    for c in binary_cols:
+        # only text formats base64 blobs; parquet/orc already yield binary
+        if dtypes.get(c) == "string":
+            df = df.withColumn(c, F.unbase64(F.col(c)))
+    return df

@@ -98,3 +98,26 @@ def test_reference_surface_coverage():
         "ddsketch_stats_full",  # = ddsketch_stats_agg finalizer
     ]:
         assert fn_name in sources, f"{fn_name} not exercised by any declared query"
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_read_write_source_blob_roundtrip(spark, fmt, tmp_path):
+    from duckdb_ddsketch_spark.sources import read_source, write_source
+
+    sk = DDSketch(0.01).extend([1.0, 2.5, 100.0, -3.0, 0.0])
+    blob = sk.encode()
+    df = spark.createDataFrame(
+        [("a", blob, 1.5), ("b", None, -2.25)], "k string, sketch binary, v double"
+    )
+    path = str(tmp_path / f"t_{fmt}")
+    write_source(df, path, format=fmt)
+    schema = (
+        "k string, sketch string, v double"
+        if fmt in ("csv", "json")
+        else "k string, sketch binary, v double"
+    )
+    back = read_source(spark, path, format=fmt, schema=schema, binary_cols=["sketch"])
+    rows = {r["k"]: r for r in back.collect()}
+    assert bytes(rows["a"]["sketch"]) == blob  # byte-exact through base64
+    assert rows["b"]["sketch"] is None
+    assert rows["a"]["v"] == 1.5 and rows["b"]["v"] == -2.25  # doubles exact
