@@ -121,3 +121,44 @@ def test_read_write_source_blob_roundtrip(spark, fmt, tmp_path):
     assert bytes(rows["a"]["sketch"]) == blob  # byte-exact through base64
     assert rows["b"]["sketch"] is None
     assert rows["a"]["v"] == 1.5 and rows["b"]["v"] == -2.25  # doubles exact
+
+
+def test_catalog_insert_into_incremental_rollup(spark, sf_dir):
+    """The reference's production ingest loop (README.md:191-198): an
+    INSERT INTO day-partitioned roll-up table, incrementally extended one
+    day at a time, must read back equal to a full recompute — and re-running
+    a day (dynamic partition overwrite) must stay idempotent, which is what
+    makes the pattern safe for at-least-once schedulers at scale."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    d0, d1 = days[0], days[1]
+    pre = native.sketch_struct_agg(
+        ev.where(F.col("day").isin([d0, d1])), ["day", "event_type"], "value", 0.01
+    ).select("event_type", native.struct_to_wire("sketch").alias("sketch"), "day")
+
+    spark.sql("DROP TABLE IF EXISTS rollup_store")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (pre.where(F.col("day") == d0).write.partitionBy("day")
+        .mode("overwrite").saveAsTable("rollup_store"))
+    # day 2 arrives: append via insertInto, then re-run it (must overwrite
+    # only that partition, not duplicate it)
+    day2 = pre.where(F.col("day") == d1)
+    day2.write.insertInto("rollup_store")
+    day2.write.mode("overwrite").insertInto("rollup_store")
+
+    stored = (
+        spark.table("rollup_store")
+        .groupBy("event_type")
+        .agg(ddsketch_agg("sketch").alias("s"))
+        .select("event_type", fs.ddsketch_count(F.col("s")).alias("n"),
+                fs.ddsketch_quantile(F.col("s"), F.lit(0.9)).alias("p90"))
+    )
+    direct = native.sketch_quantile_agg(
+        ev.where(F.col("day").isin([d0, d1])), ["event_type"], "value", 0.01, (0.9,)
+    ).select("event_type", F.col("count").alias("n"), "p90")
+    got = {r["event_type"]: (r["n"], r["p90"]) for r in stored.collect()}
+    want = {r["event_type"]: (r["n"], r["p90"]) for r in direct.collect()}
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS rollup_store")
