@@ -182,3 +182,24 @@ def test_no_declared_query_uses_row_at_a_time_python(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders[name] = True
     assert not offenders, f"row-at-a-time Python in: {sorted(offenders)}"
+
+
+def test_rollup_expands_binned_counts_not_raw_scan(spark, lineitem):
+    q = native.sketch_quantile_agg(
+        lineitem, ["l_returnflag", "l_linestatus"], "l_extendedprice",
+        0.01, (0.5,), rollup=True,
+    )
+    plan = checks.formatted_plan(q)
+    # the Expand (grouping-sets row multiplication) must consume the binned
+    # aggregate, not the parquet scan: in the top-down formatted tree the
+    # binned HashAggregate pair prints BELOW the Expand line
+    expand_at = plan.index("Expand")
+    assert expand_at >= 0
+    assert plan.rindex("HashAggregate") > expand_at
+    # still fully native and pruned to the three needed columns
+    assert checks.python_eval_nodes(q) == []
+    checks.assert_scan_pruned(
+        q, "lineitem", {"l_returnflag", "l_linestatus", "l_extendedprice"}
+    )
+    # rollup adds exactly one exchange over the plain 2-exchange aggregate
+    assert checks.exchange_count(q) == 3
