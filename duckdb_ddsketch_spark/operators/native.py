@@ -156,7 +156,7 @@ def sketch_quantile_agg(
     quantiles: Sequence[float] = (0.25, 0.50, 0.75, 0.90, 0.95, 0.99),
     weight: Optional[str] = None,
     exact_stats: bool = False,
-    rollup: bool = False,
+    rollup: "bool | str" = False,
 ) -> DataFrame:
     """Per-group DDSketch stats + quantiles, fully native.
 
@@ -178,11 +178,12 @@ def sketch_quantile_agg(
     building this query from nested Column operations costs hundreds of py4j
     round-trips (~1 s of driver latency per call); the string form costs ~30.
 
-    With ``rollup=True`` the result carries every ROLLUP(*keys) level plus a
-    ``gid`` column (``grouping(k0)*2^(n-1) + ... + grouping(kn-1)``, i.e.
-    0 = finest level, all-ones = grand total; rolled-up keys are NULL). The
-    coarser levels are produced by a GROUPING-SETS re-aggregation of the
-    *already binned* counts — the Expand operator multiplies ~|keys x bins|
+    With ``rollup=True`` (or ``rollup="cube"``) the result carries every
+    ROLLUP/CUBE(*keys) level plus a ``gid`` column
+    (``grouping(k0)*2^(n-1) + ... + grouping(kn-1)``, i.e. 0 = finest
+    level, all-ones = grand total; rolled-up keys are NULL). The coarser
+    levels are produced by a GROUPING-SETS re-aggregation of the *already
+    binned* counts — the Expand operator multiplies ~|keys x bins|
     pre-aggregated rows, never the raw input — so a full hypertable-style
     rollup costs one extra exchange over the finest-grain aggregate no
     matter the input size.
@@ -247,7 +248,8 @@ def sketch_quantile_agg(
     binned = _binned_sql(keys, value, alpha, weight, from_clause="{df}")
     if rollup:
         if not keys:
-            raise ValueError("rollup=True requires at least one group key")
+            raise ValueError("rollup requires at least one group key")
+        grouping_op = "CUBE" if str(rollup).lower() == "cube" else "ROLLUP"
         kq0 = ", ".join(f"`{k}`" for k in keys)
         gid = " + ".join(
             f"grouping(`{k}`) * {1 << (len(keys) - 1 - i)}"
@@ -257,7 +259,7 @@ def sketch_quantile_agg(
             f"SELECT {kq0}, CAST({gid} AS INT) AS gid, sign, bin,"
             " sum(cnt) AS cnt, sum(vsum) AS vsum,"
             " min(vmin) AS vmin, max(vmax) AS vmax"
-            f" FROM ({binned}) GROUP BY sign, bin, ROLLUP({kq0})"
+            f" FROM ({binned}) GROUP BY sign, bin, {grouping_op}({kq0})"
         )
         keys = keys + ["gid"]
         out_cols.insert(len(keys) - 1, "`gid`")

@@ -312,3 +312,23 @@ def test_sketch_quantile_agg_rollup_requires_keys(spark):
 
     with _pytest.raises(ValueError):
         native.sketch_quantile_agg(df, [], "v", rollup=True)
+
+
+def test_sketch_quantile_agg_cube_covers_all_subsets(spark):
+    rows = [
+        ("a", "d1", 1.0), ("a", "d2", 5.0), ("b", "d1", 2.0), ("b", "d2", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, v double")
+    out = native.sketch_quantile_agg(
+        df, ["k1", "k2"], "v", 0.01, (0.5,), rollup="cube"
+    ).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], {})[(r["k1"], r["k2"])] = r
+    # cube adds gid=2: grouped by k2 only (k1 rolled up)
+    assert set(by_gid) == {0, 1, 2, 3}
+    assert len(by_gid[2]) == 2
+    plain_k2 = native.sketch_quantile_agg(df, ["k2"], "v", 0.01, (0.5,))
+    for p in plain_k2.collect():
+        got = by_gid[2][(None, p["k2"])]
+        assert (got["count"], got["p50"]) == (p["count"], p["p50"])
