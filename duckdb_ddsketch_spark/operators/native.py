@@ -129,7 +129,13 @@ def _binned_sql(
     gamma = gamma_of(alpha)
     v = f"`{value}`"
     lg = repr(math.log(gamma)) + "D"
-    cond = f"{v} IS NOT NULL"
+    # BETWEEN +-DBL_MAX excludes NaN and +-inf identically in Spark and
+    # DuckDB (both order NaN above +inf), matching the kernel's
+    # skip-non-finite rule; without it, ANSI CAST(inf AS INT) throws.
+    cond = (
+        f"{v} IS NOT NULL AND"
+        f" {v} BETWEEN -1.7976931348623157E308D AND 1.7976931348623157E308D"
+    )
     if weight is not None:
         cond += f" AND `{weight}` > 0"
     w = f"CAST(`{weight}` AS DOUBLE)" if weight is not None else "1.0D"

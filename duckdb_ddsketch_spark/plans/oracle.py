@@ -69,7 +69,13 @@ def quantile_oracle_sql(
     grp_list = ", ".join(grp_names)
     part = f"PARTITION BY {grp_list} " if grp_names else ""
     part_sign = f"PARTITION BY {grp_list}, sign" if grp_names else "PARTITION BY sign"
-    where_clause = f"WHERE ({value}) IS NOT NULL"
+    # the finite-range guard mirrors the engine's skip-non-finite rule
+    # (native.py _binned_sql): BETWEEN +-DBL_MAX excludes NULL, NaN, +-inf
+    # the same way in both engines
+    where_clause = (
+        f"WHERE ({value}) IS NOT NULL AND ({value})"
+        " BETWEEN -1.7976931348623157E308 AND 1.7976931348623157E308"
+    )
     if weight is not None:
         where_clause += f" AND ({weight}) > 0"
     if where:

@@ -76,7 +76,16 @@ class DDSketch:
         self.add_with_count(value, 1.0)
 
     def add_with_count(self, value: float, count: float) -> None:
-        if count <= 0.0:
+        # DELIBERATE DEVIATION from the reference: non-finite values are
+        # skipped as dirty data on every path. The reference's behavior here
+        # is accidental (NaN falls into its `else` arm and lands in
+        # zero_count, datadog_encoding.rs:738-746; +inf saturates the `as
+        # i32` bin cast), the Python/Arrow boundary cannot distinguish NULL
+        # from NaN in a float64 batch anyway, and math.ceil(log(inf))
+        # raises. One uniform rule — finite or ignored — keeps the kernel,
+        # the vectorized path, the native SQL path, and the DuckDB oracles
+        # byte-identical in the presence of dirty input.
+        if count <= 0.0 or not math.isfinite(value):
             return
         self.count += count
         self.sum += value * count
@@ -99,7 +108,7 @@ class DDSketch:
         return self
 
     def extend_array(self, arr) -> "DDSketch":
-        """Vectorized bulk add of a numpy float array (NaNs skipped).
+        """Vectorized bulk add of a numpy float array (non-finite skipped).
 
         Equivalent to sequential :meth:`add` after any wire round-trip
         (bins/zero_count/count/min/max identical; the in-memory ``sum`` may
@@ -108,7 +117,7 @@ class DDSketch:
         import numpy as np
 
         arr = np.asarray(arr, dtype=np.float64)
-        arr = arr[~np.isnan(arr)]
+        arr = arr[np.isfinite(arr)]
         if arr.size == 0:
             return self
         self.count += float(arr.size)

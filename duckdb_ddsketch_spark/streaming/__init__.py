@@ -76,8 +76,11 @@ def windowed_binned_counts(
         .otherwise(F.lit(None).cast("int"))
     )
     w = F.window(F.col(ts_col), window, slide or window)
+    # BETWEEN +-DBL_MAX drops NULL/NaN/+-inf — the engine-wide
+    # skip-non-finite rule (sketch.py add_with_count)
+    finite = v.between(-1.7976931348623157e308, 1.7976931348623157e308)
     return (
-        stream.where(v.isNotNull())
+        stream.where(v.isNotNull() & finite)
         .withWatermark(ts_col, watermark)
         .groupBy(w.alias("win"), *keys, sign.alias("sign"), bin_col.alias("bin"))
         .agg(F.count("*").cast("double").alias("cnt"))

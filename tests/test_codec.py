@@ -310,3 +310,23 @@ def test_production_corpus_reencode_roundtrip():
         s2 = DDSketch.decode(s1.encode())
         assert s2.count == s1.count
         assert abs(s2.sum - s1.sum) <= max(abs(s1.sum), 1e-9) * 1e-9
+
+
+def test_non_finite_values_skipped_everywhere():
+    """Engine-wide rule (deliberate deviation from the reference's
+    accidental NaN->zero_count / inf-saturating-cast behavior): non-finite
+    input is ignored on add, weighted add, and the vectorized bulk path."""
+    import numpy as np
+
+    base = [1.0, -2.0, 0.0, 50.0]
+    dirty = [float("nan"), float("inf"), float("-inf")]
+    s_clean = DDSketch(0.01).extend(base)
+    s_dirty = DDSketch(0.01).extend(base + dirty)
+    for v in dirty:
+        s_dirty.add_with_count(v, 3.0)
+    assert s_dirty.count == s_clean.count == 4
+    assert s_dirty.encode() == s_clean.encode()
+
+    s_vec = DDSketch(0.01).extend_array(np.array(base + dirty))
+    assert s_vec.count == 4
+    assert s_vec.encode() == s_clean.encode()

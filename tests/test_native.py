@@ -332,3 +332,20 @@ def test_sketch_quantile_agg_cube_covers_all_subsets(spark):
     for p in plain_k2.collect():
         got = by_gid[2][(None, p["k2"])]
         assert (got["count"], got["p50"]) == (p["count"], p["p50"])
+
+
+def test_native_path_skips_non_finite_matching_kernel(spark):
+    import numpy as np
+
+    base = [1.0, -2.0, 0.0, 50.0, None]
+    dirty = [float("nan"), float("inf"), float("-inf")]
+    df = spark.createDataFrame([(v,) for v in base + dirty], "v double")
+    out = native.sketch_quantile_agg(
+        df.withColumn("k", F.lit("k")), ["k"], "v", 0.01, (0.5, 1.0)
+    ).first()
+    kernel = DDSketch(0.01).extend_array(
+        np.array([v for v in base if v is not None] + dirty)
+    )
+    assert out["count"] == kernel.count == 4
+    assert out["p50"] == kernel.quantile(0.5)
+    assert out["p100"] == kernel.quantile(1.0)
