@@ -48,6 +48,7 @@ __all__ = [
     "bin_to_value_expr",
     "binned_counts",
     "sketch_quantile_agg",
+    "trailing_sketch_quantile_agg",
     "sketch_range_bucket",
     "sketch_struct_agg",
     "struct_quantile",
@@ -163,6 +164,7 @@ def sketch_quantile_agg(
     weight: Optional[str] = None,
     exact_stats: bool = False,
     rollup: "bool | str" = False,
+    _binned_override: Optional[str] = None,
 ) -> DataFrame:
     """Per-group DDSketch stats + quantiles, fully native.
 
@@ -251,7 +253,12 @@ def sketch_quantile_agg(
     # map/struct assembly; the stat/quantile folds below run on the arrays
     # directly, which keeps the analyzed expression tree small.
     entry = "struct(bin AS key, cnt AS value)"
-    binned = _binned_sql(keys, value, alpha, weight, from_clause="{df}")
+    # _binned_override: internal hook for operators (trailing windows) that
+    # transform the binned counts before quantile selection; must yield
+    # (keys..., sign, bin, cnt, vsum, vmin, vmax) and may reference {df}.
+    binned = _binned_override or _binned_sql(
+        keys, value, alpha, weight, from_clause="{df}"
+    )
     if rollup:
         if not keys:
             raise ValueError("rollup requires at least one group key")
@@ -324,6 +331,68 @@ def _entries_quantile_sql(q: float, gamma: float) -> str:
 def _qname(q: float) -> str:
     """0.5 -> '50', 0.99 -> '99', 0.999 -> '99_9', 1.0 -> '100'."""
     return f"{q * 100:g}".replace(".", "_")
+
+
+def trailing_sketch_quantile_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    order_col: str,
+    trailing: int = 7,
+    alpha: float = DEFAULT_RELATIVE_ACCURACY,
+    quantiles: Sequence[float] = (0.5, 0.99),
+    weight: Optional[str] = None,
+    exact_stats: bool = False,
+) -> DataFrame:
+    """Trailing-window sketch quantiles: for every (keys, order) point
+    present in the input, the DDSketch stats over the last ``trailing``
+    order units (e.g. 7-day trailing p99 per day — the SLO-dashboard shape).
+
+    ``order_col`` must be integral (an epoch-day / bucket-index column).
+
+    Scale shape: the raw input is binned ONCE (map-side partial
+    aggregation); each pre-binned row then explodes to the ``trailing``
+    output points it contributes to and re-aggregates, so shuffle volume is
+    ``|keys x bins x trailing|`` — independent of input row count. A
+    windowed formulation (SUM OVER ... RANGE PRECEDING) would undercount
+    instead: window frames only see *existing* (order, bin) rows, so a bin
+    with no row on some day would silently drop out of that day's trailing
+    sketch. Output points with no events of their own are excluded via a
+    left-semi join against the distinct input points.
+    """
+    keys = list(keys)
+    if trailing < 1:
+        raise ValueError("trailing must be >= 1")
+    o = f"`{order_col}`"
+    kq_pre = "".join(f"`{k}`, " for k in keys)
+    base = _binned_sql(keys + [order_col], value, alpha, weight, "{df}")
+    expanded = (
+        f"SELECT {kq_pre}_w.out_o AS {o}, sign, bin, cnt, vsum, vmin, vmax"
+        f" FROM ({base})"
+        f" LATERAL VIEW explode(sequence({o}, {o} + {trailing - 1})) _w AS out_o"
+    )
+    trail = (
+        f"SELECT {kq_pre}{o}, sign, bin, sum(cnt) AS cnt, sum(vsum) AS vsum,"
+        " min(vmin) AS vmin, max(vmax) AS vmax"
+        f" FROM ({expanded}) GROUP BY {kq_pre}{o}, sign, bin"
+    )
+    on = " AND ".join(
+        f"t.`{c}` <=> d.`{c}`" for c in keys + [order_col]
+    )
+    gated = (
+        f"SELECT t.* FROM ({trail}) t LEFT SEMI JOIN"
+        f" (SELECT DISTINCT {kq_pre}{o} FROM ({base})) d ON {on}"
+    )
+    return sketch_quantile_agg(
+        df,
+        keys + [order_col],
+        value,
+        alpha,
+        quantiles,
+        weight,
+        exact_stats,
+        _binned_override=gated,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2441,3 +2441,54 @@ def q58(spark, sf_dir):
         fs.ddsketch_quantile(F.col("sketch"), F.lit(0.5)).cast("float").alias("p50"),
         fs.ddsketch_quantile(F.col("sketch"), F.lit(0.9)).cast("float").alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — trailing 7-day sketch quantiles per (event_type, day): the
+# SLO-dashboard shape. Spark explodes each PRE-BINNED row to the 7 output
+# days it contributes to (shuffle = |keys x bins x 7|, input-size
+# independent); the oracle mirrors it with a range self-join of the binned
+# counts fed into the shared bin-math quantile pipeline (binned_from).
+# ---------------------------------------------------------------------------
+
+
+def _q59_oracle() -> str:
+    lg = repr(_C01["log_gamma"])
+    inner = f"""
+    SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+        CASE WHEN v > 0 THEN CAST(CEIL(LN(v) / {lg}) AS INTEGER)
+             WHEN v < 0 THEN CAST(CEIL(LN(-v) / {lg}) AS INTEGER) END AS bin,
+        CAST(COUNT(*) AS DOUBLE) AS cnt
+    FROM (SELECT event_type, ts, CAST(value AS DOUBLE) AS v FROM events
+          WHERE value IS NOT NULL AND value
+          BETWEEN -1.7976931348623157E308 AND 1.7976931348623157E308)
+    GROUP BY 1, 2, 3, 4
+    """
+    binned_from = f"""
+    SELECT d.event_type, d.day, b.sign, b.bin, CAST(SUM(b.cnt) AS DOUBLE) AS cnt
+    FROM ({inner}) b
+    JOIN (SELECT DISTINCT event_type, day FROM ({inner})) d
+      ON b.event_type = d.event_type AND b.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1, 2, 3, 4
+    """
+    return quantile_oracle_sql(
+        "events",
+        {"event_type": "event_type", "day": "day"},
+        "value",
+        quantiles=(0.5, 0.99),
+        stats=("count",),
+        binned_from=binned_from,
+    )
+
+
+@_declare("q59_trailing_week_quantiles", _q59_oracle())
+def q59(spark, sf_dir):
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) div 86400000000")
+    )
+    out = native.trailing_sketch_quantile_agg(
+        ev, ["event_type"], "value", "day", trailing=7, quantiles=(0.5, 0.99)
+    )
+    return out.select("event_type", "day", "count", *_f32("p50", "p99"))

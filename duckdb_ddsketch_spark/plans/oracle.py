@@ -50,6 +50,7 @@ def quantile_oracle_sql(
     where: Optional[str] = None,
     weight: Optional[str] = None,
     quantile_cast: str = "REAL",
+    binned_from: Optional[str] = None,
 ) -> str:
     """Build the oracle query.
 
@@ -58,6 +59,14 @@ def quantile_oracle_sql(
     ``stats`` picks from count/sum/avg/min/max; quantile columns are named
     ``p<qname>``. ``weight`` (SQL expression) mirrors ``add_with_count``:
     rows with weight <= 0 are ignored, bin counts sum the weights.
+
+    ``binned_from``: advanced — a SQL query yielding the already-binned
+    relation ``(<group_by names>..., sign, bin, cnt)`` to use instead of
+    binning ``table.value`` here (``table``/``value``/``where``/``weight``
+    are then ignored). Lets callers mirror engine pipelines that transform
+    the binned counts (e.g. trailing windows) before quantile selection;
+    every downstream stat/quantile is bin-reconstructed, so the binned
+    relation is all the oracle needs.
     """
     c = constants(alpha)
     g = repr(c["gamma"])
@@ -147,8 +156,10 @@ def quantile_oracle_sql(
         else "1=1"
     )
 
-    return f"""
-WITH vals AS (
+    if binned_from is not None:
+        vals_binned = f"binned AS (\n{binned_from}\n)"
+    else:
+        vals_binned = f"""vals AS (
     SELECT {grp_select}CAST(({value}) AS DOUBLE) AS v, {w_expr} AS w
     FROM {table}
     {where_clause}
@@ -161,7 +172,9 @@ binned AS (
         CAST(SUM(w) AS DOUBLE) AS cnt
     FROM vals
     GROUP BY {grp_list + ', ' if grp_names else ''}sign, bin
-),
+)"""
+    return f"""
+WITH {vals_binned},
 tot AS (
     SELECT {grp_list + ', ' if grp_names else ''}
         SUM(cnt) AS total,

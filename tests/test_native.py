@@ -349,3 +349,34 @@ def test_native_path_skips_non_finite_matching_kernel(spark):
     assert out["count"] == kernel.count == 4
     assert out["p50"] == kernel.quantile(0.5)
     assert out["p100"] == kernel.quantile(1.0)
+
+
+def test_trailing_sketch_quantile_agg_matches_brute_force(spark):
+    import itertools
+
+    data = {
+        ("a", 1): [1.0, 2.0], ("a", 2): [5.0], ("a", 3): [100.0, -1.0],
+        ("a", 10): [7.0], ("b", 1): [3.0], ("b", 5): [0.0, 9.0],
+    }
+    rows = [(k, d, v) for (k, d), vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "k string, day long, v double")
+    out = native.trailing_sketch_quantile_agg(
+        df, ["k"], "v", "day", trailing=3, quantiles=(0.5, 1.0)
+    )
+    got = {(r["k"], r["day"]): (r["count"], r["p50"], r["p100"]) for r in out.collect()}
+    # exactly the (key, day) points present in the input — no synthetic days
+    assert set(got) == set(data)
+    for (k, d) in data:
+        vals = list(itertools.chain.from_iterable(
+            v for (k2, d2), v in data.items() if k2 == k and d - 2 <= d2 <= d
+        ))
+        exp = DDSketch(0.01).extend(vals)
+        assert got[(k, d)] == (exp.count, exp.quantile(0.5), exp.quantile(1.0)), (k, d)
+
+
+def test_trailing_sketch_quantile_agg_rejects_bad_window(spark):
+    df = spark.createDataFrame([(1, 1.0)], "day long, v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        native.trailing_sketch_quantile_agg(df, [], "v", "day", trailing=0)
