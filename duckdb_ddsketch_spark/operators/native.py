@@ -48,6 +48,7 @@ __all__ = [
     "bin_to_value_expr",
     "binned_counts",
     "sketch_quantile_agg",
+    "sketch_quantile_agg_multi",
     "trailing_sketch_quantile_agg",
     "sketch_range_bucket",
     "sketch_struct_agg",
@@ -331,6 +332,36 @@ def _entries_quantile_sql(q: float, gamma: float) -> str:
 def _qname(q: float) -> str:
     """0.5 -> '50', 0.99 -> '99', 0.999 -> '99_9', 1.0 -> '100'."""
     return f"{q * 100:g}".replace(".", "_")
+
+
+def sketch_quantile_agg_multi(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    alpha: float = DEFAULT_RELATIVE_ACCURACY,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    metric_col: str = "metric",
+) -> DataFrame:
+    """One-pass sketch quantiles for N metric columns at once.
+
+    Unpivots the value columns with ``stack`` (a Generate node — no
+    shuffle, no extra scan) so one binned aggregate keyed by
+    ``keys + [metric]`` covers every metric: one scan and one shuffle for N
+    metrics instead of N of each. Output rows are
+    ``(keys..., metric, count, sum, avg, min, max, p<q>...)``.
+    """
+    keys = list(keys)
+    values = list(values)
+    if not values:
+        raise ValueError("values must name at least one column")
+    stack_args = ", ".join(f"'{v}', CAST(`{v}` AS DOUBLE)" for v in values)
+    unpivoted = df.selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"stack({len(values)}, {stack_args}) AS (`{metric_col}`, `_metric_value`)",
+    )
+    return sketch_quantile_agg(
+        unpivoted, keys + [metric_col], "_metric_value", alpha, quantiles
+    )
 
 
 def trailing_sketch_quantile_agg(

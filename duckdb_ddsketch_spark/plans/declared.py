@@ -2492,3 +2492,36 @@ def q59(spark, sf_dir):
         ev, ["event_type"], "value", "day", trailing=7, quantiles=(0.5, 0.99)
     )
     return out.select("event_type", "day", "count", *_f32("p50", "p99"))
+
+
+# ---------------------------------------------------------------------------
+# q60 — one-pass multi-metric quantiles: four lineitem measures sketched
+# from a single scan + single shuffle (stack unpivot keyed by metric),
+# instead of four separate aggregation queries. Oracle: UNION ALL of the
+# per-metric bin-math oracles with literal metric labels.
+# ---------------------------------------------------------------------------
+
+_Q60_METRICS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_Q60_QS = (0.5, 0.95)
+
+
+_Q60_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT l_returnflag, metric, count, p50, p95 FROM ({quantile_oracle_sql('lineitem', {'l_returnflag': 'l_returnflag', 'metric': _m_lit}, m, quantiles=_Q60_QS, stats=('count',))})"
+    for m, _m_lit in [(m, f"'{m.removeprefix('l_')}'") for m in _Q60_METRICS]
+)
+
+
+@_declare("q60_multi_metric_quantiles", _Q60_ORACLE)
+def q60(spark, sf_dir):
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        *[F.col(m).alias(m.removeprefix("l_")) for m in _Q60_METRICS],
+    )
+    out = native.sketch_quantile_agg_multi(
+        li,
+        ["l_returnflag"],
+        [m.removeprefix("l_") for m in _Q60_METRICS],
+        quantiles=_Q60_QS,
+    )
+    return out.select("l_returnflag", "metric", "count", *_f32("p50", "p95"))

@@ -380,3 +380,14 @@ def test_trailing_sketch_quantile_agg_rejects_bad_window(spark):
 
     with _pytest.raises(ValueError):
         native.trailing_sketch_quantile_agg(df, [], "v", "day", trailing=0)
+
+
+def test_sketch_quantile_agg_multi_matches_per_metric(spark):
+    rows = [("x", 1.0, 10.0), ("x", 2.0, 20.0), ("y", -3.0, 0.0)]
+    df = spark.createDataFrame(rows, "k string, a double, b double")
+    out = native.sketch_quantile_agg_multi(df, ["k"], ["a", "b"], quantiles=(0.5,))
+    got = {(r["k"], r["metric"]): (r["count"], r["p50"]) for r in out.collect()}
+    for m in ("a", "b"):
+        plain = native.sketch_quantile_agg(df, ["k"], m, 0.01, (0.5,))
+        for p in plain.collect():
+            assert got[(p["k"], m)] == (p["count"], p["p50"]), (m, p["k"])

@@ -203,3 +203,17 @@ def test_rollup_expands_binned_counts_not_raw_scan(spark, lineitem):
     )
     # rollup adds exactly one exchange over the plain 2-exchange aggregate
     assert checks.exchange_count(q) == 3
+
+
+def test_multi_metric_single_scan_single_shuffle_pair(spark, lineitem):
+    q = native.sketch_quantile_agg_multi(
+        lineitem, ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"], quantiles=(0.5,),
+    )
+    plan = checks.formatted_plan(q)
+    # the unpivot must NOT multiply scans: one parquet scan (formatted
+    # explain prints one Location line per scan node), and the same
+    # 2 exchanges as a single-metric aggregate
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert checks.exchange_count(q) == 2
+    assert checks.python_eval_nodes(q) == []
