@@ -41,6 +41,7 @@ __all__ = [
     "ddsketch_quantile",
     "ddsketch_quantiles",
     "ddsketch_cdf",
+    "ddsketch_downsample",
     "ddsketch_count",
     "ddsketch_min",
     "ddsketch_max",
@@ -164,6 +165,26 @@ def ddsketch_quantiles(sketch: pd.Series, qs: pd.Series) -> pd.Series:
         return [s.quantile(float(q)) if q is not None else None for q in quantiles]
 
     return pd.Series([go(b, q) for b, q in zip(sketch, qs)], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def ddsketch_downsample(sketch: pd.Series, alpha: pd.Series) -> pd.Series:
+    """Beyond-reference: re-encode a sketch at a coarser relative accuracy
+    (DDSketch.downsample), so stores built at different accuracies become
+    mergeable — the reference can only reject such merges
+    (datadog_encoding.rs:598-607). Bad blob/NULL input/refining target ->
+    NULL."""
+
+    def go(blob, a):
+        s = _try_decode(blob)
+        if s is None or a is None:
+            return None
+        try:
+            return s.downsample(float(a)).encode()
+        except ValueError:
+            return None
+
+    return pd.Series([go(b, a) for b, a in zip(sketch, alpha)], dtype=object)
 
 
 @pandas_udf(DoubleType())

@@ -2525,3 +2525,68 @@ def q60(spark, sf_dir):
         quantiles=_Q60_QS,
     )
     return out.select("l_returnflag", "metric", "count", *_f32("p50", "p95"))
+
+
+# ---------------------------------------------------------------------------
+# q61 — accuracy migration: sketches built at alpha=0.005 are downsampled to
+# the default alpha=0.01 mapping (beyond-reference ddsketch_downsample; the
+# reference can only REJECT cross-accuracy merges) and then read with the
+# standard 0.01 extractors. Oracle mirrors the two-step mapping: bin at
+# gamma(0.005) -> representative value -> re-bin at gamma(0.01), feeding the
+# shared bin-math quantile pipeline via binned_from.
+# ---------------------------------------------------------------------------
+
+
+def _q61_oracle() -> str:
+    c1, c2 = constants(0.005), constants(0.01)
+    g1, mult1 = repr(c1["gamma"]), repr(c1["mult"])
+    lg1, lg2 = repr(c1["log_gamma"]), repr(c2["log_gamma"])
+    binned_from = f"""
+    SELECT event_type, sign, bin, CAST(SUM(cnt) AS DOUBLE) AS cnt
+    FROM (
+        SELECT event_type, sign,
+            CASE WHEN sign = 0 THEN NULL
+                 ELSE CAST(CEIL(LN(POWER({g1}, bin1) * {mult1}) / {lg2}) AS INTEGER)
+            END AS bin,
+            cnt
+        FROM (
+            SELECT event_type,
+                CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+                CASE WHEN v > 0 THEN CAST(CEIL(LN(v) / {lg1}) AS INTEGER)
+                     WHEN v < 0 THEN CAST(CEIL(LN(-v) / {lg1}) AS INTEGER)
+                END AS bin1,
+                CAST(COUNT(*) AS DOUBLE) AS cnt
+            FROM (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+                  WHERE value IS NOT NULL AND value
+                  BETWEEN -1.7976931348623157E308 AND 1.7976931348623157E308)
+            GROUP BY 1, 2, 3
+        )
+    )
+    GROUP BY 1, 2, 3
+    """
+    return quantile_oracle_sql(
+        "events",
+        {"event_type": "event_type"},
+        "value",
+        alpha=0.01,
+        quantiles=(0.5, 0.95),
+        stats=("count",),
+        binned_from=binned_from,
+    )
+
+
+@_declare("q61_accuracy_migration", _q61_oracle())
+def q61(spark, sf_dir):
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    fine = ingest_values_scalable(ev, ["event_type"], "value", alpha=0.005)
+    coarse = fine.select(
+        "event_type",
+        fs.ddsketch_downsample(F.col("sketch"), F.lit(0.01)).alias("sketch"),
+    )
+    return coarse.select(
+        "event_type",
+        fs.ddsketch_count(F.col("sketch")).alias("count"),
+        fs.ddsketch_quantile(F.col("sketch"), F.lit(0.5)).cast("float").alias("p50"),
+        fs.ddsketch_quantile(F.col("sketch"), F.lit(0.95)).cast("float").alias("p95"),
+    )

@@ -157,6 +157,39 @@ class DDSketch:
         if other.max > self.max:
             self.max = other.max
 
+    def downsample(self, alpha: float) -> "DDSketch":
+        """Re-bin this sketch into a coarser mapping (BEYOND-REFERENCE).
+
+        The reference rejects any merge across relative accuracies
+        (datadog_encoding.rs:598-607); this returns a NEW sketch at
+        ``alpha`` whose bins are each source bin's representative value
+        (``bin_to_value``, datadog_encoding.rs:709-715) re-mapped through
+        the target mapping, enabling merges between stores built at
+        different accuracies. Count/zero_count/sum/min/max carry exactly;
+        re-binning representatives adds up to the SOURCE accuracy of extra
+        relative error, so quantile error is bounded by roughly
+        ``alpha_src + alpha_target``. Requires ``alpha`` coarser than (or
+        equal to) the source accuracy — refining cannot recover resolution.
+        """
+        out = DDSketch(alpha)
+        if out.gamma < self.gamma - _GAMMA_TOLERANCE:
+            raise ValueError(
+                "downsample target accuracy must be coarser than the source"
+            )
+        for src_bins, dst_bins in (
+            (self.positive_bins, out.positive_bins),
+            (self.negative_bins, out.negative_bins),
+        ):
+            for idx, c in src_bins.items():
+                new_idx = out.value_to_bin(self.bin_to_value(idx))
+                dst_bins[new_idx] = dst_bins.get(new_idx, 0.0) + c
+        out.zero_count = self.zero_count
+        out.count = self.count
+        out.sum = self.sum
+        out.min = self.min
+        out.max = self.max
+        return out
+
     # -- stats ------------------------------------------------------------
 
     def get_count(self) -> int:

@@ -330,3 +330,32 @@ def test_non_finite_values_skipped_everywhere():
     s_vec = DDSketch(0.01).extend_array(np.array(base + dirty))
     assert s_vec.count == 4
     assert s_vec.encode() == s_clean.encode()
+
+
+def test_downsample_preserves_count_and_bounds_error():
+    import random
+
+    rng = random.Random(7)
+    values = [rng.lognormvariate(3, 2) for _ in range(5000)] + [0.0, -4.5, -0.001]
+    fine = DDSketch(0.005).extend(values)
+    coarse = fine.downsample(0.01)
+    assert coarse.gamma == DDSketch(0.01).gamma
+    assert coarse.count == fine.count
+    assert coarse.zero_count == fine.zero_count
+    # mergeable with natively-built 0.01 sketches (the whole point)
+    native01 = DDSketch(0.01).extend([1.0])
+    native01.merge(coarse)
+    assert native01.count == coarse.count + 1
+    # quantile error bounded by ~(alpha_src + alpha_dst) against the sample
+    pos_sorted = sorted(v for v in values if v > 0)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        got = coarse.quantile(q)
+        true = pos_sorted[round(q * (len(pos_sorted) - 1))]
+        # offset rank by the 3 non-positive values for a loose bound check
+        assert got is not None
+        assert abs(got - true) / true < 0.05, (q, got, true)
+    # refining is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fine.downsample(0.001)

@@ -338,3 +338,24 @@ def test_scalar_surface_survives_garbage_blobs(spark):
     assert len(out) == 202
     ok = [r for r in out if r.c == 2]
     assert len(ok) >= 1  # the valid sketch still computes
+
+
+def test_ddsketch_downsample_sql_surface(spark):
+    fine = DDSketch(0.005).extend([1.0, 5.0, 100.0]).encode()
+    df = spark.createDataFrame([(fine,), (b"junk",), (None,)], "s binary")
+    df.createOrReplaceTempView("ds_in")
+    rows = spark.sql(
+        "SELECT ddsketch_count(ddsketch_downsample(s, 0.01d)) AS n,"
+        " ddsketch_downsample(s, 0.001d) AS refined"
+        " FROM ds_in"
+    ).collect()
+    by_n = sorted((r["n"] is not None, r["n"]) for r in rows)
+    assert by_n == [(False, None), (False, None), (True, 3)]
+    # refining target -> NULL for every row
+    assert all(r["refined"] is None for r in rows)
+    # merged with a native 0.01-sketch column via ddsketch_merge
+    coarse = DDSketch(0.005).extend([1.0, 5.0]).downsample(0.01).encode()
+    other = DDSketch(0.01).extend([9.0]).encode()
+    df2 = spark.createDataFrame([(coarse, other)], "a binary, b binary")
+    n = df2.selectExpr("ddsketch_count(ddsketch_merge(a, b)) AS n").first()["n"]
+    assert n == 3
