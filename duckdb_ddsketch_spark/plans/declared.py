@@ -2590,3 +2590,40 @@ def q61(spark, sf_dir):
         fs.ddsketch_quantile(F.col("sketch"), F.lit(0.5)).cast("float").alias("p50"),
         fs.ddsketch_quantile(F.col("sketch"), F.lit(0.95)).cast("float").alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — CUBE over (event_type, day): all four grouping-level subsets from
+# one scan (adds the day-only level rollup cannot produce). Same
+# pre-binned-Expand scale shape as q57.
+# ---------------------------------------------------------------------------
+
+_Q62_ORACLE = f"""
+SELECT event_type, day, CAST(0 AS INTEGER) AS gid, {_Q57_COLS}
+FROM ({_q57_level_oracle({"event_type": "event_type",
+                          "day": "strftime(date_trunc('day', ts), '%Y-%m-%d')"})})
+UNION ALL
+SELECT event_type, CAST(NULL AS VARCHAR) AS day, CAST(1 AS INTEGER) AS gid, {_Q57_COLS}
+FROM ({_q57_level_oracle({"event_type": "event_type"})})
+UNION ALL
+SELECT CAST(NULL AS VARCHAR) AS event_type, day, CAST(2 AS INTEGER) AS gid, {_Q57_COLS}
+FROM ({_q57_level_oracle({"day": "strftime(date_trunc('day', ts), '%Y-%m-%d')"})})
+UNION ALL
+SELECT CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS VARCHAR) AS day,
+       CAST(3 AS INTEGER) AS gid, {_Q57_COLS}
+FROM ({_q57_level_oracle({})})
+"""
+
+
+@_declare("q62_cube_quantiles", _Q62_ORACLE)
+def q62(spark, sf_dir):
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    out = native.sketch_quantile_agg(
+        ev, ["event_type", "day"], "value", 0.01, _Q57_QS, rollup="cube"
+    )
+    return out.select(
+        "event_type", "day", "gid", "count", *_f32("avg", "p50", "p95")
+    )
