@@ -23,7 +23,13 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "sessionize", "range_band_join", "salted_join"]
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "range_band_join",
+    "salted_join",
+    "gapfill_locf",
+]
 
 
 def asof_join(
@@ -239,3 +245,52 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l2.join(r2, on + ["__salt"], how).drop("__salt")
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key: Sequence[str],
+    bucket: str,
+    values: Sequence[str],
+    fill_col_suffix: str = "_filled",
+    gap_col: str = "gap_filled",
+) -> DataFrame:
+    """Gap-fill a regular integer bucket axis with last-observation-carried-
+    forward interpolation (the hypertable ``time_bucket_gapfill`` + ``locf``
+    shape; the reference delegates this to its host engine, SURVEY.md §2.3).
+
+    ``df`` must hold at most one row per (key, bucket). Missing buckets
+    between each key's min and max bucket are materialized with NULL
+    measures, then every measure in ``values`` gains a ``<name>_filled``
+    LOCF companion; ``gap_col`` is 1 on synthesized rows, 0 on observed
+    ones.
+
+    Distributed shape: per-key bounds are a partial-aggregated groupBy
+    (tiny output: one row per key), the dense axis comes from
+    ``explode(sequence(...))`` on that aggregate — so the synthesized grid
+    never touches the fact scan — and one left join + one window pass on
+    the key finishes. Two shuffles on the key; the LOCF ``last`` is O(1)
+    running state, never a buffer, so hot keys only cost the sort.
+    """
+    key = list(key)
+    values = list(values)
+    bounds = df.groupBy(*key).agg(
+        F.min(bucket).alias("__mn"), F.max(bucket).alias("__mx")
+    )
+    grid = bounds.select(
+        *key, F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias(bucket)
+    )
+    joined = grid.join(df.withColumn("__obs", F.lit(1)), key + [bucket], "left")
+    w = (
+        Window.partitionBy(*key)
+        .orderBy(F.col(bucket).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined
+    for v in values:
+        out = out.withColumn(
+            f"{v}{fill_col_suffix}", F.last(v, ignorenulls=True).over(w)
+        )
+    return out.withColumn(
+        gap_col, F.when(F.col("__obs").isNull(), 1).otherwise(0)
+    ).drop("__obs")

@@ -2627,3 +2627,130 @@ def q62(spark, sf_dir):
     return out.select(
         "event_type", "day", "gid", "count", *_f32("avg", "p50", "p95")
     )
+
+
+# ---------------------------------------------------------------------------
+# q63 — gap-filled daily averages with LOCF interpolation (the hypertable
+# time_bucket_gapfill + locf shape; reference delegates to host engine,
+# SURVEY.md §2.3). Daily avg is float32-cast BEFORE the fill so carried
+# values are bit-identical to their source day on both engines.
+# ---------------------------------------------------------------------------
+
+_Q63_ORACLE = """
+WITH base AS (
+    SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           COUNT(*) AS n_events,
+           CAST(AVG(CAST(value AS DOUBLE)) AS FLOAT) AS day_avg
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM base GROUP BY 1
+), grid AS (
+    SELECT event_type, unnest(generate_series(mn, mx)) AS day FROM bounds
+)
+SELECT g.event_type, g.day,
+       COALESCE(b.n_events, 0) AS n_events,
+       b.day_avg AS day_avg,
+       last_value(b.day_avg IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_avg_filled,
+       CAST(b.n_events IS NULL AS INTEGER) AS gap_filled
+FROM grid g LEFT JOIN base b ON g.event_type = b.event_type AND g.day = b.day
+"""
+
+
+@_declare("q63_gapfill_locf_daily_avg", _Q63_ORACLE)
+def q63(spark, sf_dir):
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) div 86400000000")
+    )
+    base = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").cast("float").alias("day_avg"),
+    )
+    out = relational.gapfill_locf(base, ["event_type"], "day", ["day_avg"])
+    return out.select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        "day_avg",
+        "day_avg_filled",
+        "gap_filled",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q64 — deterministic HyperLogLog distinct users per event type
+# (beyond-reference cardinality sketch; operators/approx.py). The oracle
+# replays the identical md5/bit-length/fixed-point register math, so an
+# APPROXIMATE operator still passes the exact value-hash gate; the exact
+# distinct count rides along for error inspection.
+# ---------------------------------------------------------------------------
+
+
+def _q64_oracle(p: int = 8) -> str:
+    from ..operators.approx import hll_alpha
+
+    m = 1 << p
+    nhex = p // 4
+    # hex -> integer without conv() (DuckDB lacks it): positional digit sum.
+    def hex2int(start: int, ndigits: int) -> str:
+        terms = [
+            f"(strpos('0123456789abcdef', substr(__h, {start + i}, 1)) - 1)"
+            f" * {16 ** (ndigits - 1 - i)}"
+            for i in range(ndigits)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    x = f"CAST({hex2int(nhex + 1, 15)} AS BIGINT)"
+    rho = f"CASE WHEN {x} = 0 THEN 61 ELSE 61 - length(bin({x})) END"
+    return f"""
+    WITH hashed AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS __h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+        SELECT event_type, CAST({hex2int(1, nhex)} AS BIGINT) AS bucket,
+               MAX({rho}) AS maxrho
+        FROM hashed GROUP BY 1, 2
+    ),
+    folded AS (
+        SELECT event_type, COUNT(*) AS observed,
+               SUM(CAST(1 AS BIGINT) << (61 - CAST(maxrho AS INTEGER)))
+                   AS sum_fp
+        FROM regs GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type,
+               CAST(CASE
+                   WHEN raw <= 2.5e0 * {m} AND zeros > 0
+                       THEN {m} * LN({m} / CAST(zeros AS DOUBLE))
+                   ELSE raw
+               END AS FLOAT) AS approx_distinct
+        FROM (
+            SELECT event_type, zeros,
+                   {hll_alpha(m)!r}e0 * {m} * {m}.0
+                       / (sum_fp / 2305843009213693952e0 + zeros) AS raw
+            FROM (SELECT event_type, sum_fp, {m} - observed AS zeros
+                  FROM folded)
+        )
+    )
+    SELECT e.event_type, e.approx_distinct, x.exact_distinct
+    FROM est e JOIN (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1
+    ) x ON e.event_type = x.event_type
+    """
+
+
+@_declare("q64_hll_distinct_users", _q64_oracle())
+def q64(spark, sf_dir):
+    from ..operators import approx
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    est = approx.hll_distinct(ev, ["event_type"], "user_id", p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")

@@ -395,3 +395,67 @@ def test_incremental_dedup_flags(spark):
     assert out[11] == (False, True)
     assert out[12] == (False, False)  # canonical is 11
     assert out[13] == (False, True)
+
+
+# ---------------------------------------------------------------------------
+# deterministic HLL distinct count (operators/approx.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_distinct_error_within_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import approx
+
+    # three groups spanning the linear-counting and raw-estimator regimes
+    df = spark.range(120000).select(
+        (F.col("id") % 3).alias("g"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 300)
+        .when(F.col("id") % 3 == 1, F.col("id") % 4000)
+        .otherwise(F.col("id") % 30000)
+        .alias("v"),
+    )
+    est = {r.g: r.approx_distinct for r in approx.hll_distinct(df, ["g"], "v").collect()}
+    # group g only sees ids ≡ g (mod 3), so the residue count interacts
+    # with gcd(3, modulus): 300/3=100, 4000 (coprime), 30000/3=10000
+    truth = {0: 100, 1: 4000, 2: 10000}
+    for g, exact in truth.items():
+        rel = abs(est[g] - exact) / exact
+        # m=256 -> sigma ~ 6.5%; allow 3 sigma
+        assert rel < 0.20, (g, est[g], exact)
+
+
+def test_hll_distinct_deterministic_under_repartition(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import approx
+
+    df = spark.range(50000).select(
+        F.lit("k").alias("g"), (F.col("id") % 7919).alias("v")
+    )
+    a = approx.hll_distinct(df, ["g"], "v").collect()[0].approx_distinct
+    b = (
+        approx.hll_distinct(df.repartition(13, "v"), ["g"], "v")
+        .collect()[0]
+        .approx_distinct
+    )
+    # fixed-point register fold => bit-identical regardless of layout
+    assert a == b
+
+
+def test_hll_distinct_ignores_nulls_and_validates_p(spark):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from duckdb_ddsketch_spark.operators import approx
+
+    df = spark.range(100).select(
+        F.lit("k").alias("g"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("v"),
+    )
+    est = approx.hll_distinct(df, ["g"], "v").collect()[0].approx_distinct
+    # 50 distinct non-null values; linear counting is tight at this size
+    assert abs(est - 50) / 50 < 0.25
+    with _pytest.raises(ValueError):
+        approx.hll_distinct(df, ["g"], "v", p=7)

@@ -158,3 +158,48 @@ def test_asof_plan_single_shuffle_per_side(spark, frames):
     )
     assert "Join" not in plan
     assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# gapfill_locf
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_locf_fills_interior_gaps(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 5, 50.0), ("b", 3, 30.0)],
+        "k string, day int, v double",
+    )
+    out = relational.gapfill_locf(df, ["k"], "day", ["v"])
+    rows = {(r.k, r.day): r for r in out.collect()}
+    # dense axis per key, bounded by that key's min/max
+    assert sorted(d for k, d in rows if k == "a") == [1, 2, 3, 4, 5]
+    assert sorted(d for k, d in rows if k == "b") == [3]
+    # synthesized rows: NULL raw, LOCF fill, flagged
+    assert rows[("a", 3)].v is None
+    assert rows[("a", 3)].v_filled == 20.0
+    assert rows[("a", 4)].v_filled == 20.0
+    assert rows[("a", 3)].gap_filled == 1
+    # observed rows keep their value and flag 0
+    assert rows[("a", 5)].v == 50.0 and rows[("a", 5)].gap_filled == 0
+    assert rows[("b", 3)].gap_filled == 0
+
+
+def test_gapfill_locf_multiple_measures_and_leading_nulls(spark):
+    df = spark.createDataFrame(
+        [("k", 10, None, 1.0), ("k", 12, 5.0, None)],
+        "k string, day int, a double, b double",
+    )
+    out = relational.gapfill_locf(df, ["k"], "day", ["a", "b"])
+    rows = {r.day: r for r in out.collect()}
+    assert sorted(rows) == [10, 11, 12]
+    # leading NULL measure stays NULL through the fill (nothing to carry)
+    assert rows[10].a_filled is None
+    assert rows[11].a_filled is None
+    assert rows[12].a_filled == 5.0
+    # second measure carries independently
+    assert rows[11].b_filled == 1.0 and rows[12].b_filled == 1.0
+    # the day-11 row is synthetic; day 10 and 12 are observed even though
+    # they contain NULL measures
+    assert rows[11].gap_filled == 1
+    assert rows[10].gap_filled == 0 and rows[12].gap_filled == 0
