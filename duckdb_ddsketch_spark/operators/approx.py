@@ -116,3 +116,192 @@ def hll_distinct(
     )
     """
     return df.sparkSession.sql(sql, df=df)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership (deterministic, engine-portable)
+# ---------------------------------------------------------------------------
+
+
+def _md5_chunk_mod(i: int, mod: int) -> str:
+    """Spark SQL expr: the i-th 8-hex-char (32-bit) chunk of __h, mod `mod`."""
+    return (
+        f"pmod(CAST(conv(substring(__h, {8 * i + 1}, 8), 16, 10) AS BIGINT),"
+        f" {mod})"
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key: Sequence[str],
+    col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Per-key Bloom filter over ``col``: rows ``(key..., word, bits)`` with
+    32-bit words (mask stays positive in an int64 on every engine, so the
+    ``bit_or`` fold is sign-free and order-independent → deterministic).
+
+    ``k`` <= 4: each hash is a disjoint 32-bit chunk of one md5, so k probes
+    cost ONE hash evaluation. Build shuffle is capped at
+    ``|keys| * m_bits/32`` rows no matter the input size — the classic
+    "sketch the fact table down before it moves" shape.
+    """
+    if not (1 <= k <= 4):
+        raise ValueError(f"k must be in [1, 4] (one md5 = four 32-bit chunks), got {k}")
+    if m_bits < 32 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 32, got {m_bits}")
+    key = list(key)
+    kcols = ", ".join(f"`{c}`" for c in key)
+    kpre = f"{kcols}, " if key else ""
+    poss = ", ".join(_md5_chunk_mod(i, m_bits) for i in range(k))
+    sql = f"""
+    SELECT {kpre}CAST(pos DIV 32 AS INT) AS word,
+           bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))) AS bits
+    FROM (
+        SELECT {kpre}explode(array({poss})) AS pos
+        FROM (
+            SELECT {kpre}md5(CAST(`{col}` AS STRING)) AS __h
+            FROM {{df}} WHERE `{col}` IS NOT NULL
+        )
+    )
+    GROUP BY {kpre}word
+    """
+    return df.sparkSession.sql(sql, df=df)
+
+
+def bloom_probe(
+    filters: DataFrame,
+    probes: DataFrame,
+    key: Sequence[str],
+    col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+    out_col: str = "maybe_present",
+) -> DataFrame:
+    """Membership test of ``probes[col]`` against per-key filters built by
+    :func:`bloom_build` (same ``m_bits``/``k``). Returns the probe rows plus
+    ``out_col`` (1 = possibly present, 0 = definitely absent — Bloom
+    semantics: no false negatives).
+
+    Shape: probes explode to k (word, bit) lookups, equi-join the filter
+    (a broadcast candidate: filters are <= m_bits/32 rows per key), then a
+    min-fold per probe — no fact-table access at probe time.
+    """
+    key = list(key)
+    kcols = ", ".join(f"`{c}`" for c in key)
+    kpre = f"{kcols}, " if key else ""
+    poss = ", ".join(_md5_chunk_mod(i, m_bits) for i in range(k))
+    join_on = " AND ".join(
+        [f"p.`{c}` = f.`{c}`" for c in key] + ["p.word = f.word"]
+    )
+    pk = ", ".join(f"p.`{c}`" for c in key)
+    pkpre = f"{pk}, " if key else ""
+    gb = ", ".join([f"p.`{c}`" for c in key] + [f"p.`{col}`"])
+    sql = f"""
+    SELECT {pkpre}p.`{col}`,
+           CAST(min(CASE WHEN f.bits IS NOT NULL
+                         AND (f.bits & shiftleft(CAST(1 AS BIGINT),
+                                                 CAST(p.pos % 32 AS INT))) != 0
+                    THEN 1 ELSE 0 END) AS INT) AS `{out_col}`
+    FROM (
+        SELECT {kpre}`{col}`, pos, CAST(pos DIV 32 AS INT) AS word
+        FROM (
+            SELECT {kpre}`{col}`, explode(array({poss})) AS pos
+            FROM (
+                SELECT {kpre}`{col}`, md5(CAST(`{col}` AS STRING)) AS __h
+                FROM {{probes}} WHERE `{col}` IS NOT NULL
+            )
+        )
+    ) p
+    LEFT JOIN {{filters}} f ON {join_on}
+    GROUP BY {gb}
+    """
+    return probes.sparkSession.sql(sql, probes=probes, filters=filters)
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch (deterministic, engine-portable)
+# ---------------------------------------------------------------------------
+
+
+def cm_build(
+    df: DataFrame,
+    key: Sequence[str],
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch of ``col`` frequencies per key: rows
+    ``(key..., r, c, cnt)`` — depth ``depth`` (<= 4) hash rows, width
+    ``width`` counters each. Counter updates are integer sums, so the
+    sketch is exactly reproducible under any partitioning; estimates are
+    upper bounds (overcount-only), off by at most ~2n/width w.h.p.
+
+    Shuffle is capped at ``|keys| * depth * width`` rows.
+    """
+    if not (1 <= depth <= 4):
+        raise ValueError(f"depth must be in [1, 4], got {depth}")
+    if width < 2 or width & (width - 1):
+        raise ValueError(f"width must be a power of two >= 2, got {width}")
+    key = list(key)
+    kcols = ", ".join(f"`{c}`" for c in key)
+    kpre = f"{kcols}, " if key else ""
+    rows = ", ".join(
+        f"named_struct('r', {r}, 'c', {_md5_chunk_mod(r, width)})"
+        for r in range(depth)
+    )
+    sql = f"""
+    SELECT {kpre}rc.r AS r, rc.c AS c, COUNT(*) AS cnt
+    FROM (
+        SELECT {kpre}explode(array({rows})) AS rc
+        FROM (
+            SELECT {kpre}md5(CAST(`{col}` AS STRING)) AS __h
+            FROM {{df}} WHERE `{col}` IS NOT NULL
+        )
+    )
+    GROUP BY {kpre}rc.r, rc.c
+    """
+    return df.sparkSession.sql(sql, df=df)
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key: Sequence[str],
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]`` from a :func:`cm_build`
+    sketch (same ``width``/``depth``): min over the depth counters, 0 when a
+    counter row is absent. Returns probe rows plus ``out_col`` (BIGINT)."""
+    key = list(key)
+    kpre = ", ".join(f"`{c}`" for c in key)
+    kpre = f"{kpre}, " if key else ""
+    rows = ", ".join(
+        f"named_struct('r', {r}, 'c', {_md5_chunk_mod(r, width)})"
+        for r in range(depth)
+    )
+    join_on = " AND ".join(
+        [f"p.`{c}` = s.`{c}`" for c in key] + ["p.r = s.r", "p.c = s.c"]
+    )
+    pk = "".join(f"p.`{c}`, " for c in key)
+    gb = ", ".join([f"p.`{c}`" for c in key] + [f"p.`{col}`"])
+    sql = f"""
+    SELECT {pk}p.`{col}`, min(coalesce(s.cnt, CAST(0 AS BIGINT))) AS `{out_col}`
+    FROM (
+        SELECT {kpre}`{col}`, rc.r AS r, rc.c AS c
+        FROM (
+            SELECT {kpre}`{col}`, explode(array({rows})) AS rc
+            FROM (
+                SELECT {kpre}`{col}`, md5(CAST(`{col}` AS STRING)) AS __h
+                FROM {{probes}} WHERE `{col}` IS NOT NULL
+            )
+        )
+    ) p
+    LEFT JOIN {{sketch}} s ON {join_on}
+    GROUP BY {gb}
+    """
+    return probes.sparkSession.sql(sql, probes=probes, sketch=sketch)

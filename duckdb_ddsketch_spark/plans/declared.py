@@ -2754,3 +2754,203 @@ def q64(spark, sf_dir):
         F.count_distinct("user_id").alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q65 — cohort retention matrix over events: users cohorted by first active
+# day, day-offset cells count distinct returning users. Exact integer
+# output; the Spark side reuses one user-keyed exchange across distinct →
+# min → join (operators/analytics.py).
+# ---------------------------------------------------------------------------
+
+_Q65_ORACLE = """
+WITH active AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+    FROM events WHERE user_id IS NOT NULL
+), first AS (
+    SELECT user_id, MIN(day) AS cohort FROM active GROUP BY 1
+)
+SELECT f.cohort, a.day - f.cohort AS offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f ON a.user_id = f.user_id
+WHERE a.day - f.cohort <= 14
+GROUP BY 1, 2
+"""
+
+
+@_declare("q65_cohort_retention", _Q65_ORACLE)
+def q65(spark, sf_dir):
+    from ..operators import analytics
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) div 86400000000")
+    )
+    return analytics.cohort_retention(ev, "user_id", "day", max_offset=14)
+
+
+# ---------------------------------------------------------------------------
+# q66/q67 — Bloom membership + count-min frequency (operators/approx.py).
+# Oracles replay the identical md5-chunk/bitwise math in DuckDB; all outputs
+# are integers, so the approximate structures hash-match exactly.
+# ---------------------------------------------------------------------------
+
+
+def _dd_hex2int(src: str, start: int, ndigits: int) -> str:
+    """DuckDB expr: hex chars [start, start+ndigits) of ``src`` as BIGINT
+    (DuckDB has no conv(); positional digit sum)."""
+    terms = [
+        f"CAST(strpos('0123456789abcdef', substr({src}, {start + i}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (ndigits - 1 - i)}"
+        for i in range(ndigits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dd_md5_chunk_mod(i: int, mod: int, src: str = "__h") -> str:
+    return f"({_dd_hex2int(src, 8 * i + 1, 8)} % {mod})"
+
+
+def _q66_oracle(m_bits: int = 4096, k: int = 4) -> str:
+    poss = ", ".join(_dd_md5_chunk_mod(i, m_bits) for i in range(k))
+    return f"""
+    WITH hashed AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS __h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    bpos AS (SELECT event_type, unnest([{poss}]) AS pos FROM hashed),
+    filt AS (
+        SELECT event_type, pos // 32 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+        FROM bpos GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT t.event_type, r.user_id
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(1, 300)) AS user_id) r
+    ),
+    ppos AS (
+        SELECT event_type, user_id, unnest([{poss}]) AS pos
+        FROM (SELECT event_type, user_id,
+                     md5(CAST(user_id AS VARCHAR)) AS __h FROM probes)
+    ),
+    pres AS (
+        SELECT p.event_type, p.user_id,
+               MIN(CASE WHEN f.bits IS NOT NULL
+                        AND (f.bits & (CAST(1 AS BIGINT)
+                                       << CAST(p.pos % 32 AS INTEGER))) != 0
+                   THEN 1 ELSE 0 END) AS maybe
+        FROM ppos p LEFT JOIN filt f
+            ON p.event_type = f.event_type AND p.pos // 32 = f.word
+        GROUP BY 1, 2
+    ),
+    mem AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT p.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(p.maybe) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN p.maybe = 1 AND m.user_id IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM pres p LEFT JOIN mem m
+        ON p.event_type = m.event_type AND p.user_id = m.user_id
+    GROUP BY 1
+    """
+
+
+@_declare("q66_bloom_membership", _q66_oracle())
+def q66(spark, sf_dir):
+    from ..operators import approx
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    filt = approx.bloom_build(ev, ["event_type"], "user_id", m_bits=4096, k=4)
+    probes = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(1, 301).select(F.col("id").alias("user_id")))
+    )
+    pr = approx.bloom_probe(
+        filt, probes, ["event_type"], "user_id", m_bits=4096, k=4
+    )
+    mem = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("__m", F.lit(1))
+    )
+    return (
+        pr.join(mem, ["event_type", "user_id"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("maybe_present").cast("long").alias("n_maybe"),
+            F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_members"),
+            F.sum(
+                F.when(
+                    (F.col("maybe_present") == 1) & F.col("__m").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+    )
+
+
+def _q67_oracle(width: int = 1024, depth: int = 4) -> str:
+    rcs = ", ".join(
+        f"{{'r': {r}, 'c': {_dd_md5_chunk_mod(r, width)}}}" for r in range(depth)
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT md5(CAST(user_id AS VARCHAR)) AS __h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    cells AS (SELECT unnest([{rcs}]) AS rc FROM hashed),
+    sk AS (
+        SELECT rc.r AS r, rc.c AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2
+    ),
+    probes AS (SELECT unnest(generate_series(1, 20)) AS user_id),
+    ppos AS (
+        SELECT user_id, rc.r AS r, rc.c AS c
+        FROM (SELECT user_id, unnest([{rcs}]) AS rc
+              FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS __h
+                    FROM probes))
+    ),
+    est AS (
+        SELECT p.user_id,
+               MIN(COALESCE(s.cnt, CAST(0 AS BIGINT))) AS est_count
+        FROM ppos p LEFT JOIN sk s ON p.r = s.r AND p.c = s.c
+        GROUP BY 1
+    )
+    SELECT e.user_id, e.est_count,
+           CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count
+    FROM est e LEFT JOIN (
+        SELECT user_id, COUNT(*) AS exact_count FROM events
+        WHERE user_id BETWEEN 1 AND 20 GROUP BY 1
+    ) x ON e.user_id = x.user_id
+    """
+
+
+@_declare("q67_count_min_frequency", _q67_oracle())
+def q67(spark, sf_dir):
+    from ..operators import approx
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sk = approx.cm_build(ev, [], "user_id", width=1024, depth=4)
+    pr = spark.range(1, 21).select(F.col("id").alias("user_id"))
+    est = approx.cm_estimate(sk, pr, [], "user_id", width=1024, depth=4)
+    exact = (
+        ev.where(F.col("user_id").between(1, 20))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "user_id", "left").select(
+        "user_id",
+        "est_count",
+        F.coalesce("exact_count", F.lit(0).cast("long")).alias("exact_count"),
+    )

@@ -459,3 +459,56 @@ def test_hll_distinct_ignores_nulls_and_validates_p(spark):
     assert abs(est - 50) / 50 < 0.25
     with _pytest.raises(ValueError):
         approx.hll_distinct(df, ["g"], "v", p=7)
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import approx
+
+    members = spark.range(1000).select(F.lit("g").alias("k"), F.col("id").alias("v"))
+    filt = approx.bloom_build(members, ["k"], "v", m_bits=16384, k=4)
+    probes = spark.range(2000).select(F.lit("g").alias("k"), F.col("id").alias("v"))
+    res = approx.bloom_probe(filt, probes, ["k"], "v", m_bits=16384, k=4)
+    agg = res.agg(
+        F.sum(F.when((F.col("v") < 1000) & (F.col("maybe_present") == 0), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("v") >= 1000) & (F.col("maybe_present") == 1), 1).otherwise(0)).alias("fp"),
+    ).collect()[0]
+    assert agg.fn == 0  # Bloom invariant: no false negatives
+    # m=16k, n=1k, k=4 -> theoretical fp ~0.24%; allow 10x headroom
+    assert agg.fp <= 25
+
+
+def test_bloom_deterministic_under_repartition(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import approx
+
+    df = spark.range(500).select(F.lit("g").alias("k"), F.col("id").alias("v"))
+    a = sorted(map(tuple, approx.bloom_build(df, ["k"], "v").collect()))
+    b = sorted(
+        map(tuple, approx.bloom_build(df.repartition(17, "v"), ["k"], "v").collect())
+    )
+    assert a == b
+
+
+def test_count_min_upper_bound_and_exactness(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import approx
+
+    # zipf-ish: value v appears (100 - v) times for v in 0..99
+    base = spark.range(100).select(
+        F.col("id").alias("v"), (100 - F.col("id")).cast("int").alias("n")
+    )
+    facts = base.select(F.explode(F.expr("sequence(1, n)")).alias("_"), "v")
+    sk = approx.cm_build(facts, [], "v", width=1024, depth=4)
+    pr = spark.range(100).select(F.col("id").alias("v"))
+    est = {
+        r.v: r.est_count
+        for r in approx.cm_estimate(sk, pr, [], "v", width=1024, depth=4).collect()
+    }
+    for v in range(100):
+        true = 100 - v
+        assert est[v] >= true  # CM never undercounts
+        assert est[v] <= true + 60  # 4 rows x 1024 wide on 5050 items
