@@ -2954,3 +2954,92 @@ def q67(spark, sf_dir):
         "est_count",
         F.coalesce("exact_count", F.lit(0).cast("long")).alias("exact_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — trailing-window anomaly detection on daily event volumes: flag
+# (event_type, day) cells whose count exceeds mean + 3*stddev of the prior
+# 7 days. Mean/stddev are derived IN THE FINAL PROJECTION from integer
+# window sums (sum, sum of squares, n) — every windowed aggregate is exact
+# integer arithmetic, so both engines hit identical doubles and the z-score
+# compares exactly (float32-cast). Built-in stddev would NOT be portable:
+# its accumulation order differs per engine.
+# ---------------------------------------------------------------------------
+
+_Q68_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+), windowed AS (
+    SELECT event_type, day, n_events,
+           COUNT(*) OVER w AS w_n,
+           SUM(n_events) OVER w AS w_sum,
+           SUM(n_events * n_events) OVER w AS w_sumsq
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events,
+       CAST(mean AS FLOAT) AS base_mean,
+       CAST(sd AS FLOAT) AS base_sd,
+       CAST(CASE WHEN sd > 0 AND n_events > mean + 3e0 * sd
+            THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM (
+    SELECT event_type, day, n_events,
+           CAST(w_sum AS DOUBLE) / w_n AS mean,
+           CASE WHEN w_n > 1 THEN
+               SQRT((CAST(w_sumsq AS DOUBLE)
+                     - CAST(w_sum AS DOUBLE) * w_sum / w_n) / (w_n - 1))
+           END AS sd
+    FROM windowed WHERE w_n >= 3
+)
+"""
+
+
+@_declare("q68_daily_volume_anomaly", _Q68_ORACLE)
+def q68(spark, sf_dir):
+    from pyspark.sql import Window
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) div 86400000000")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-7, -1)
+    )
+    windowed = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum("n_events").over(w).alias("w_sum"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("w_sumsq"),
+    ).where(F.col("w_n") >= 3)
+    mean = F.col("w_sum").cast("double") / F.col("w_n")
+    sd = F.when(
+        F.col("w_n") > 1,
+        F.sqrt(
+            (
+                F.col("w_sumsq").cast("double")
+                - F.col("w_sum").cast("double") * F.col("w_sum") / F.col("w_n")
+            )
+            / (F.col("w_n") - 1)
+        ),
+    )
+    return windowed.select(
+        "event_type",
+        "day",
+        "n_events",
+        mean.cast("float").alias("base_mean"),
+        sd.cast("float").alias("base_sd"),
+        F.when((sd > 0) & (F.col("n_events") > mean + 3.0 * sd), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_anomaly"),
+    )
