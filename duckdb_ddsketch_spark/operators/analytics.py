@@ -51,3 +51,50 @@ def cohort_retention(
         joined.groupBy("cohort", "offset")
         .agg(F.count_distinct("__u").alias("n_users"))
     )
+
+
+def funnel(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    steps: Sequence,
+    strict: bool = True,
+) -> DataFrame:
+    """Ordered-funnel timestamps: one row per user who completed step 1,
+    with ``step_1 .. step_n`` = the earliest event time of each step that
+    occurs AFTER the user's previous step time (strictly after when
+    ``strict``). ``steps`` is a sequence of boolean Columns (e.g.
+    ``F.col("event_type") == "view"``); later steps are NULL once the
+    funnel stalls.
+
+    Scale shape: step k is a filter + groupBy + join, ALL keyed on the
+    user column — Catalyst reuses one hash-partitioning across the whole
+    chain, so n steps cost n filtered scans but no extra fact shuffles.
+    Per-step state is one timestamp per user (min), never an event buffer,
+    so hot users are safe.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step predicate")
+    t = F.col(ts)
+    cur = (
+        df.where(steps[0])
+        .groupBy(F.col(user).alias("__u"))
+        .agg(F.min(t).alias("step_1"))
+    )
+    for i, pred in enumerate(steps[1:], start=2):
+        prev_cols = cur.columns  # __u, step_1 .. step_{i-1}
+        ev = df.where(pred).select(F.col(user).alias("__u"), t.alias("__t"))
+        gate = F.col("__t") > F.col(f"step_{i - 1}") if strict else (
+            F.col("__t") >= F.col(f"step_{i - 1}")
+        )
+        hit = (
+            ev.join(cur, "__u")
+            .where(gate)
+            .groupBy("__u")
+            .agg(F.min("__t").alias(f"step_{i}"))
+        )
+        cur = cur.join(hit.select("__u", f"step_{i}"), "__u", "left").select(
+            *prev_cols, f"step_{i}"
+        )
+    return cur.withColumnRenamed("__u", user)

@@ -3043,3 +3043,106 @@ def q68(spark, sf_dir):
         .cast("int")
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — ordered conversion funnel view → click → purchase: per-user step
+# timestamps (each step strictly after the previous), collapsed to step
+# counts + mean completion time. Timestamps are exact epoch micros, so
+# joins/comparisons hash-match; only the final mean is float32-cast.
+# ---------------------------------------------------------------------------
+
+_Q69_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    WHERE user_id IS NOT NULL
+), s1 AS (
+    SELECT user_id, MIN(us) AS s1 FROM ev
+    WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+    SELECT e.user_id, MIN(e.us) AS s2 FROM ev e
+    JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.us > s1.s1 GROUP BY 1
+), s3 AS (
+    SELECT e.user_id, MIN(e.us) AS s3 FROM ev e
+    JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.us > s2.s2 GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_step1,
+       CAST(COUNT(s2.s2) AS BIGINT) AS n_step2,
+       CAST(COUNT(s3.s3) AS BIGINT) AS n_step3,
+       CAST(CAST(SUM(s3.s3 - s1.s1) AS DOUBLE) / 1000000e0 / COUNT(s3.s3)
+            AS FLOAT) AS avg_conv_sec
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s2.user_id = s3.user_id
+"""
+
+
+@_declare("q69_conversion_funnel", _Q69_ORACLE)
+def q69(spark, sf_dir):
+    from ..operators import analytics
+
+    _prep(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .withColumn("us", F.expr("unix_micros(ts)"))
+    )
+    fun = analytics.funnel(
+        ev,
+        "user_id",
+        "us",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+    )
+    return fun.agg(
+        F.count(F.lit(1)).alias("n_step1"),
+        F.count("step_2").alias("n_step2"),
+        F.count("step_3").alias("n_step3"),
+        (
+            F.sum(F.col("step_3") - F.col("step_1")).cast("double")
+            / F.lit(1000000.0)
+            / F.count("step_3")
+        )
+        .cast("float")
+        .alias("avg_conv_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — semi-structured props extraction: parse the JSON props column,
+# bucket the numeric payload, count per (event_type, bucket). JSON path
+# evaluation is deterministic on both engines; all outputs integers.
+# ---------------------------------------------------------------------------
+
+_Q70_ORACLE = """
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+            AS INTEGER) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS k_sum
+FROM events WHERE props IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@_declare("q70_json_props_extract", _Q70_ORACLE)
+def q70(spark, sf_dir):
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type", F.floor(F.col("k") / 10).cast("int").alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+    )

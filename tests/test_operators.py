@@ -512,3 +512,65 @@ def test_count_min_upper_bound_and_exactness(spark):
         true = 100 - v
         assert est[v] >= true  # CM never undercounts
         assert est[v] <= true + 60  # 4 rows x 1024 wide on 5050 items
+
+
+def test_funnel_step_ordering_and_stalls(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import analytics
+
+    rows = [
+        # u1 completes in order
+        (1, "a", 10), (1, "b", 20), (1, "c", 30),
+        # u2: step b happens BEFORE a -> funnel stalls at step 1
+        (2, "b", 5), (2, "a", 10),
+        # u3: completes a,b; c missing
+        (3, "a", 1), (3, "b", 2),
+        # u4: never does a -> not in output
+        (4, "b", 1), (4, "c", 2),
+        # u5: same-ts b as a -> strict gate rejects it
+        (5, "a", 7), (5, "b", 7),
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, ts long")
+    out = {
+        r.u: (r.step_1, r.step_2, r.step_3)
+        for r in analytics.funnel(
+            df, "u", "ts",
+            [F.col("t") == "a", F.col("t") == "b", F.col("t") == "c"],
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1] == (10, 20, 30)
+    assert out[2] == (10, None, None)
+    assert out[3] == (1, 2, None)
+    assert out[5] == (7, None, None)
+    # non-strict: equal timestamps advance the funnel
+    loose = {
+        r.u: r.step_2
+        for r in analytics.funnel(
+            df, "u", "ts", [F.col("t") == "a", F.col("t") == "b"], strict=False
+        ).collect()
+    }
+    assert loose[5] == 7
+
+
+def test_cohort_retention_known_matrix(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import analytics
+
+    rows = [
+        (1, 100), (1, 101), (1, 103),
+        (2, 100), (2, 101),
+        (3, 101), (3, 103),
+    ]
+    df = spark.createDataFrame(rows, "u long, day long")
+    out = {
+        (r.cohort, r.offset): r.n_users
+        for r in analytics.cohort_retention(df, "u", "day").collect()
+    }
+    assert out[(100, 0)] == 2  # users 1,2
+    assert out[(100, 1)] == 2
+    assert out[(100, 3)] == 1  # only user 1
+    assert out[(101, 0)] == 1  # user 3
+    assert out[(101, 2)] == 1
