@@ -217,3 +217,29 @@ def test_multi_metric_single_scan_single_shuffle_pair(spark, lineitem):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert checks.exchange_count(q) == 2
     assert checks.python_eval_nodes(q) == []
+
+
+def test_hll_distinct_two_exchange_shape(spark, sf_dir):
+    """hll_distinct must be exactly (key,bucket)-shuffle -> key-shuffle:
+    both aggregations partial-aggregate map-side, so the first exchange
+    carries at most |keys| * 2^p rows and the plan stays JVM-only."""
+    from duckdb_ddsketch_spark.operators import approx
+
+    ev = load_table(spark, sf_dir, "events")
+    est = approx.hll_distinct(ev, ["event_type"], "user_id")
+    assert checks.exchange_count(est) == 2
+    assert checks.has_partial_aggregation(est)
+    assert checks.python_eval_nodes(est) == []
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """The built filter is <= m_bits/32 rows per key — probing must
+    broadcast it, never shuffle the probe stream against it."""
+    from duckdb_ddsketch_spark.operators import approx
+
+    ev = load_table(spark, sf_dir, "events")
+    filt = approx.bloom_build(ev, ["event_type"], "user_id")
+    probes = ev.select("event_type", "user_id").distinct()
+    pr = approx.bloom_probe(filt, probes, ["event_type"], "user_id")
+    assert checks.broadcast_exchange_count(pr) >= 1
+    assert checks.python_eval_nodes(pr) == []
