@@ -35,7 +35,17 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["hll_distinct", "hll_alpha"]
+__all__ = [
+    "hll_distinct",
+    "hll_registers",
+    "hll_estimate",
+    "hll_register_exprs",
+    "hll_alpha",
+    "bloom_build",
+    "bloom_probe",
+    "cm_build",
+    "cm_estimate",
+]
 
 _HEX = "0123456789abcdef"
 
@@ -58,6 +68,80 @@ def _rho_expr(x: str) -> str:
     return f"CASE WHEN {x} = 0 THEN 61 ELSE 61 - length(bin({x})) END"
 
 
+def _check_p(p: int) -> None:
+    if p % 4 != 0 or not (4 <= p <= 16):
+        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+
+
+def hll_register_exprs(col: str, p: int) -> tuple:
+    """(bucket_sql, rho_sql) over ``md5(CAST(col AS STRING)) AS __h``:
+    bucket from the first p/4 hex chars, rank from the next 15 (60 bits).
+    conv() returns STRING; cast explicitly (ANSI mode is on)."""
+    _check_p(p)
+    nhex = p // 4
+    bucket = f"CAST(conv(substring(__h, 1, {nhex}), 16, 10) AS BIGINT)"
+    rho = _rho_expr(
+        f"CAST(conv(substring(__h, {nhex + 1}, 15), 16, 10) AS BIGINT)"
+    )
+    return bucket, rho
+
+
+def hll_registers(df: DataFrame, key: Sequence[str], col: str, p: int = 8) -> DataFrame:
+    """Per-key HLL register table ``(key..., bucket, maxrho)`` — the
+    mergeable state: registers from disjoint inputs combine with a plain
+    ``MAX`` groupBy, so they can be stored, unioned across days, or fed by
+    a streaming aggregation (streaming/ uses exactly this)."""
+    key = list(key)
+    kcols = ", ".join(f"`{k}`" for k in key)
+    kpre = f"{kcols}, " if key else ""
+    bucket, rho = hll_register_exprs(col, p)
+    sql = f"""
+    SELECT {kpre}{bucket} AS bucket, MAX({rho}) AS maxrho
+    FROM (
+        SELECT {kpre}md5(CAST(`{col}` AS STRING)) AS __h
+        FROM {{df}} WHERE `{col}` IS NOT NULL
+    )
+    GROUP BY {kpre}bucket
+    """
+    return df.sparkSession.sql(sql, df=df)
+
+
+def hll_estimate(
+    regs: DataFrame,
+    key: Sequence[str],
+    p: int = 8,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Collapse a register table from :func:`hll_registers` (or a MAX-merge
+    of several) into the float32 cardinality estimate per key."""
+    _check_p(p)
+    m = 1 << p
+    alpha = hll_alpha(m)
+    key = list(key)
+    kcols = ", ".join(f"`{k}`" for k in key)
+    kpre = f"{kcols}, " if key else ""
+    sql = f"""
+    WITH folded AS (
+        SELECT {kpre}COUNT(*) AS observed,
+               SUM(CAST(shiftleft(CAST(1 AS BIGINT), 61 - CAST(maxrho AS INT))
+                        AS DECIMAL(20, 0))) AS sum_fp
+        FROM {{regs}} {("GROUP BY " + kcols) if key else ""}
+    )
+    SELECT {kpre}CAST(CASE
+               WHEN raw <= 2.5e0 * {m} AND zeros > 0
+                   THEN {m} * LN({m} / CAST(zeros AS DOUBLE))
+               ELSE raw
+           END AS FLOAT) AS `{out_col}`
+    FROM (
+        SELECT {kpre}zeros,
+               {alpha!r}e0 * {m} * {m}.0
+                   / (sum_fp / 2305843009213693952e0 + zeros) AS raw
+        FROM (SELECT {kpre}sum_fp, {m} - observed AS zeros FROM folded)
+    )
+    """
+    return regs.sparkSession.sql(sql, regs=regs)
+
+
 def hll_distinct(
     df: DataFrame,
     key: Sequence[str],
@@ -71,51 +155,10 @@ def hll_distinct(
     standard error ~= 1.04/sqrt(m)); must be a multiple of 4 so the bucket
     is a whole number of md5 hex chars. Returns one row per key with
     ``out_col`` (float32 estimate). NULL values are ignored (SQL DISTINCT
-    convention).
+    convention). Composition of :func:`hll_registers` + :func:`hll_estimate`
+    — still one 2-exchange plan after Catalyst fuses the SQL texts.
     """
-    if p % 4 != 0 or not (4 <= p <= 16):
-        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
-    m = 1 << p
-    nhex = p // 4
-    alpha = hll_alpha(m)
-    key = list(key)
-    kcols = ", ".join(f"`{k}`" for k in key)
-
-    # one SQL text end-to-end: hash → per-bucket max rank → estimator.
-    # conv() returns STRING; cast explicitly (ANSI mode is on).
-    rho = _rho_expr(f"CAST(conv(substring(__h, {nhex + 1}, 15), 16, 10) AS BIGINT)")
-    sql = f"""
-    WITH hashed AS (
-        SELECT {kcols}, md5(CAST(`{col}` AS STRING)) AS __h
-        FROM {{df}} WHERE `{col}` IS NOT NULL
-    ),
-    regs AS (
-        SELECT {kcols},
-               CAST(conv(substring(__h, 1, {nhex}), 16, 10) AS BIGINT) AS bucket,
-               MAX({rho}) AS maxrho
-        FROM hashed GROUP BY {kcols}, bucket
-    ),
-    folded AS (
-        SELECT {kcols},
-               COUNT(*) AS observed,
-               SUM(CAST(shiftleft(CAST(1 AS BIGINT), 61 - CAST(maxrho AS INT))
-                        AS DECIMAL(20, 0))) AS sum_fp
-        FROM regs GROUP BY {kcols}
-    )
-    SELECT {kcols},
-           CAST(CASE
-               WHEN raw <= 2.5e0 * {m} AND zeros > 0
-                   THEN {m} * LN({m} / CAST(zeros AS DOUBLE))
-               ELSE raw
-           END AS FLOAT) AS `{out_col}`
-    FROM (
-        SELECT {kcols}, zeros,
-               {alpha!r}e0 * {m} * {m}.0
-                   / (sum_fp / 2305843009213693952e0 + zeros) AS raw
-        FROM (SELECT {kcols}, sum_fp, {m} - observed AS zeros FROM folded)
-    )
-    """
-    return df.sparkSession.sql(sql, df=df)
+    return hll_estimate(hll_registers(df, key, col, p), key, p, out_col)
 
 
 # ---------------------------------------------------------------------------

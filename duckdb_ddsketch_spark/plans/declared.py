@@ -3146,3 +3146,107 @@ def q70(spark, sf_dir):
             F.sum("k").cast("long").alias("k_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — STREAMING distinct-count windows: hourly HLL registers accumulated
+# by Structured Streaming (native MAX aggregate, bounded state), folded to
+# estimates in the sink. Oracle replays the register math per (hour,
+# event_type) group in DuckDB — the streaming execution must land on the
+# bit-identical float32 estimates.
+# ---------------------------------------------------------------------------
+
+
+def _q71_oracle(p: int = 8) -> str:
+    from ..operators.approx import hll_alpha
+
+    m = 1 << p
+    nhex = p // 4
+    x = _dd_hex2int("__h", nhex + 1, 15)
+    rho = f"CASE WHEN {x} = 0 THEN 61 ELSE 61 - length(bin({x})) END"
+    return f"""
+    WITH hashed AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type, md5(CAST(user_id AS VARCHAR)) AS __h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+        SELECT window_start, event_type,
+               {_dd_hex2int("__h", 1, nhex)} AS bucket, MAX({rho}) AS maxrho
+        FROM hashed GROUP BY 1, 2, 3
+    ),
+    folded AS (
+        SELECT window_start, event_type, COUNT(*) AS observed,
+               SUM(CAST(1 AS BIGINT) << (61 - CAST(maxrho AS INTEGER)))
+                   AS sum_fp
+        FROM regs GROUP BY 1, 2
+    )
+    SELECT window_start, event_type,
+           CAST(CASE
+               WHEN raw <= 2.5e0 * {m} AND zeros > 0
+                   THEN {m} * LN({m} / CAST(zeros AS DOUBLE))
+               ELSE raw
+           END AS FLOAT) AS approx_distinct
+    FROM (
+        SELECT window_start, event_type, zeros,
+               {hll_alpha(m)!r}e0 * {m} * {m}.0
+                   / (sum_fp / 2305843009213693952e0 + zeros) AS raw
+        FROM (SELECT window_start, event_type, sum_fp,
+                     {m} - observed AS zeros FROM folded)
+    )
+    """
+
+
+@_declare("q71_streaming_distinct_windows", _q71_oracle())
+def q71(spark, sf_dir):
+    import tempfile
+
+    from ..operators.approx import hll_estimate
+    from ..streaming import windowed_hll_registers
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    regs = windowed_hll_registers(
+        stream, "ts", ["event_type"], "user_id", p=8,
+        window="1 hour", watermark="0 seconds",
+    )
+    # update mode (final open windows emit too); last emission per register
+    state = {}
+
+    def sink(batch_df, _id):
+        for r in batch_df.collect():
+            state[(r.window_start, r.event_type, r.bucket)] = r.maxrho
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            regs.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    sink_df = spark.createDataFrame(
+        [(*k, v) for k, v in state.items()],
+        "window_start timestamp, event_type string, bucket long, maxrho int",
+    )
+    out = hll_estimate(sink_df, ["window_start", "event_type"], p=8)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "approx_distinct",
+    )

@@ -46,6 +46,7 @@ __all__ = [
     "streaming_quantiles",
     "sessionized_sketches",
     "sessionized_gap_stats",
+    "windowed_hll_registers",
 ]
 
 
@@ -316,5 +317,48 @@ def sessionized_gap_stats(
             stateStructType=state_schema,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def windowed_hll_registers(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    col: str,
+    p: int = 8,
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-window HLL registers (window, keys, bucket) → maxrho —
+    the distinct-count analogue of :func:`windowed_binned_counts`.
+
+    MAX is a native streaming aggregate, so the hot path stays JVM-side and
+    state is bounded at 2^p registers per open (window, keys) group. Collapse
+    emitted registers to estimates with ``operators.approx.hll_estimate``
+    (batch, e.g. inside ``foreachBatch``), keyed on the window bounds; a
+    MAX-merge re-groupBy first combines registers across stores/streams.
+    """
+    from ..operators.approx import hll_register_exprs
+
+    bucket_sql, rho_sql = hll_register_exprs(col, p)
+    w = F.window(F.col(ts_col), window, slide or window)
+    hashed = (
+        stream.where(F.col(col).isNotNull())
+        .withColumn("__h", F.md5(F.col(col).cast("string")))
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .groupBy(
+            w.alias("win"), *keys, F.expr(bucket_sql).alias("bucket")
+        )
+        .agg(F.max(F.expr(rho_sql)).alias("maxrho"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "bucket",
+            "maxrho",
         )
     )

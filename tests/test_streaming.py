@@ -230,3 +230,40 @@ def test_sessionized_gap_stats_multibatch(spark, tmp_path):
     # user 1: events at 0/10/20 min are one session (gaps <= 30), 120 min is
     # a second; the 0-10-20 session SPANS the two files/batches
     assert state[1] == (2, 4, 3, 20 * 60 * 1_000_000)
+
+
+def test_windowed_hll_registers_match_batch(spark, stream_input, tmp_path):
+    """Streaming per-hour HLL registers, folded to estimates in the batch
+    sink, must equal running batch hll_distinct over the same rows."""
+    from duckdb_ddsketch_spark.operators.approx import hll_distinct, hll_estimate
+    from duckdb_ddsketch_spark.streaming import windowed_hll_registers
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    regs = windowed_hll_registers(
+        stream, "ts", ["service"], "value", p=8,
+        window="1 hour", watermark="0 seconds",
+    )
+    results = _collect_stream(
+        regs,
+        str(tmp_path / "ck_hll"),
+        transform=lambda b: hll_estimate(
+            b, ["window_start", "window_end", "service"], p=8
+        ),
+        mode="update",
+    )
+    assert results
+    got = {}
+    for r in results:  # update mode: last emission per group wins
+        got[(r.window_start, r.service)] = r.approx_distinct
+    batch = (
+        spark.read.parquet(stream_input)
+        .withColumn("ws", F.date_trunc("hour", F.col("ts")))
+    )
+    expected = {
+        (r.ws, r.service): r.approx_distinct
+        for r in hll_distinct(batch, ["ws", "service"], "value", p=8).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        # identical register math -> bit-identical estimates
+        assert got[k] == expected[k], k
