@@ -3250,3 +3250,117 @@ def q71(spark, sf_dir):
         "event_type",
         "approx_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — HLL audience overlap: distinct viewers, distinct purchasers, their
+# union via register MAX-merge (the mergeability payoff — no re-scan), and
+# the inclusion-exclusion intersection estimate, against the exact overlap.
+# One register build serves all three estimates.
+# ---------------------------------------------------------------------------
+
+
+def _q72_oracle(p: int = 8) -> str:
+    from ..operators.approx import hll_alpha
+
+    m = 1 << p
+    nhex = p // 4
+    x = _dd_hex2int("__h", nhex + 1, 15)
+    rho = f"CASE WHEN {x} = 0 THEN 61 ELSE 61 - length(bin({x})) END"
+
+    def est(src: str) -> str:
+        return f"""(
+        SELECT CAST(CASE
+                   WHEN raw <= 2.5e0 * {m} AND zeros > 0
+                       THEN {m} * LN({m} / CAST(zeros AS DOUBLE))
+                   ELSE raw
+               END AS FLOAT)
+        FROM (
+            SELECT zeros, {hll_alpha(m)!r}e0 * {m} * {m}.0
+                       / (sum_fp / 2305843009213693952e0 + zeros) AS raw
+            FROM (
+                SELECT SUM(CAST(1 AS BIGINT)
+                           << (61 - CAST(maxrho AS INTEGER))) AS sum_fp,
+                       {m} - COUNT(*) AS zeros
+                FROM {src}
+            )
+        ))"""
+
+    return f"""
+    WITH hashed AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS __h
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+    ),
+    regs AS (
+        SELECT event_type, {_dd_hex2int("__h", 1, nhex)} AS bucket,
+               MAX({rho}) AS maxrho
+        FROM hashed GROUP BY 1, 2
+    ),
+    vregs AS (SELECT bucket, maxrho FROM regs WHERE event_type = 'view'),
+    pregs AS (SELECT bucket, maxrho FROM regs WHERE event_type = 'purchase'),
+    uregs AS (
+        SELECT bucket, MAX(maxrho) AS maxrho FROM regs GROUP BY 1
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM (
+            SELECT user_id FROM events
+            WHERE event_type = 'view' AND user_id IS NOT NULL
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        )
+    )
+    SELECT {est("vregs")} AS est_viewers,
+           {est("pregs")} AS est_purchasers,
+           {est("uregs")} AS est_union,
+           CAST(CAST({est("vregs")} AS DOUBLE) + {est("pregs")}
+                - {est("uregs")} AS FLOAT) AS est_overlap,
+           (SELECT exact_overlap FROM exact) AS exact_overlap
+    """
+
+
+@_declare("q72_hll_audience_overlap", _q72_oracle())
+def q72(spark, sf_dir):
+    from ..operators import approx
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("view", "purchase")
+    )
+    regs = approx.hll_registers(ev, ["event_type"], "user_id", p=8)
+    uregs = regs.groupBy("bucket").agg(F.max("maxrho").alias("maxrho"))
+    ests = approx.hll_estimate(regs, ["event_type"], p=8)
+    v = ests.where(F.col("event_type") == "view").select(
+        F.col("approx_distinct").alias("est_viewers")
+    )
+    pu = ests.where(F.col("event_type") == "purchase").select(
+        F.col("approx_distinct").alias("est_purchasers")
+    )
+    u = approx.hll_estimate(uregs, [], p=8).select(
+        F.col("approx_distinct").alias("est_union")
+    )
+    viewers = ev.where(F.col("event_type") == "view").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        viewers.intersect(buyers)
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        v.crossJoin(pu)
+        .crossJoin(u)
+        .withColumn(
+            "est_overlap",
+            (
+                F.col("est_viewers").cast("double")
+                + F.col("est_purchasers")
+                - F.col("est_union")
+            ).cast("float"),
+        )
+        .crossJoin(exact)
+        .select(
+            "est_viewers", "est_purchasers", "est_union",
+            "est_overlap", "exact_overlap",
+        )
+    )
