@@ -1,0 +1,188 @@
+"""Deterministic Lloyd's k-means over embedding columns.
+
+Training-data pipelines cluster corpus embeddings for diversity-aware
+sampling, near-dup triage, and topic balancing. This is the beyond-reference
+clustering operator (the reference engine has no vector ops at all); it is
+built so the APPROXIMATE iterative algorithm is still bit-reproducible
+cross-engine, which is what lets the driver's exact value-hash gate check it
+against a pure-SQL DuckDB oracle:
+
+* init: the k smallest ``id_col`` rows seed the centroids (rank 0..k-1) —
+  no RNG anywhere.
+* centroid updates sum per-dimension FIXED-POINT BIGINT quantities
+  (``floor(x * 2^20)``) instead of doubles: integer addition is associative,
+  so the update is independent of partitioning / aggregation order. The mean
+  is reconstructed as ``sum / (n * 2^20)`` in one double division.
+* distances fold per-row, left-to-right, in double — the same shape the
+  cosine operators use (`similarity.dot`), which both engines evaluate
+  sequentially.
+* argmin ties break on the smaller cluster id via lexicographic
+  ``array_min(struct(dist, cid))``.
+
+Scale shape (100 TB): assignment is MAP-ONLY — centroids ship to every task
+as a literal expression (k*dims doubles, ~few KB; the driver collects k*dims
+rows between iterations, never the data). The update aggregates
+``posexplode``d quantized components with map-side partial aggregation, so
+each iteration's shuffle is bounded by ``partitions * k * dims`` rows of
+BIGINTs regardless of input row count. The input is persisted across
+iterations (it is scanned ``iters + 1`` times).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["kmeans_centroids", "kmeans_assign", "kmeans_summary"]
+
+# 2^20 fixed-point scale: float32 inputs in [-1, 1] keep ~6 fractional
+# decimal digits, and 100T rows * 2^20 still fits in int64 per dimension.
+_SCALE = 1048576.0
+
+
+def _dist_sql(vec_sql: str, cvals: Sequence[float]) -> str:
+    """Squared-L2 fold from ``vec_sql`` (array<float>) to literal centroid."""
+    arr = ", ".join(f"{v!r}D" for v in cvals)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}),"
+        " (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+        " CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+
+
+def _assign_expr(vec_col: str, centroids: List[Tuple[int, List[float]]]) -> str:
+    """SQL text: cluster id of the nearest centroid (ties -> smaller id)."""
+    entries = ", ".join(
+        f"struct({_dist_sql(f'`{vec_col}`', cvals)} AS d, {cid} AS cid)"
+        for cid, cvals in centroids
+    )
+    return f"array_min(array({entries})).cid"
+
+
+def _quantize_expr(vec_col: str) -> str:
+    return (
+        f"transform(`{vec_col}`,"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE!r}D) AS BIGINT))"
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    iters: int = 2,
+) -> List[Tuple[int, List[float]]]:
+    """Run ``iters`` Lloyd iterations; return [(cluster_id, centroid)].
+
+    Clusters that receive no points simply drop out (no respawn heuristic —
+    deterministic and easy to mirror in SQL). Only ``k * dims`` scalars ever
+    reach the driver.
+    """
+    df = df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    # Seed: quantized embeddings of the k smallest ids, rank = cluster id.
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            F.expr(
+                f"transform({_quantize_expr(vec_col)},"
+                f" q -> CAST(q AS DOUBLE) / {_SCALE!r}D)"
+            ).alias("c")
+        )
+        .collect()
+    )
+    centroids = [(i, list(r["c"])) for i, r in enumerate(seeds)]
+    if not centroids:
+        return []
+
+    persisted = iters > 1
+    if persisted:
+        df = df.persist()
+    try:
+        for _ in range(iters):
+            assigned = df.selectExpr(
+                f"{_assign_expr(vec_col, centroids)} AS cid",
+                f"{_quantize_expr(vec_col)} AS q",
+            )
+            # (cid, dim) BIGINT sums: order-independent, partial-aggregated.
+            sums = (
+                assigned.select("cid", F.posexplode("q").alias("dim", "qv"))
+                .groupBy("cid", "dim")
+                .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            by_cid: dict = {}
+            for r in sums:
+                by_cid.setdefault(r["cid"], {})[r["dim"]] = (r["s"], r["n"])
+            centroids = [
+                (
+                    cid,
+                    [
+                        float(dims[d][0]) / (float(dims[d][1]) * _SCALE)
+                        for d in range(len(dims))
+                    ],
+                )
+                for cid, dims in sorted(by_cid.items())
+            ]
+    finally:
+        if persisted:
+            df.unpersist()
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: List[Tuple[int, List[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only: input rows + ``cluster_id`` of the nearest centroid."""
+    return df.where(F.col(vec_col).isNotNull()).selectExpr(
+        "*", f"{_assign_expr(vec_col, centroids)} AS cluster_id"
+    )
+
+
+def kmeans_summary(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    iters: int = 2,
+    label_col: Optional[str] = None,
+) -> DataFrame:
+    """Cluster -> (n_vecs, c0, c1[, mean_label]) after ``iters`` updates.
+
+    The reported centroid components and mean label are pure functions of
+    order-independent integer sums, so the output is exactly reproducible.
+    """
+    centroids = kmeans_centroids(df, vec_col, id_col, k, iters)
+    assigned = kmeans_assign(df, centroids, vec_col)
+    aggs = [
+        F.count("*").alias("n_vecs"),
+        F.sum(F.expr(f"{_quantize_expr(vec_col)}[0]")).alias("_q0"),
+        F.sum(F.expr(f"{_quantize_expr(vec_col)}[1]")).alias("_q1"),
+    ]
+    if label_col is not None:
+        aggs.append(F.sum(F.col(label_col).cast("long")).alias("_lsum"))
+    out = assigned.groupBy("cluster_id").agg(*aggs)
+    cols = [
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("n_vecs"),
+        (
+            F.col("_q0").cast("double")
+            / (F.col("n_vecs").cast("double") * F.lit(_SCALE))
+        ).cast("float").alias("c0"),
+        (
+            F.col("_q1").cast("double")
+            / (F.col("n_vecs").cast("double") * F.lit(_SCALE))
+        ).cast("float").alias("c1"),
+    ]
+    if label_col is not None:
+        cols.append(
+            (F.col("_lsum").cast("double") / F.col("n_vecs").cast("double"))
+            .cast("float")
+            .alias("mean_label")
+        )
+    return out.select(*cols)

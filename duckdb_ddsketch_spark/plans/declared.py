@@ -3364,3 +3364,95 @@ def q72(spark, sf_dir):
             "est_overlap", "exact_overlap",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — deterministic k-means over the embeddings table: 2 Lloyd iterations
+# (seeded by the k smallest vec_ids), fixed-point BIGINT centroid updates so
+# the iterative approximation is bit-reproducible, map-only assignment.
+# ---------------------------------------------------------------------------
+
+_Q73_K = 10
+_Q73_ITERS = 2
+
+
+def _q73_oracle(k: int = _Q73_K, iters: int = _Q73_ITERS, dims: int = 64) -> str:
+    dist = (
+        "list_aggregate(list_transform(range(1, {n}), i ->"
+        " (b.e[i] - c.cvec[i]) * (b.e[i] - c.cvec[i])), 'sum')"
+    ).format(n=dims + 1)
+    parts = [
+        f"""
+    WITH base AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1048576e0) AS BIGINT)) AS q
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               list_transform(q, v -> CAST(v AS DOUBLE) / 1048576e0) AS cvec
+        FROM base ORDER BY vec_id LIMIT {k}
+    ),
+    cents0 AS (
+        SELECT list(struct_pack(cid := cid, cvec := cvec) ORDER BY cid)
+                   AS cents
+        FROM seeds
+    )"""
+    ]
+    prev = "cents0"
+    for it in range(1, iters + 1):
+        parts.append(f""",
+    assign{it} AS (
+        SELECT b.*, list_aggregate(list_transform(cc.cents,
+                   c -> struct_pack(d := {dist}, cid := c.cid)), 'min').cid
+                   AS cid
+        FROM base b, {prev} cc
+    ),
+    sums{it} AS (
+        SELECT cid, i, SUM(q[i]) AS s, COUNT(*) AS n
+        FROM assign{it}, (SELECT unnest(range(1, {dims + 1})) AS i) d
+        GROUP BY cid, i
+    ),
+    cvec{it} AS (
+        SELECT cid, list(CAST(s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * 1048576e0) ORDER BY i) AS cvec
+        FROM sums{it} GROUP BY cid
+    ),
+    cents{it} AS (
+        SELECT list(struct_pack(cid := cid, cvec := cvec) ORDER BY cid)
+                   AS cents
+        FROM cvec{it}
+    )""")
+        prev = f"cents{it}"
+    parts.append(f""",
+    final AS (
+        SELECT b.*, list_aggregate(list_transform(cc.cents,
+                   c -> struct_pack(d := {dist}, cid := c.cid)), 'min').cid
+                   AS cid
+        FROM base b, {prev} cc
+    )
+    SELECT CAST(cid AS INT) AS cluster_id,
+           COUNT(*) AS n_vecs,
+           CAST(CAST(SUM(q[1]) AS DOUBLE)
+                / (CAST(COUNT(*) AS DOUBLE) * 1048576e0) AS FLOAT) AS c0,
+           CAST(CAST(SUM(q[2]) AS DOUBLE)
+                / (CAST(COUNT(*) AS DOUBLE) * 1048576e0) AS FLOAT) AS c1,
+           CAST(CAST(SUM(CAST(label AS BIGINT)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS FLOAT) AS mean_label
+    FROM final GROUP BY cid""")
+    return "".join(parts)
+
+
+@_declare("q73_kmeans_clusters", _q73_oracle())
+def q73(spark, sf_dir):
+    from ..operators import clustering
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_summary(
+        emb, "embedding", "vec_id", k=_Q73_K, iters=_Q73_ITERS,
+        label_col="label",
+    )

@@ -574,3 +574,66 @@ def test_cohort_retention_known_matrix(spark):
     assert out[(100, 3)] == 1  # only user 1
     assert out[(101, 0)] == 1  # user 3
     assert out[(101, 2)] == 1
+
+
+def test_kmeans_recovers_separable_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import clustering
+
+    # three tight blobs on a line; seeds (3 smallest ids) land one per blob
+    df = spark.range(90).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 3).cast("float") * 10.0
+            + (F.col("id") % 5).cast("float") * 0.01,
+            F.lit(0.0).cast("float"),
+        ).alias("embedding"),
+        (F.col("id") % 3).cast("int").alias("label"),
+    )
+    out = clustering.kmeans_summary(
+        df, "embedding", "vec_id", k=3, iters=2, label_col="label"
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.n_vecs == 30
+        # every member shares one label -> mean_label is exactly it
+        assert float(r.mean_label) in (0.0, 1.0, 2.0)
+        assert abs(r.c0 - float(r.mean_label) * 10.0) < 0.1
+
+
+def test_kmeans_deterministic_under_repartition(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import clustering
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.sin(F.col("id").cast("double")).cast("float"),
+            F.cos(F.col("id").cast("double") * 0.7).cast("float"),
+            (F.col("id") % 11).cast("float") / 11.0,
+        ).alias("embedding"),
+    )
+    a = clustering.kmeans_summary(df, k=4, iters=3).collect()
+    b = clustering.kmeans_summary(df.repartition(7), k=4, iters=3).collect()
+    key = lambda r: r.cluster_id
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import clustering
+    from duckdb_ddsketch_spark.plans import checks
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("float"), F.lit(1.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    cents = [(0, [0.0, 1.0]), (1, [25.0, 1.0])]
+    q = clustering.kmeans_assign(df, cents)
+    assert checks.exchange_count(q) == 0
+    assert checks.python_eval_nodes(q) == []
