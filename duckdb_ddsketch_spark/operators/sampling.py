@@ -58,3 +58,24 @@ def stratified_hash_topn(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def hash_shard(
+    df: DataFrame, n_shards: int, key: str, seed: str = "", col: str = "shard_id"
+) -> DataFrame:
+    """Deterministic shard assignment: ``md5(seed|key)`` first 8 hex chars
+    mod ``n_shards``, as an extra ``col`` column.
+
+    This is the training-shard writer's partitioner: a pure per-row
+    expression (map-only; at write time it feeds ``repartition(col)`` /
+    ``partitionBy(col)``), uniform for any shard count, and reproducible
+    across runs, cluster layouts, and engines — re-running the pipeline
+    appends to the SAME shard a document landed in last time.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit(seed), F.col(key).cast("string"))), 1, 8
+    )
+    shard = F.conv(h, 16, 10).cast("bigint") % F.lit(n_shards)
+    return df.withColumn(col, shard.cast("int"))

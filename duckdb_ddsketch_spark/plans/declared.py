@@ -3456,3 +3456,63 @@ def q73(spark, sf_dir):
         emb, "embedding", "vec_id", k=_Q73_K, iters=_Q73_ITERS,
         label_col="label",
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — training-shard assignment: deterministic md5 sharding of the corpus
+# into 16 shards + per-shard manifest stats (the shard-writer's bookkeeping:
+# balance check, token budget per shard, source mix). All-integer output.
+# ---------------------------------------------------------------------------
+
+_Q74_SHARDS = 16
+
+
+def _q74_oracle(n_shards: int = _Q74_SHARDS) -> str:
+    h = "md5('|' || CAST(doc_id AS VARCHAR))"
+    return f"""
+    WITH sharded AS (
+        SELECT ({_dd_hex2int(f"{h}", 1, 8)} % {n_shards}) AS shard_id,
+               doc_id, source, len({_TOKS}) AS n_tokens, len(text) AS n_chars
+        FROM documents
+    )
+    SELECT CAST(shard_id AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           SUM(CAST(n_tokens AS BIGINT)) AS token_sum,
+           SUM(CAST(n_chars AS BIGINT)) AS char_sum,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM sharded GROUP BY shard_id
+    """
+
+
+@_declare("q74_training_shards", _q74_oracle())
+def q74(spark, sf_dir):
+    from ..operators import sampling, text as text_ops
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = sampling.hash_shard(docs, _Q74_SHARDS, "doc_id")
+    return (
+        sharded.select(
+            "shard_id",
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("token_sum"),
+            F.sum(F.col("n_chars").cast("long")).alias("char_sum"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .select(
+            F.col("shard_id").cast("int").alias("shard_id"),
+            "n_docs", "token_sum", "char_sum",
+            "n_sources", "min_doc_id", "max_doc_id",
+        )
+    )

@@ -637,3 +637,31 @@ def test_kmeans_assignment_is_map_only(spark):
     q = clustering.kmeans_assign(df, cents)
     assert checks.exchange_count(q) == 0
     assert checks.python_eval_nodes(q) == []
+
+
+def test_hash_shard_deterministic_uniform_and_map_only(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import sampling
+    from duckdb_ddsketch_spark.plans import checks
+
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    q = sampling.hash_shard(df, 8, "k")
+    assert checks.exchange_count(q) == 0
+    counts = {r.shard_id: r.c for r in q.groupBy("shard_id").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == set(range(8))
+    # uniform-ish: every shard within 3x sqrt deviation of 500
+    assert all(abs(c - 500) < 120 for c in counts.values()), counts
+    # same rows land on the same shards regardless of layout
+    a = sorted((r.k, r.shard_id) for r in q.collect())
+    b = sorted(
+        (r.k, r.shard_id)
+        for r in sampling.hash_shard(df.repartition(13), 8, "k").collect()
+    )
+    assert a == b
+    # a different seed reshards
+    c = sorted(
+        (r.k, r.shard_id)
+        for r in sampling.hash_shard(df, 8, "k", seed="v2").collect()
+    )
+    assert a != c
