@@ -3516,3 +3516,71 @@ def q74(spark, sf_dir):
             "n_sources", "min_doc_id", "max_doc_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — week-over-week p99 drift: daily struct sketches MERGE into weekly
+# sketches (no raw re-scan — the mergeability payoff), then a self-join on
+# adjacent weeks reports the p99 delta per event_type. The SLO-drift shape.
+# ---------------------------------------------------------------------------
+
+
+def _q75_oracle() -> str:
+    week = "(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7)"
+    base = quantile_oracle_sql(
+        "events",
+        {"event_type": "event_type", "week": week},
+        "value",
+        quantiles=(0.99,),
+        stats=("count",),
+    )
+    return f"""
+    WITH weekly AS ({base})
+    SELECT cur.event_type AS event_type,
+           CAST(cur.week AS INT) AS week,
+           cur.count AS count,
+           cur.p99 AS p99,
+           prev.p99 AS prev_p99,
+           CAST(CAST(cur.p99 AS DOUBLE) - CAST(prev.p99 AS DOUBLE) AS FLOAT)
+               AS p99_delta
+    FROM weekly cur JOIN weekly prev
+      ON cur.event_type = prev.event_type AND cur.week = prev.week + 1
+    """
+
+
+@_declare("q75_week_over_week_drift", _q75_oracle())
+def q75(spark, sf_dir):
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7 AS INT)"
+        " AS week",
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS INT) AS day",
+        "value",
+    )
+    daily = native.sketch_struct_agg(ev, ["event_type", "week", "day"], "value")
+    weekly = native.merge_struct_sketches(daily, ["event_type", "week"])
+    wk = weekly.select(
+        "event_type",
+        "week",
+        native.struct_count(F.col("sketch")).alias("count"),
+        native.struct_quantile("sketch", 0.99).cast("float").alias("p99"),
+    )
+    cur, prev = wk.alias("cur"), wk.alias("prev")
+    return (
+        cur.join(
+            prev,
+            (F.col("cur.event_type") == F.col("prev.event_type"))
+            & (F.col("cur.week") == F.col("prev.week") + 1),
+        )
+        .select(
+            F.col("cur.event_type").alias("event_type"),
+            F.col("cur.week").alias("week"),
+            F.col("cur.count").alias("count"),
+            F.col("cur.p99").alias("p99"),
+            F.col("prev.p99").alias("prev_p99"),
+            (F.col("cur.p99").cast("double") - F.col("prev.p99").cast("double"))
+            .cast("float")
+            .alias("p99_delta"),
+        )
+    )
