@@ -3376,7 +3376,9 @@ _Q73_K = 10
 _Q73_ITERS = 2
 
 
-def _q73_oracle(k: int = _Q73_K, iters: int = _Q73_ITERS, dims: int = 64) -> str:
+def _q73_ctes(k: int = _Q73_K, iters: int = _Q73_ITERS, dims: int = 64) -> str:
+    """The k-means CTE chain ending in ``final(vec_id, label, e, q, cid)``
+    — shared by the q73 summary and the q76 diversity-sampling oracle."""
     dist = (
         "list_aggregate(list_transform(range(1, {n}), i ->"
         " (b.e[i] - c.cvec[i]) * (b.e[i] - c.cvec[i])), 'sum')"
@@ -3433,7 +3435,12 @@ def _q73_oracle(k: int = _Q73_K, iters: int = _Q73_ITERS, dims: int = 64) -> str
                    c -> struct_pack(d := {dist}, cid := c.cid)), 'min').cid
                    AS cid
         FROM base b, {prev} cc
-    )
+    )""")
+    return "".join(parts)
+
+
+def _q73_oracle(k: int = _Q73_K, iters: int = _Q73_ITERS, dims: int = 64) -> str:
+    return f"""{_q73_ctes(k, iters, dims)}
     SELECT CAST(cid AS INT) AS cluster_id,
            COUNT(*) AS n_vecs,
            CAST(CAST(SUM(q[1]) AS DOUBLE)
@@ -3442,8 +3449,7 @@ def _q73_oracle(k: int = _Q73_K, iters: int = _Q73_ITERS, dims: int = 64) -> str
                 / (CAST(COUNT(*) AS DOUBLE) * 1048576e0) AS FLOAT) AS c1,
            CAST(CAST(SUM(CAST(label AS BIGINT)) AS DOUBLE)
                 / CAST(COUNT(*) AS DOUBLE) AS FLOAT) AS mean_label
-    FROM final GROUP BY cid""")
-    return "".join(parts)
+    FROM final GROUP BY cid"""
 
 
 @_declare("q73_kmeans_clusters", _q73_oracle())
@@ -3583,4 +3589,58 @@ def q75(spark, sf_dir):
             .cast("float")
             .alias("p99_delta"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — diversity-aware sampling: k-means clusters (q73) x exactly-n
+# deterministic sample per cluster (stratified_hash_topn). The corpus-
+# balancing shape: equal representation from every embedding cluster, fully
+# reproducible. Output is the per-cluster sample manifest.
+# ---------------------------------------------------------------------------
+
+_Q76_N = 20
+
+
+def _q76_oracle(n: int = _Q76_N) -> str:
+    return f"""{_q73_ctes()},
+    ranked AS (
+        SELECT cid, vec_id, label,
+               row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5('|' || CAST(vec_id AS VARCHAR)) ASC,
+                            vec_id ASC
+               ) AS rn
+        FROM final
+    )
+    SELECT CAST(cid AS INT) AS cluster_id,
+           COUNT(*) AS n_sampled,
+           SUM(vec_id) AS vec_id_sum,
+           COUNT(DISTINCT label) AS n_labels,
+           MIN(vec_id) AS min_vec_id
+    FROM ranked WHERE rn <= {n} GROUP BY cid
+    """
+
+
+@_declare("q76_diversity_sample", _q76_oracle())
+def q76(spark, sf_dir):
+    from ..operators import clustering, sampling
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_centroids(
+        emb, "embedding", "vec_id", k=_Q73_K, iters=_Q73_ITERS
+    )
+    assigned = clustering.kmeans_assign(emb, cents)
+    picked = sampling.stratified_hash_topn(
+        assigned, ["cluster_id"], _Q76_N, "vec_id"
+    )
+    return picked.groupBy("cluster_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("vec_id").alias("vec_id_sum"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("vec_id").alias("min_vec_id"),
+    ).select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "n_sampled", "vec_id_sum", "n_labels", "min_vec_id",
     )
