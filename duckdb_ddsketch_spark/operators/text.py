@@ -27,6 +27,9 @@ __all__ = [
     "tfidf_top_terms",
     "DEFAULT_STOPWORDS",
     "LANG_MARKERS",
+    "REDACTION_PATTERNS",
+    "redact",
+    "redaction_stats",
 ]
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -225,3 +228,59 @@ def fingerprint(text: Column) -> Column:
     """
     toks = F.array_sort(F.array_distinct(tokens(F.lower(text))))
     return F.md5(F.concat_ws(" ", toks))
+
+
+# PII-shaped scrub patterns. Kept to the regex subset with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB/Go tooling) so redaction
+# is reproducible across engines: no backrefs, no lookaround.
+REDACTION_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+    "number": r"[0-9]+",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact(
+    text: Column, patterns: Sequence[str] = ("email", "phone"), mask: str = "#"
+) -> Column:
+    """Mask every occurrence of the named ``REDACTION_PATTERNS`` (or raw
+    regexes) with ``mask``. Pure per-row expression — map-only, pushes past
+    projections, no Python."""
+    out = text
+    for p in patterns:
+        out = F.regexp_replace(out, REDACTION_PATTERNS.get(p, p), mask)
+    return out
+
+
+def redaction_stats(
+    df: DataFrame,
+    text_col: str,
+    keys: Sequence[str] = (),
+    patterns: Sequence[str] = ("email", "phone"),
+) -> DataFrame:
+    """Per-``keys`` scrub report: rows touched, total masked runs, and
+    distinct surviving texts — the audit table a PII pass must emit.
+
+    The masked-run count is derived from the length delta of stripping the
+    mask character (integers only, engine-portable).
+    """
+    mask = "\x01"  # unlikely in real text; keeps run-counting exact
+    masked = redact(F.col(text_col), patterns, mask)
+    per_row = df.select(
+        *keys,
+        F.col(text_col).alias("_t"),
+        masked.alias("_m"),
+    ).select(
+        *keys,
+        (F.length("_m") - F.length(F.regexp_replace("_m", mask, ""))).alias(
+            "_runs"
+        ),
+        F.md5(F.col("_m")).alias("_mh"),
+    )
+    return per_row.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("_runs") > 0).cast("long")).alias("n_redacted_rows"),
+        F.sum(F.col("_runs").cast("long")).alias("n_masked_runs"),
+        F.countDistinct("_mh").alias("n_distinct_masked"),
+    )

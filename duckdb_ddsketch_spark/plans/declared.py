@@ -3644,3 +3644,43 @@ def q76(spark, sf_dir):
         F.col("cluster_id").cast("int").alias("cluster_id"),
         "n_sampled", "vec_id_sum", "n_labels", "min_vec_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — PII-style scrubbing audit: mask digit runs in the semi-structured
+# props payload and emit the per-event-type redaction report (rows touched,
+# masked runs, distinct survivors). The operator takes email/phone/ipv4
+# patterns too (unit-tested); digits are what this synthetic corpus contains.
+# ---------------------------------------------------------------------------
+
+
+def _q77_oracle() -> str:
+    return """
+    WITH m AS (
+        SELECT event_type,
+               regexp_replace(props, '[0-9]+', chr(1), 'g') AS _m
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, _m,
+               length(_m) - length(replace(_m, chr(1), '')) AS runs
+        FROM m
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           SUM(CAST(runs > 0 AS BIGINT)) AS n_redacted_rows,
+           SUM(CAST(runs AS BIGINT)) AS n_masked_runs,
+           COUNT(DISTINCT md5(_m)) AS n_distinct_masked
+    FROM r GROUP BY event_type
+    """
+
+
+@_declare("q77_redaction_report", _q77_oracle())
+def q77(spark, sf_dir):
+    from ..operators import text as text_ops
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return text_ops.redaction_stats(
+        ev, "props", ["event_type"], patterns=("number",)
+    )

@@ -665,3 +665,43 @@ def test_hash_shard_deterministic_uniform_and_map_only(spark):
         for r in sampling.hash_shard(df, 8, "k", seed="v2").collect()
     )
     assert a != c
+
+
+def test_redact_masks_pii_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import text as text_ops
+    from duckdb_ddsketch_spark.plans import checks
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.org now"),
+            (1, "call +1 (555) 123-4567 today"),
+            (2, "host 10.0.255.7 down"),
+            (3, "clean text stays clean"),
+            (4, None),
+        ],
+        "id INT, t STRING",
+    )
+    out = {
+        r.id: r.m
+        for r in df.select(
+            "id",
+            text_ops.redact(
+                F.col("t"), ("email", "phone", "ipv4"), "#"
+            ).alias("m"),
+        ).collect()
+    }
+    assert out[0] == "mail # now"
+    assert out[1] == "call # today"
+    assert out[2] == "host # down"
+    assert out[3] == "clean text stays clean"
+    assert out[4] is None
+
+    stats = text_ops.redaction_stats(df, "t", patterns=("email", "phone", "ipv4"))
+    assert checks.python_eval_nodes(stats) == []
+    r = stats.collect()[0]
+    assert r.n_rows == 5
+    assert r.n_redacted_rows == 3
+    assert r.n_masked_runs == 3
+    assert r.n_distinct_masked == 4  # three masked + one clean; NULL excluded
