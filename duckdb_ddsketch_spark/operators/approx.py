@@ -45,6 +45,10 @@ __all__ = [
     "bloom_probe",
     "cm_build",
     "cm_estimate",
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_estimate_expr",
+    "kmv_set_estimates",
 ]
 
 _HEX = "0123456789abcdef"
@@ -348,3 +352,134 @@ def cm_estimate(
     GROUP BY {gb}
     """
     return probes.sparkSession.sql(sql, probes=probes, sketch=sketch)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta-style distinct sketch: the k smallest md5 hashes per group.
+# Unlike HLL it supports INTERSECTION and DIFFERENCE estimates (set algebra
+# over the retained hash samples), and "fewer than k distinct" groups are
+# EXACT. Deterministic: min-of-hashes is order-independent by construction.
+#
+# Scale shape: the per-key k-smallest selection runs on the DISTINCT
+# (key, hash) pairs — map-side partial distinct collapses duplicates before
+# the shuffle, and the sketch itself (k 60-bit ints per key) is a first-class
+# mergeable value: daily sketches union by re-ranking k smallest of the
+# concatenation, never re-scanning raw data.
+# ---------------------------------------------------------------------------
+
+_KMV_SPACE = float(1 << 60)  # hashes are uniform in [0, 2^60)
+
+
+def _kmv_k_smallest(
+    hashes: DataFrame, keys: Sequence[str], k: int, salts: int = 64
+) -> DataFrame:
+    """(keys, __h distinct) -> (keys, kmv sorted array, n_kept).
+
+    Two-level selection so no single task ever ranks a whole key's hash set:
+    rank within (keys, __h % salts) keeping k — a distributed window over
+    the salted shuffle — then rank the surviving ``salts * k`` rows per key.
+    The final per-key window therefore sees a bounded, input-independent
+    row count.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    pre = Window.partitionBy(*keys, F.pmod(F.col("__h"), F.lit(salts))).orderBy(
+        F.col("__h").asc()
+    )
+    pruned = hashes.withColumn("__prn", F.row_number().over(pre)).where(
+        F.col("__prn") <= k
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__h").asc())
+    kept = pruned.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    return kept.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv"),
+        F.count("*").alias("n_kept"),
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, keys: Sequence[str], value: str, k: int = 256
+) -> DataFrame:
+    """Per-``keys`` KMV sketch: sorted array of the k smallest 60-bit md5
+    hashes of distinct ``value``s, as column ``kmv`` (+ helper ``n_kept``)."""
+    keys = list(keys)
+    hashed = df.where(F.col(value).isNotNull()).selectExpr(
+        *[f"`{c}`" for c in keys],
+        "CAST(conv(substring(md5(CAST(`%s` AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) AS __h" % value,
+    )
+    return _kmv_k_smallest(hashed.distinct(), keys, k)
+
+
+def kmv_merge(df: DataFrame, keys: Sequence[str], k: int = 256) -> DataFrame:
+    """Union-merge KMV sketches across rows per ``keys``: explode, distinct,
+    keep the k smallest again. Input column ``kmv``; same output shape."""
+    keys = list(keys)
+    exploded = df.select(*keys, F.explode("kmv").alias("__h")).distinct()
+    return _kmv_k_smallest(exploded, keys, k)
+
+
+def kmv_estimate_expr(kmv: str = "kmv", k: int = 256) -> str:
+    """SQL text: distinct-count estimate from a KMV array.
+
+    Fewer than k retained hashes means the group's distinct count IS the
+    retained count (exact). Otherwise the classic estimator
+    ``(k - 1) / U_(k)`` with ``U_(k)`` the k-th smallest hash as a fraction
+    of the hash space. Float32-rounded like every approximate output."""
+    kth = f"CAST(element_at(`{kmv}`, {k}) AS DOUBLE)"
+    return (
+        f"CAST(CASE WHEN size(`{kmv}`) < {k}"
+        f" THEN CAST(size(`{kmv}`) AS DOUBLE)"
+        f" ELSE {float(k - 1)!r}D * {_KMV_SPACE!r}D / {kth}"
+        " END AS FLOAT)"
+    )
+
+
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, keys: Sequence[str], k: int = 256
+) -> DataFrame:
+    """Join two per-``keys`` KMV sketch tables and estimate
+    ``distinct_a``, ``distinct_b``, ``intersection`` and ``difference``
+    (a minus b) — the set algebra HLL cannot do.
+
+    Method: union the two hash sets, keep the k smallest; the fraction of
+    those that appear in BOTH sketches estimates the Jaccard similarity, and
+    ``est_intersection = jaccard * est_union`` (Beyer et al., the standard
+    KMV set-operation estimator). All selections are mins over integers, so
+    the estimate is reproducible anywhere md5 is.
+    """
+    keys = list(keys)
+    aj = a.select(*keys, F.col("kmv").alias("kmv_a"))
+    bj = b.select(*keys, F.col("kmv").alias("kmv_b"))
+    j = aj.join(bj, keys) if keys else aj.crossJoin(bj)
+    union_k = f"slice(array_sort(array_union(kmv_a, kmv_b)), 1, {k})"
+    stage1 = j.selectExpr(
+        *[f"`{c}`" for c in keys],
+        f"{kmv_estimate_expr('kmv_a', k)} AS est_a",
+        f"{kmv_estimate_expr('kmv_b', k)} AS est_b",
+        "kmv_a",
+        "kmv_b",
+        f"{union_k} AS __u",
+    )
+    stage2 = stage1.selectExpr(
+        *[f"`{c}`" for c in keys],
+        "est_a",
+        "est_b",
+        f"{kmv_estimate_expr('__u', k)} AS est_union",
+        # of the union's k smallest, how many live in BOTH input sets
+        "CAST(size(array_intersect(array_intersect(__u, kmv_a), kmv_b))"
+        " AS DOUBLE) / CAST(size(__u) AS DOUBLE) AS __jacc",
+    )
+    return stage2.selectExpr(
+        *[f"`{c}`" for c in keys],
+        "est_a",
+        "est_b",
+        "est_union",
+        "CAST(CAST(__jacc AS DOUBLE) * CAST(est_union AS DOUBLE) AS FLOAT)"
+        " AS est_intersection",
+        "CAST(greatest(CAST(est_a AS DOUBLE) - CAST(__jacc AS DOUBLE)"
+        " * CAST(est_union AS DOUBLE), 0D) AS FLOAT) AS est_diff_a",
+    )

@@ -3684,3 +3684,102 @@ def q77(spark, sf_dir):
     return text_ops.redaction_stats(
         ev, "props", ["event_type"], patterns=("number",)
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — KMV (theta-style) distinct sketch set algebra: estimate viewers,
+# purchasers, their union, INTERSECTION and DIFFERENCE (viewers who never
+# purchase) from k-minimum-hash samples — the set operations HLL cannot
+# express — alongside the exact answers. Min-of-integers selections make the
+# approximate estimates bit-reproducible cross-engine.
+# ---------------------------------------------------------------------------
+
+_Q78_K = 64
+
+
+def _q78_oracle(k: int = _Q78_K) -> str:
+    h = _dd_hex2int("md5(CAST(user_id AS VARCHAR))", 1, 15)
+
+    def est(n: str, kth: str) -> str:
+        return (
+            f"CAST(CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE)"
+            f" ELSE {k - 1}e0 * {1 << 60}e0 / CAST({kth} AS DOUBLE)"
+            " END AS FLOAT)"
+        )
+
+    return f"""
+    WITH va AS (
+        SELECT DISTINCT {h} AS h FROM events
+        WHERE event_type = 'view' AND user_id IS NOT NULL
+        ORDER BY h LIMIT {k}
+    ),
+    vb AS (
+        SELECT DISTINCT {h} AS h FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        ORDER BY h LIMIT {k}
+    ),
+    u AS (
+        SELECT h FROM (SELECT h FROM va UNION SELECT h FROM vb)
+        ORDER BY h LIMIT {k}
+    ),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM va) AS n_a,
+               (SELECT MAX(h) FROM va) AS kth_a,
+               (SELECT COUNT(*) FROM vb) AS n_b,
+               (SELECT MAX(h) FROM vb) AS kth_b,
+               (SELECT COUNT(*) FROM u) AS n_u,
+               (SELECT MAX(h) FROM u) AS kth_u,
+               (SELECT COUNT(*) FROM u
+                WHERE h IN (SELECT h FROM va)
+                  AND h IN (SELECT h FROM vb)) AS shared
+    ),
+    e AS (
+        SELECT {est("n_a", "kth_a")} AS est_a,
+               {est("n_b", "kth_b")} AS est_b,
+               {est("n_u", "kth_u")} AS est_union,
+               CAST(shared AS DOUBLE) / CAST(n_u AS DOUBLE) AS jacc
+        FROM s
+    ),
+    x AS (
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM events
+                WHERE event_type = 'view' AND user_id IS NOT NULL) AS exact_a,
+               (SELECT COUNT(*) FROM (
+                   SELECT user_id FROM events
+                   WHERE event_type = 'view' AND user_id IS NOT NULL
+                   EXCEPT
+                   SELECT user_id FROM events
+                   WHERE event_type = 'purchase' AND user_id IS NOT NULL
+               )) AS exact_diff_a
+    )
+    SELECT est_a, est_b, est_union,
+           CAST(CAST(jacc AS DOUBLE) * CAST(est_union AS DOUBLE) AS FLOAT)
+               AS est_intersection,
+           CAST(greatest(CAST(est_a AS DOUBLE)
+                - CAST(jacc AS DOUBLE) * CAST(est_union AS DOUBLE), 0e0)
+               AS FLOAT) AS est_diff_a,
+           CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_diff_a AS BIGINT) AS exact_diff_a
+    FROM e, x
+    """
+
+
+@_declare("q78_kmv_set_algebra", _q78_oracle())
+def q78(spark, sf_dir):
+    from ..operators import approx
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    views = ev.where(F.col("event_type") == "view")
+    buys = ev.where(F.col("event_type") == "purchase")
+    ka = approx.kmv_sketch(views, [], "user_id", k=_Q78_K)
+    kb = approx.kmv_sketch(buys, [], "user_id", k=_Q78_K)
+    ests = approx.kmv_set_estimates(ka, kb, [], k=_Q78_K)
+    exact_a = views.agg(
+        F.countDistinct("user_id").alias("exact_a")
+    )
+    exact_diff = (
+        views.select("user_id")
+        .subtract(buys.select("user_id"))
+        .agg(F.count("*").alias("exact_diff_a"))
+    )
+    return ests.crossJoin(exact_a).crossJoin(exact_diff)

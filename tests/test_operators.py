@@ -705,3 +705,54 @@ def test_redact_masks_pii_patterns(spark):
     assert r.n_redacted_rows == 3
     assert r.n_masked_runs == 3
     assert r.n_distinct_masked == 4  # three masked + one clean; NULL excluded
+
+
+def test_kmv_estimate_exact_below_k_and_bounded_error_above(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import approx
+
+    df = spark.range(30000).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") % 2 == 0, F.col("id") % 100)
+        .otherwise(F.col("id") % 12000)
+        .alias("v"),  # g=0 sees even residues (50), g=1 odd residues (6000)
+    )
+    sk = approx.kmv_sketch(df, ["g"], "v", k=256)
+    est = {
+        r.g: r.est
+        for r in sk.selectExpr(
+            "g", approx.kmv_estimate_expr("kmv", 256) + " AS est"
+        ).collect()
+    }
+    assert est[0] == 50.0  # even ids -> 50 even residues; below k -> exact
+    assert abs(est[1] - 6000) / 6000 < 0.25  # ~1/sqrt(254) sigma
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import approx
+
+    df = spark.range(5000).select(
+        F.lit("all").alias("g"),
+        (F.col("id") % 1777).alias("v"),
+        (F.col("id") % 3).alias("part"),
+    )
+    direct = approx.kmv_sketch(df, ["g"], "v", k=128).collect()[0]
+    parts = approx.kmv_sketch(df, ["g", "part"], "v", k=128)
+    merged = approx.kmv_merge(parts, ["g"], k=128).collect()[0]
+    # k smallest of the union == k smallest of the per-part k-smallest sets
+    assert list(direct.kmv) == list(merged.kmv)
+    assert direct.n_kept == merged.n_kept
+
+
+def test_kmv_deterministic_under_repartition(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import approx
+
+    df = spark.range(4000).select(F.lit(1).alias("g"), (F.col("id") % 999).alias("v"))
+    a = approx.kmv_sketch(df, ["g"], "v", k=64).collect()[0]
+    b = approx.kmv_sketch(df.repartition(11), ["g"], "v", k=64).collect()[0]
+    assert list(a.kmv) == list(b.kmv)
