@@ -3783,3 +3783,94 @@ def q78(spark, sf_dir):
         .agg(F.count("*").alias("exact_diff_a"))
     )
     return ests.crossJoin(exact_a).crossJoin(exact_diff)
+
+
+# ---------------------------------------------------------------------------
+# q79 — streaming heavy hitters: per-hour top-3 most active users per
+# event_type. The hot path is a NATIVE streaming count aggregate (bounded
+# state: one counter per open window x user); ranking runs batch-side over
+# the emitted counter table. Oracle = the equivalent batch window query.
+# ---------------------------------------------------------------------------
+
+_Q79_TOP = 3
+
+
+def _q79_oracle(top: int = _Q79_TOP) -> str:
+    return f"""
+    WITH counts AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type, user_id, COUNT(*) AS cnt
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT window_start, event_type, user_id, cnt,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start, event_type
+                   ORDER BY cnt DESC, user_id ASC
+               ) AS INT) AS rank
+        FROM counts
+    )
+    SELECT * FROM ranked WHERE rank <= {top}
+    """
+
+
+@_declare("q79_streaming_heavy_hitters", _q79_oracle())
+def q79(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..streaming import windowed_value_counts
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    counts = windowed_value_counts(
+        stream, "ts", ["event_type"], "user_id",
+        window="1 hour", watermark="0 seconds",
+    )
+    # update mode (final open windows emit too); last emission per counter
+    state = {}
+
+    def sink(batch_df, _id):
+        for r in batch_df.collect():
+            state[(r.window_start, r.event_type, r.user_id)] = r.cnt
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            counts.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    sink_df = spark.createDataFrame(
+        [(*k, v) for k, v in state.items()],
+        "window_start timestamp, event_type string, user_id long, cnt long",
+    )
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    return (
+        sink_df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _Q79_TOP)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type", "user_id", "cnt", "rank",
+        )
+    )

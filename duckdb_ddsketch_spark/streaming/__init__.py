@@ -47,6 +47,7 @@ __all__ = [
     "sessionized_sketches",
     "sessionized_gap_stats",
     "windowed_hll_registers",
+    "windowed_value_counts",
 ]
 
 
@@ -360,5 +361,38 @@ def windowed_hll_registers(
             *keys,
             "bucket",
             "maxrho",
+        )
+    )
+
+
+def windowed_value_counts(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    col: str,
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-window value counts — the heavy-hitters feed.
+
+    COUNT is a native streaming aggregate (JVM hot path, map-side partial
+    aggregation); state is one counter per open (window, keys, value) group.
+    Rank the emitted counters in batch (window function over the tiny
+    per-window count table) to get top-k heavy hitters per window; counters
+    from multiple stores/streams merge by SUM before ranking.
+    """
+    w = F.window(F.col(ts_col), window, slide or window)
+    return (
+        stream.where(F.col(col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), *keys, col)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            col,
+            "cnt",
         )
     )

@@ -267,3 +267,30 @@ def test_windowed_hll_registers_match_batch(spark, stream_input, tmp_path):
     for k in expected:
         # identical register math -> bit-identical estimates
         assert got[k] == expected[k], k
+
+
+def test_windowed_value_counts_match_batch(spark, stream_input, tmp_path):
+    """Streaming per-hour value counters must equal batch groupBy counts."""
+    from duckdb_ddsketch_spark.streaming import windowed_value_counts
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    counts = windowed_value_counts(
+        stream, "ts", ["service"], "value",
+        window="1 hour", watermark="0 seconds",
+    )
+    results = _collect_stream(counts, str(tmp_path / "ck_vc"), mode="update")
+    assert results
+    got = {}
+    for r in results:  # update mode: last emission per counter wins
+        got[(r.window_start, r.service, r.value)] = r.cnt
+    batch = spark.read.parquet(stream_input).withColumn(
+        "ws", F.date_trunc("hour", F.col("ts"))
+    )
+    expected = {
+        (r.ws, r.service, r.value): r.cnt
+        for r in batch.where(F.col("value").isNotNull())
+        .groupBy("ws", "service", "value")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == expected
