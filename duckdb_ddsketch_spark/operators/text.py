@@ -30,6 +30,7 @@ __all__ = [
     "REDACTION_PATTERNS",
     "redact",
     "redaction_stats",
+    "gopher_flags",
 ]
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -283,4 +284,44 @@ def redaction_stats(
         F.sum((F.col("_runs") > 0).cast("long")).alias("n_redacted_rows"),
         F.sum(F.col("_runs").cast("long")).alias("n_masked_runs"),
         F.countDistinct("_mh").alias("n_distinct_masked"),
+    )
+
+
+def gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gopher-style quality rule flags per document (Rae et al. 2021's
+    repetition/format filters, the standard web-corpus gate).
+
+    Every rule is an INTEGER comparison (ratio thresholds cross-multiplied:
+    ``mean_word_len >= 3`` becomes ``sum_len >= 3 * n_words``), so the
+    flags are exactly reproducible on any engine — no float thresholds.
+
+    Rules: word count in [50, 100000]; mean word length in [3, 10];
+    >= 80% of words contain an alphabetic character; >= 2 stopword hits.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    sw_hits = F.size(F.filter(toks, lambda w: w.isin(list(DEFAULT_STOPWORDS))))
+    return df.select(
+        id_col,
+        *extra_cols,
+        n.alias("n_words"),
+        ((n >= 50) & (n <= 100000)).alias("pass_length"),
+        ((sum_len >= n * 3) & (sum_len <= n * 10)).alias("pass_word_len"),
+        (alpha_words * 5 >= n * 4).alias("pass_alpha"),
+        (sw_hits >= 2).alias("pass_stopwords"),
+    ).withColumn(
+        "pass_all",
+        F.col("pass_length")
+        & F.col("pass_word_len")
+        & F.col("pass_alpha")
+        & F.col("pass_stopwords"),
     )

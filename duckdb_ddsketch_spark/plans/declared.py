@@ -3874,3 +3874,65 @@ def q79(spark, sf_dir):
             "event_type", "user_id", "cnt", "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — Gopher-style quality gate report: per-source pass counts for each
+# integer-threshold rule (word count, mean word length, alpha-word ratio,
+# stopword presence). The corpus-filter audit table.
+# ---------------------------------------------------------------------------
+
+
+def _q80_oracle() -> str:
+    toks = "string_split(trim(lower(text)), ' ')"
+    sw = "', '".join(
+        ("the", "a", "of", "and", "to", "in", "is", "it")
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len({toks}) AS n,
+               list_aggregate(list_transform({toks}, w -> length(w)), 'sum')
+                   AS sum_len,
+               len(list_filter({toks}, w -> regexp_matches(w, '[a-z]')))
+                   AS alpha_words,
+               len(list_filter({toks}, w -> w IN ('{sw}'))) AS sw_hits
+        FROM documents
+    ),
+    flags AS (
+        SELECT source,
+               (n >= 50 AND n <= 100000) AS pass_length,
+               (sum_len >= n * 3 AND sum_len <= n * 10) AS pass_word_len,
+               (alpha_words * 5 >= n * 4) AS pass_alpha,
+               (sw_hits >= 2) AS pass_stopwords
+        FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CAST(pass_length AS BIGINT)) AS n_pass_length,
+           SUM(CAST(pass_word_len AS BIGINT)) AS n_pass_word_len,
+           SUM(CAST(pass_alpha AS BIGINT)) AS n_pass_alpha,
+           SUM(CAST(pass_stopwords AS BIGINT)) AS n_pass_stopwords,
+           SUM(CAST(pass_length AND pass_word_len AND pass_alpha
+                    AND pass_stopwords AS BIGINT)) AS n_pass_all
+    FROM flags GROUP BY source
+    """
+
+
+@_declare("q80_gopher_quality_gate", _q80_oracle())
+def q80(spark, sf_dir):
+    from ..operators import text as text_ops
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    flags = text_ops.gopher_flags(
+        docs, "text", "doc_id", extra_cols=("source",)
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("pass_length").cast("long")).alias("n_pass_length"),
+        F.sum(F.col("pass_word_len").cast("long")).alias("n_pass_word_len"),
+        F.sum(F.col("pass_alpha").cast("long")).alias("n_pass_alpha"),
+        F.sum(F.col("pass_stopwords").cast("long")).alias("n_pass_stopwords"),
+        F.sum(F.col("pass_all").cast("long")).alias("n_pass_all"),
+    )

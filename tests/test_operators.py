@@ -756,3 +756,26 @@ def test_kmv_deterministic_under_repartition(spark):
     a = approx.kmv_sketch(df, ["g"], "v", k=64).collect()[0]
     b = approx.kmv_sketch(df.repartition(11), ["g"], "v", k=64).collect()[0]
     assert list(a.kmv) == list(b.kmv)
+
+
+def test_gopher_flags_rules(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import text as text_ops
+    from duckdb_ddsketch_spark.plans import checks
+
+    long_good = " ".join(["the", "and", "quick"] * 20)  # 60 words, stopwords
+    short = "too short to pass the length rule"
+    symbols = " ".join(["@@@@"] * 60)  # no alpha words, no stopwords
+    longwords = " ".join(["the", "a"] + ["abcdefghijklmnop"] * 58)  # mean>10
+    df = spark.createDataFrame(
+        [(0, long_good), (1, short), (2, symbols), (3, longwords)],
+        "doc_id INT, text STRING",
+    )
+    q = text_ops.gopher_flags(df)
+    assert checks.python_eval_nodes(q) == []
+    rows = {r.doc_id: r for r in q.collect()}
+    assert rows[0].pass_all
+    assert not rows[1].pass_length and rows[1].pass_alpha
+    assert not rows[2].pass_alpha and not rows[2].pass_stopwords
+    assert not rows[3].pass_word_len and rows[3].pass_length
