@@ -3936,3 +3936,71 @@ def q80(spark, sf_dir):
         F.sum(F.col("pass_stopwords").cast("long")).alias("n_pass_stopwords"),
         F.sum(F.col("pass_all").cast("long")).alias("n_pass_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 — TPC-H Q5 shape (local supplier volume): the 6-way join slice of the
+# relational surface. Revenue sums run in DECIMAL so the aggregate is exact
+# and aggregation-order-independent (a double SUM would not hash-match).
+# Scale: nation/region broadcast explicitly; customer/supplier stay
+# shuffle-joined on their keys (at 100 TB they exceed broadcast budgets);
+# the l-o join keys cluster the biggest shuffle once.
+# ---------------------------------------------------------------------------
+
+
+def _q81_oracle() -> str:
+    return """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                    * (CAST(1 AS DECIMAL(4,2))
+                       - CAST(l_discount AS DECIMAL(4,2))))
+               AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """
+
+
+@_declare("q81_tpch_q5_local_supplier_volume", _q81_oracle())
+def q81(spark, sf_dir):
+    _prep(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(15,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -243,3 +243,19 @@ def test_bloom_probe_broadcasts_filter(spark, sf_dir):
     pr = approx.bloom_probe(filt, probes, ["event_type"], "user_id")
     assert checks.broadcast_exchange_count(pr) >= 1
     assert checks.python_eval_nodes(pr) == []
+
+
+def test_tpch_q5_join_plan_broadcasts_dims_and_prunes(spark, sf_dir):
+    from duckdb_ddsketch_spark.plans import declared
+
+    q = declared.QUERIES["q81_tpch_q5_local_supplier_volume"](spark, sf_dir)
+    # nation + region ship broadcast (plus AQE may promote more); the date
+    # filter reaches the orders scan
+    assert checks.broadcast_exchange_count(q) >= 2
+    assert "1996" in checks.pushed_filters(q, "orders")
+    assert checks.python_eval_nodes(q) == []
+    # lineitem scan reads only the join keys + money columns
+    cols = set(checks.scan_read_columns(q, "lineitem"))
+    assert cols <= {
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    }, cols
