@@ -1,0 +1,99 @@
+"""Bitmap activity indexes: per-user day-bitmasks for exact retention math.
+
+The roaring-bitmap idea expressed relationally: one BIGINT word holds 63
+days of a user's activity (``bit d = active on epoch+d``); longer ranges
+shard into ``(word_idx, bits)`` rows. Masks build with ``bit_or`` — an
+associative integer aggregate, so partial aggregation applies and the
+result is partitioning-independent — and MERGE across stores/streams with
+another ``bit_or``. Retention (active on day d AND day d+k) is then pure
+per-row bit arithmetic on the index instead of a self-join of the raw event
+log: at 100 TB the event scan happens once, and every retention offset /
+window query afterwards runs on |users| tiny rows.
+
+All operations are integer-only, so results are bit-reproducible
+cross-engine (the DuckDB oracles replay the identical shift/AND math).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["activity_bitmap", "retention_report"]
+
+
+def activity_bitmap(
+    df: DataFrame,
+    user_col: str,
+    day_idx_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """(keys..., user, word_idx, bits): 63-day bitmask words per user.
+
+    ``day_idx_col`` must be a non-negative integer day offset (e.g.
+    ``datediff(day, epoch)``). One shuffle on (keys, user, word) with
+    map-side partial ``bit_or``; duplicate events collapse for free.
+    """
+    keys = list(keys)
+    word = F.expr(f"CAST(`{day_idx_col}` DIV 63 AS BIGINT)").alias("word_idx")
+    # F.shiftleft only takes a literal shift; the SQL form shifts by a column
+    bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(`{day_idx_col}` % 63 AS INT))"
+    )
+    return (
+        df.where(F.col(user_col).isNotNull() & (F.col(day_idx_col) >= 0))
+        .groupBy(*keys, F.col(user_col).alias("user"), word)
+        .agg(F.bit_or(bit).alias("bits"))
+    )
+
+
+def retention_report(
+    bitmaps: DataFrame,
+    n_days: int,
+    offsets: Sequence[int] = (7, 14),
+) -> DataFrame:
+    """Per-day active users + exact k-day retention from a single-word
+    bitmap index (``n_days <= 63``; multi-word ranges first OR-fold their
+    words down or query per-word slices).
+
+    For each user the set bits expand only to that user's (day, matched)
+    pairs — the explode is bounded by actual activity, not the day grid —
+    and every count is an integer aggregate of bit tests.
+    """
+    if n_days > 63:
+        raise ValueError("retention_report covers single-word ranges (<= 63 days)")
+    offs = list(offsets)
+    sets = [
+        f"filter(sequence(0, {n_days - 1}),"
+        " d -> (shiftright(bits, CAST(d AS INT)) & 1) = 1) AS a0"
+    ]
+    for o in offs:
+        sets.append(
+            f"filter(sequence(0, {n_days - 1 - o}),"
+            f" d -> (shiftright(bits, CAST(d AS INT)) & 1) = 1"
+            f" AND (shiftright(bits, CAST(d + {o} AS INT)) & 1) = 1) AS a{o}"
+        )
+    arrays = bitmaps.selectExpr("user", *sets)
+    out = (
+        arrays.select(F.explode("a0").alias("day_idx"))
+        .groupBy("day_idx")
+        .agg(F.count("*").alias("n_active"))
+    )
+    for o in offs:
+        ret = (
+            arrays.select(F.explode(f"a{o}").alias("day_idx"))
+            .groupBy("day_idx")
+            .agg(F.count("*").alias(f"n_ret{o}"))
+        )
+        out = out.join(ret, "day_idx", "left")
+    return out.select(
+        F.col("day_idx").cast("int").alias("day_idx"),
+        "n_active",
+        *[
+            F.coalesce(F.col(f"n_ret{o}"), F.lit(0).cast("long")).alias(
+                f"n_ret{o}"
+            )
+            for o in offs
+        ],
+    )

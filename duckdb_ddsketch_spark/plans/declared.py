@@ -4004,3 +4004,71 @@ def q81(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — bitmap activity index retention: per-user day bitmask (bit_or of
+# day bits — mergeable, partitioning-independent), then EXACT d7/d14
+# retention as pure bit arithmetic on the index. The raw event log is
+# scanned once; every retention offset afterwards touches |users| rows.
+# ---------------------------------------------------------------------------
+
+_Q82_DAYS = 30
+
+
+def _q82_oracle(n_days: int = _Q82_DAYS, offsets=(7, 14)) -> str:
+    day = "datediff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+
+    def arr(o: int) -> str:
+        if o == 0:
+            return (
+                f"list_filter(range(0, {n_days}),"
+                " d -> ((bits >> CAST(d AS INTEGER)) & 1) = 1)"
+            )
+        return (
+            f"list_filter(range(0, {n_days - o}),"
+            " d -> ((bits >> CAST(d AS INTEGER)) & 1) = 1"
+            f" AND ((bits >> CAST(d + {o} AS INTEGER)) & 1) = 1)"
+        )
+
+    joins = []
+    coalesces = []
+    for o in offsets:
+        joins.append(
+            f"""LEFT JOIN (
+            SELECT day_idx, COUNT(*) AS n_ret{o}
+            FROM (SELECT unnest(a{o}) AS day_idx FROM arrays) GROUP BY 1
+        ) r{o} USING (day_idx)"""
+        )
+        coalesces.append(f"coalesce(n_ret{o}, CAST(0 AS BIGINT)) AS n_ret{o}")
+    sets = ", ".join(f"{arr(o)} AS a{o}" for o in (0, *offsets))
+    return f"""
+    WITH masks AS (
+        SELECT user_id AS user, bit_or(CAST(1 AS BIGINT) << CAST({day} % 63
+                   AS INTEGER)) AS bits
+        FROM events
+        WHERE user_id IS NOT NULL AND {day} >= 0
+        GROUP BY 1
+    ),
+    arrays AS (SELECT user, {sets} FROM masks),
+    active AS (
+        SELECT day_idx, COUNT(*) AS n_active
+        FROM (SELECT unnest(a0) AS day_idx FROM arrays) GROUP BY 1
+    )
+    SELECT CAST(day_idx AS INT) AS day_idx, n_active,
+           {", ".join(coalesces)}
+    FROM active {" ".join(joins)}
+    """
+
+
+@_declare("q82_bitmap_retention", _q82_oracle())
+def q82(spark, sf_dir):
+    from ..operators import bitmap
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS INT) AS day_idx",
+    )
+    masks = bitmap.activity_bitmap(ev, "user_id", "day_idx")
+    return bitmap.retention_report(masks, _Q82_DAYS, offsets=(7, 14))

@@ -779,3 +779,48 @@ def test_gopher_flags_rules(spark):
     assert not rows[1].pass_length and rows[1].pass_alpha
     assert not rows[2].pass_alpha and not rows[2].pass_stopwords
     assert not rows[3].pass_word_len and rows[3].pass_length
+
+
+def test_activity_bitmap_words_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import bitmap
+
+    # user 1 active days 0, 5, 63 (straddles the word boundary)
+    df = spark.createDataFrame(
+        [(1, 0), (1, 5), (1, 5), (1, 63), (2, 62)], "u LONG, d INT"
+    )
+    rows = {
+        (r.user, r.word_idx): r.bits
+        for r in bitmap.activity_bitmap(df, "u", "d").collect()
+    }
+    assert rows[(1, 0)] == (1 << 0) | (1 << 5)  # dup day collapses
+    assert rows[(1, 1)] == 1 << 0
+    assert rows[(2, 0)] == 1 << 62
+    # masks merge with another bit_or (store A ∪ store B == full build)
+    a = bitmap.activity_bitmap(df.where(F.col("d") < 6), "u", "d")
+    b = bitmap.activity_bitmap(df.where(F.col("d") >= 6), "u", "d")
+    merged = {
+        (r.user, r.word_idx): r.bits
+        for r in a.unionByName(b)
+        .groupBy("user", "word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    }
+    assert merged == rows
+
+
+def test_retention_report_known_pattern(spark):
+    from duckdb_ddsketch_spark.operators import bitmap
+
+    # u1: active 0 and 7 (d7-retained at day 0); u2: active 0 only
+    df = spark.createDataFrame(
+        [(1, 0), (1, 7), (2, 0), (3, 7), (3, 14)], "u LONG, d INT"
+    )
+    masks = bitmap.activity_bitmap(df, "u", "d")
+    rows = {
+        r.day_idx: r for r in bitmap.retention_report(masks, 20, (7,)).collect()
+    }
+    assert rows[0].n_active == 2 and rows[0].n_ret7 == 1
+    assert rows[7].n_active == 2 and rows[7].n_ret7 == 1  # u3: 7 -> 14
+    assert rows[14].n_active == 1 and rows[14].n_ret7 == 0
