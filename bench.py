@@ -27,7 +27,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # Headline set: the scale-relevant pipelines (native path, the canonical
 # blob-aggregation roll-up, the pandas ingest path) plus one query from each
-# beyond-reference family (dedup, similarity) for breadth.
+# beyond-reference family (dedup, similarity) for breadth. These are STAGED
+# registry names (duckdb_ddsketch_spark/plans/declared.py): the stable
+# per-operator declarations, keyed identically across rounds even though the
+# driver-facing 50-slot registry renumbers/merges them — so BENCH_r{N}
+# timings stay comparable round over round.
 HEADLINE = [
     "q01_price_quantiles_by_returnflag",
     "q11_agg_rollup_event_type",
@@ -56,7 +60,7 @@ def run_duckdb(result: dict) -> None:
     """DuckDB comparator on an otherwise-idle machine (no JVM yet)."""
     import duckdb
 
-    import __spark_entry__ as entry_mod
+    from duckdb_ddsketch_spark.plans import declared
 
     con = duckdb.connect()
     for t in (
@@ -66,7 +70,7 @@ def run_duckdb(result: dict) -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    oracles = entry_mod.oracle_sql()
+    oracles = declared.STAGED_ORACLES
     ducks = {}
     for name in HEADLINE:
         if name in oracles:
@@ -121,7 +125,7 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    import __spark_entry__ as entry_mod
+    from duckdb_ddsketch_spark.plans import declared
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -138,7 +142,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = entry_mod.queries()
+    queries = declared.STAGED_QUERIES
     timings: dict[str, float] = {}
     # Warm-up pass: JVM JIT, parquet footers, Python UDF workers. Excluded
     # from timings — we measure steady-state throughput, which is what

@@ -2,20 +2,22 @@
 
 The reference's C-API aggregate lifecycle (state init → per-row ``update`` →
 cross-thread ``combine`` → ``finalize``; lib.rs:630-804) maps 1:1 onto Spark
-aggregation. Two strategies:
+aggregation. Three strategies:
 
 * ``ddsketch_agg`` — a grouped-agg pandas UDF. Simple and SQL-registrable,
   but Spark's ``AggregateInPandas`` has **no partial aggregation**: every row
   shuffles to its group's reducer. Fine for pre-aggregated sketch tables
   (few rows per group), wrong for raw-event scale.
-* ``merge_sketches_scalable`` — the 100 TB path: a ``mapInPandas``
-  per-partition pre-merge (the reference's ``update``) collapses each input
-  partition to ≤|groups| rows *before* the shuffle, then the grouped-agg UDF
-  runs as the ``combine``/``finalize``. The shuffle moves one sketch per
-  (partition × group) instead of one per row.
+* ``merge_sketches_native`` — the 100 TB path for blob columns: map-side
+  decode to the struct working form, Catalyst hash aggregate over exploded
+  bins (partial aggregation applies — the shuffle carries combined counts),
+  re-encode at the boundary.
+* ``merge_sketches_scalable`` — mapInPandas per-partition pre-merge
+  (the reference's ``update``) + grouped-agg ``combine``/``finalize``;
+  preserves the UDAF's drop-mismatched-row semantics at scale.
 
 Sketch-from-raw-values at scale is fully native (no Python in the hot path):
-see ``operators/native.py``.
+see ``operators/native.py``; MIGRATION.md "Ingest paths" ranks the options.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ __all__ = [
     "ddsketch_agg",
     "ddsketch_stats_agg",
     "sketch_values_agg",
+    "merge_sketches_native",
     "merge_sketches_scalable",
     "ingest_values_scalable",
 ]
@@ -100,6 +103,38 @@ def sketch_values_agg(value_col, alpha: float = DEFAULT_RELATIVE_ACCURACY) -> Co
         return s.encode() if s.count > 0 else None
 
     return _agg(value_col)
+
+
+def merge_sketches_native(
+    df: DataFrame, keys: Sequence[str], sketch_col: str = "sketch"
+) -> DataFrame:
+    """Wire-blob merge with Catalyst partial aggregation end to end.
+
+    ``ddsketch_agg`` is an ``AggregateInPandas``: Spark gives it no partial
+    aggregation, so every input blob shuffles to its group's reducer. This
+    form keeps the aggregate in Catalyst: decode blobs to the struct working
+    form (a map-only ArrowEvalPython — no shuffle), merge natively
+    (bin-exploded hash aggregate with map-side partial aggregation, so the
+    shuffle carries combined (key, sign, bin) counts), then re-encode at the
+    boundary. This is the closest pure-Python approximation of the
+    reference's cross-thread ``combine`` (lib.rs:740-765).
+
+    Semantics: gamma/index_offset-mismatched groups yield a NULL sketch (the
+    SQL layer's merge-mismatch result, lib.rs:241-243) — unlike
+    ``ddsketch_agg``, which keeps the first mapping and drops mismatched
+    rows (lib.rs:730). For same-accuracy inputs (the normal case) results
+    are byte-identical.
+    """
+    from ..operators import native
+
+    keys = list(keys)
+    decoded = df.select(
+        *keys, native.wire_to_struct(sketch_col).alias(sketch_col)
+    )
+    merged = native.merge_struct_sketches(decoded, keys, sketch_col)
+    return merged.select(
+        *keys, native.struct_to_wire(sketch_col).alias(sketch_col)
+    )
 
 
 def merge_sketches_scalable(

@@ -133,6 +133,7 @@ def brute_force_topk_blas(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact top-k via Arrow + numpy matmul — the dense-linear-algebra path.
 
@@ -143,11 +144,22 @@ def brute_force_topk_blas(
     (top-k is distributive), so the final window sees |partitions|·|q|·k
     rows — the corpus itself never shuffles. Results match
     ``brute_force_topk`` up to BLAS summation-order ulps.
+
+    The query side is collected to the driver and closed over, which is the
+    point of this verification path — ``max_query_rows`` bounds that collect
+    so an oversized query set fails fast instead of OOMing the driver.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk_blas collects the query set to the driver; got "
+            f"more than max_query_rows={max_query_rows} rows. Use lsh_topk or "
+            "ivf_topk for large query sets (the scale paths), or raise "
+            "max_query_rows explicitly if the driver can hold the matrix."
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

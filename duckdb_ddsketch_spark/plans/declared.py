@@ -100,20 +100,91 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q02 — ddsketch_create / ddsketch_empty (constructor semantics)
+# q02 — codec golden bytes: the wire format itself under the driver gate.
+# md5 of canonical encodings for (a) the empty constructor output, (b) two
+# distributions ingested distributed-side, (c) re-encodes of golden blobs
+# from the reference's Go compatibility suite (datadog_encoding.rs:975-1355,
+# = github.com/DataDog/sketches-go v1.4.7 vectors). The oracle is a frozen
+# literal table: any drift in varint/section order/flag encoding, binning,
+# or gamma constants changes a hash and fails the gate.
 # ---------------------------------------------------------------------------
+
+# (dist_id, golden input hex) — data vectors, same provenance as
+# tests/fixtures/golden_vectors.py
+_Q02_GO_HEX = (
+    ("go_single_42", "02fd4a815abf52f03f00000000000000000501f40202"),
+    (
+        "go_sequential_1_10",
+        "02fd4a815abf52f03f0000000000000000050a0002440228021e021602120210020c020c020c02",
+    ),
+    (
+        "go_skewed_latency",
+        "02fd4a815abf52f03f00000000000000000509a00104120310020c021802280278024602a00102",
+    ),
+    (
+        "go_contiguous",
+        "02fd4a815abf52f03f00000000000000000d23880302020202020202020302020203"
+        "0202030202030203020302030302030303020303030302",
+    ),
+)
+
+# frozen expectations (dist_id, md5 hex, n_bytes, count) — computed once from
+# the kernel whose bytes are pinned to the Go vectors by tests/test_codec.py
+_Q02_EXPECT = (
+    ("empty", "b7c1e7cd60b702e721b4efe8db611d1b", 17, 0),
+    ("range_1_1000", "c7a4a5a2f99c93cc4814dd5dfd1ddd54", 482, 1000),
+    ("mixed_neg", "61d5d1d408382139e50b001a8bf8d9f1", 141, 60),
+    ("go_single_42", "db6c24d8a116ddc194fc6daea1fdd453", 22, 1),
+    ("go_sequential_1_10", "3901a5ceb1960d2369a9dde56ebd4f4c", 39, 10),
+    ("go_skewed_latency", "778517226ea62c23f498b2813ddde22e", 39, 12),
+    ("go_contiguous", "a0d260afd21661c6736d717e1821104f", 90, 50),
+)
 
 
 @_declare(
-    "q02_create_empty",
-    "SELECT CAST(0 AS BIGINT) AS count, CAST(17 AS INT) AS len",
+    "q02_codec_golden_bytes",
+    "SELECT * FROM (VALUES\n"
+    + ",\n".join(
+        f"    ('{d}', '{h}', CAST({n} AS INT), CAST({c} AS BIGINT))"
+        for d, h, n, c in _Q02_EXPECT
+    )
+    + "\n) AS t(dist_id, sketch_md5, n_bytes, count)",
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
-    df = spark.range(1).select(F.lit(fs.ddsketch_create(0.01)).alias("sketch"))
-    return df.select(
+    empty_blob = fs.ddsketch_create(0.01)
+    # (b) distributed ingest of two deterministic distributions: 1..1000 and
+    # id*1.5-30 for id in 0..59 (negatives + an exact zero) — bin-dict
+    # accumulation is order- and partitioning-independent, so the canonical
+    # encoding is reproducible on any cluster layout
+    vals = spark.range(0, 1060).select(
+        F.when(F.col("id") < 1000, F.lit("range_1_1000"))
+        .otherwise(F.lit("mixed_neg"))
+        .alias("dist_id"),
+        F.when(F.col("id") < 1000, (F.col("id") + 1).cast("double"))
+        .otherwise((F.col("id") - 1000).cast("double") * 1.5 - 30.0)
+        .alias("v"),
+    )
+    built = vals.groupBy("dist_id").agg(sketch_values_agg(F.col("v")).alias("sketch"))
+    # (c) canonical re-encode of the Go golden blobs via the merge path
+    golden = spark.createDataFrame(
+        [(name, bytearray.fromhex(h)) for name, h in _Q02_GO_HEX],
+        "dist_id string, raw binary",
+    )
+    reenc = golden.select(
+        "dist_id",
+        fs.ddsketch_merge(F.col("raw"), F.lit(empty_blob)).alias("sketch"),
+    )
+    # (a) the constructor's empty encoding
+    empty_df = spark.range(1).select(
+        F.lit("empty").alias("dist_id"), F.lit(empty_blob).alias("sketch")
+    )
+    allsk = built.unionByName(reenc).unionByName(empty_df)
+    return allsk.select(
+        "dist_id",
+        F.md5("sketch").alias("sketch_md5"),
+        F.length("sketch").cast("int").alias("n_bytes"),
         fs.ddsketch_count(F.col("sketch")).alias("count"),
-        F.length("sketch").cast("int").alias("len"),
     )
 
 
@@ -155,11 +226,13 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         {},
         "l_quantity",
         quantiles=(0.5,),
-        stats=("count", "min", "max"),
+        stats=("count", "min", "max", "sum", "avg"),
         where="l_returnflag IN ('A', 'R')",
     ),
 )
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exercises every wire-path scalar extractor (count/min/max/sum/avg/
+    # quantile — lib.rs registration surface) over one merged blob
     _prep(spark)
     li = load_table(spark, sf_dir, "lineitem")
     a = li.where(F.col("l_returnflag") == "A").agg(
@@ -175,68 +248,9 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
         fs.ddsketch_count(F.col("m")).alias("count"),
         fs.ddsketch_min(F.col("m")).cast("float").alias("min"),
         fs.ddsketch_max(F.col("m")).cast("float").alias("max"),
+        fs.ddsketch_sum(F.col("m")).cast("float").alias("sum"),
+        fs.ddsketch_avg(F.col("m")).cast("float").alias("avg"),
         fs.ddsketch_quantile(F.col("m"), F.lit(0.5)).cast("float").alias("p50"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q05..q09 — scalar extractors over grouped value sketches (orders table)
-# ---------------------------------------------------------------------------
-
-
-def _orders_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        sketch_values_agg(F.col("o_totalprice")).alias("s")
-    )
-
-
-def _orders_oracle(stats):
-    return quantile_oracle_sql(
-        "orders",
-        {"o_orderpriority": "o_orderpriority"},
-        "o_totalprice",
-        stats=stats,
-    )
-
-
-@_declare("q05_count_by_priority", _orders_oracle(("count",)))
-def q05(spark, sf_dir):
-    _prep(spark)
-    return _orders_sketch(spark, sf_dir).select(
-        "o_orderpriority", fs.ddsketch_count(F.col("s")).alias("count")
-    )
-
-
-@_declare("q06_min_by_priority", _orders_oracle(("min",)))
-def q06(spark, sf_dir):
-    _prep(spark)
-    return _orders_sketch(spark, sf_dir).select(
-        "o_orderpriority", fs.ddsketch_min(F.col("s")).cast("float").alias("min")
-    )
-
-
-@_declare("q07_max_by_priority", _orders_oracle(("max",)))
-def q07(spark, sf_dir):
-    _prep(spark)
-    return _orders_sketch(spark, sf_dir).select(
-        "o_orderpriority", fs.ddsketch_max(F.col("s")).cast("float").alias("max")
-    )
-
-
-@_declare("q08_sum_by_priority", _orders_oracle(("sum",)))
-def q08(spark, sf_dir):
-    _prep(spark)
-    return _orders_sketch(spark, sf_dir).select(
-        "o_orderpriority", fs.ddsketch_sum(F.col("s")).cast("float").alias("sum")
-    )
-
-
-@_declare("q09_avg_by_priority", _orders_oracle(("avg",)))
-def q09(spark, sf_dir):
-    _prep(spark)
-    return _orders_sketch(spark, sf_dir).select(
-        "o_orderpriority", fs.ddsketch_avg(F.col("s")).cast("float").alias("avg")
     )
 
 
@@ -299,11 +313,17 @@ def q11(spark, sf_dir):
         "day", "event_type", native.struct_to_wire("sketch").alias("sketch")
     )
     rolled = pre.groupBy("event_type").agg(ddsketch_agg("sketch").alias("s"))
-    return rolled.select(
+    # one stats_full call = ONE blob decode per row; per-stat scalar calls
+    # would re-decode the same merged blob once per extractor (the per-call
+    # decode cost the reference built stats_agg to avoid, README.md:265-295)
+    st = rolled.select(
+        "event_type", fs.ddsketch_stats_full(F.col("s")).alias("st")
+    )
+    return st.select(
         "event_type",
-        fs.ddsketch_count(F.col("s")).alias("count"),
+        F.col("st.count").alias("count"),
         *[
-            fs.ddsketch_quantile(F.col("s"), F.lit(q)).cast("float").alias(f"p{qname(q)}")
+            F.col(f"st.p{qname(q)}").cast("float").alias(f"p{qname(q)}")
             for q in _Q11_QS
         ],
     )
@@ -553,19 +573,6 @@ def _simhash_sql(bits: int = 60) -> str:
         )
         terms.append(f"CASE WHEN ({vote}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
     return " + ".join(terms)
-
-
-@_declare(
-    "q23_simhash",
-    f"""
-    SELECT doc_id, CAST({_simhash_sql(60)} AS BIGINT) AS sh
-    FROM documents WHERE doc_id % 5 = 0
-    """,
-)
-def q23(spark, sf_dir):
-    _prep(spark)
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    return dedup.simhash_df(docs).withColumnRenamed("id", "doc_id")
 
 
 _COS_SQL = (
@@ -983,7 +990,9 @@ def q33(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q18 — weighted sketching (add_with_count semantics: counts are weights)
+# q18 — weighted sketching (add_with_count semantics: counts are weights) at
+# non-default relative accuracy (alpha=0.05): one query pins BOTH the weight
+# routing and the gamma parameterization of the alpha formula
 # ---------------------------------------------------------------------------
 
 
@@ -993,6 +1002,7 @@ def q33(spark, sf_dir):
         "lineitem",
         {"l_linestatus": "l_linestatus"},
         "l_extendedprice",
+        alpha=0.05,
         quantiles=(0.5, 0.9),
         stats=("count",),
         weight="l_quantity",
@@ -1002,42 +1012,13 @@ def q18(spark, sf_dir):
     _prep(spark)
     li = load_table(spark, sf_dir, "lineitem")
     out = native.sketch_quantile_agg(
-        li, ["l_linestatus"], "l_extendedprice", 0.01, (0.5, 0.9), weight="l_quantity"
+        li, ["l_linestatus"], "l_extendedprice", 0.05, (0.5, 0.9), weight="l_quantity"
     )
     return out.select(
         "l_linestatus",
         "count",
         F.col("p50").cast("float").alias("p50"),
         F.col("p90").cast("float").alias("p90"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q19 — non-default relative accuracy (alpha=0.05): gamma parameterization
-# ---------------------------------------------------------------------------
-
-
-@_declare(
-    "q19_alpha_005_quantiles",
-    quantile_oracle_sql(
-        "events",
-        {"event_type": "event_type"},
-        "value",
-        alpha=0.05,
-        quantiles=(0.5, 0.99),
-        stats=("count", "sum"),
-    ),
-)
-def q19(spark, sf_dir):
-    _prep(spark)
-    ev = load_table(spark, sf_dir, "events")
-    out = native.sketch_quantile_agg(ev, ["event_type"], "value", 0.05, (0.5, 0.99))
-    return out.select(
-        "event_type",
-        "count",
-        F.col("sum").cast("float").alias("sum"),
-        F.col("p50").cast("float").alias("p50"),
-        F.col("p99").cast("float").alias("p99"),
     )
 
 
@@ -1185,17 +1166,9 @@ def q34(spark, sf_dir):
     _prep(spark)
     from ..streaming import streaming_quantiles, windowed_binned_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string,"
-        " value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    from ..sources import load_stream
+
+    stream = load_stream(spark, sf_dir, "events")
     binned = windowed_binned_counts(
         stream, "ts", ["event_type"], "value", window="1 hour", watermark="0 seconds"
     )
@@ -1234,8 +1207,10 @@ def q34(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q35 — the scalable two-stage merge topology (mapInPandas per-partition
-# pre-merge restoring partial aggregation) over pre-serialized sketches
+# q35 — the scalable wire-blob merge topology: blobs decode map-side into the
+# struct working form, the merge itself is a Catalyst hash aggregate WITH
+# partial aggregation (the shuffle carries combined (key, sign, bin) counts,
+# never raw blob rows), and the result re-encodes at the boundary
 # ---------------------------------------------------------------------------
 
 
@@ -1251,7 +1226,7 @@ def q34(spark, sf_dir):
 )
 def q35(spark, sf_dir):
     _prep(spark)
-    from ..functions.aggregate import merge_sketches_scalable
+    from ..functions.aggregate import merge_sketches_native
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", F.col("ts"))
@@ -1259,7 +1234,7 @@ def q35(spark, sf_dir):
     pre = native.sketch_struct_agg(ev, ["day", "event_type"], "value", 0.01).select(
         "day", "event_type", native.struct_to_wire("sketch").alias("sketch")
     )
-    rolled = merge_sketches_scalable(pre.repartition(8), ["event_type"], "sketch")
+    rolled = merge_sketches_native(pre, ["event_type"], "sketch")
     return rolled.select(
         "event_type",
         fs.ddsketch_count(F.col("sketch")).alias("count"),
@@ -1804,17 +1779,9 @@ def q48(spark, sf_dir):
     _prep(spark)
     from ..streaming import sessionized_gap_stats
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string,"
-        " value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from ..sources import load_stream
+
+    stream = load_stream(spark, sf_dir, "events")
     sess = sessionized_gap_stats(
         stream, "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
     )
@@ -1960,13 +1927,17 @@ def q50(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q51 — sliding streaming windows (1h window / 30min slide): every event
-# lands in two windows; the oracle replays that duplication with an unnest
+# q51 — sliding streaming windows (1h window / 30min slide) in APPEND output
+# mode: every event lands in two windows; only windows the watermark has
+# CLOSED are emitted (exactly once), proving state is evicted and bounded.
+# The oracle replays the slide duplication with an unnest and keeps exactly
+# the windows whose end <= max event time (watermark delay 0s).
 # ---------------------------------------------------------------------------
 
 _Q51_TABLE = """(
     SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - o.off,
                     '%Y-%m-%d %H:%M:%S') AS window_start,
+           time_bucket(INTERVAL '30 minutes', ts) - o.off AS ws,
            event_type, value
     FROM events,
          (SELECT unnest([INTERVAL '0 minutes', INTERVAL '30 minutes']) AS off) o
@@ -1981,6 +1952,7 @@ _Q51_TABLE = """(
         "value",
         quantiles=(0.5, 0.95),
         stats=("count",),
+        where="ws + INTERVAL '1 hour' <= (SELECT MAX(ts) FROM events)",
     ),
 )
 def q51(spark, sf_dir):
@@ -1989,31 +1961,30 @@ def q51(spark, sf_dir):
     _prep(spark)
     from ..streaming import streaming_quantiles, windowed_binned_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string,"
-        " value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from ..sources import load_stream
+
+    stream = load_stream(spark, sf_dir, "events")
     binned = windowed_binned_counts(
         stream, "ts", ["event_type"], "value",
         window="1 hour", slide="30 minutes", watermark="0 seconds",
     )
-    state = {}
+    # append mode: each (window, key, sign, bin) row arrives EXACTLY ONCE,
+    # after the watermark passes window_end — a plain list sink suffices and
+    # open windows never appear. (Test harness only: production writes go to
+    # a real sink, e.g. writeStream.format("parquet").)
+    rows = []
 
     def sink(batch_df, _id):
-        for r in batch_df.collect():
-            state[(r.window_start, r.window_end, r.event_type, r.sign, r.bin)] = r.cnt
+        rows.extend(
+            batch_df.select(
+                "window_start", "window_end", "event_type", "sign", "bin", "cnt"
+            ).collect()
+        )
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             binned.writeStream.foreachBatch(sink)
-            .outputMode("update")
+            .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -2021,7 +1992,7 @@ def q51(spark, sf_dir):
         q.awaitTermination(300)
 
     sink_df = spark.createDataFrame(
-        [(*k, cnt) for k, cnt in state.items()],
+        rows,
         "window_start timestamp, window_end timestamp, event_type string,"
         " sign int, bin int, cnt double",
     )
@@ -2088,54 +2059,25 @@ def _q52_store(spark, sf_dir: str) -> str:
 def q52(spark, sf_dir):
     """Partition-pruned roll-up over a stored sketch table: only the 11
     day-directories inside the range are scanned (the filter sits on the
-    partition column), then the reference's ddsketch_agg merges the blobs."""
+    partition column), then the stored blobs merge on the native path —
+    a Catalyst hash aggregate with partial aggregation, not an
+    AggregateInPandas over raw blob rows."""
+    from ..functions.aggregate import merge_sketches_native
+
     _prep(spark)
     store = _q52_store(spark, sf_dir)
     stored = spark.read.parquet(store).where(
         (F.col("day") >= _Q52_LO) & (F.col("day") <= _Q52_HI)
     )
-    rolled = stored.groupBy("event_type").agg(ddsketch_agg("sketch").alias("s"))
-    return rolled.select(
-        "event_type",
-        fs.ddsketch_count(F.col("s")).alias("count"),
-        fs.ddsketch_quantile(F.col("s"), F.lit(0.5)).cast("float").alias("p50"),
-        fs.ddsketch_quantile(F.col("s"), F.lit(0.95)).cast("float").alias("p95"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q53 — scalable raw-value ingest on the wire path: mapInPandas partial
-# sketches per (partition, group), then the blob merge — the reference's
-# update/combine split with no raw-row shuffle
-# ---------------------------------------------------------------------------
-
-
-@_declare(
-    "q53_scalable_ingest_rollup",
-    quantile_oracle_sql(
-        "lineitem",
-        {"l_returnflag": "l_returnflag"},
-        "l_quantity",
-        quantiles=(0.5, 0.9, 0.99),
-        stats=("count", "avg"),
-    ),
-)
-def q53(spark, sf_dir):
-    _prep(spark)
-    from ..functions.aggregate import ingest_values_scalable
-
-    li = load_table(spark, sf_dir, "lineitem")
-    pre = ingest_values_scalable(li, ["l_returnflag"], "l_quantity", 0.01)
-    st = pre.select(
-        "l_returnflag", fs.ddsketch_stats_full(F.col("sketch")).alias("st")
+    rolled = merge_sketches_native(stored, ["event_type"], "sketch")
+    st = rolled.select(
+        "event_type", fs.ddsketch_stats_full(F.col("sketch")).alias("st")
     )
     return st.select(
-        "l_returnflag",
+        "event_type",
         F.col("st.count").alias("count"),
-        F.col("st.avg").cast("float").alias("avg"),
         F.col("st.p50").cast("float").alias("p50"),
-        F.col("st.p90").cast("float").alias("p90"),
-        F.col("st.p99").cast("float").alias("p99"),
+        F.col("st.p95").cast("float").alias("p95"),
     )
 
 
@@ -2184,60 +2126,6 @@ def q54(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q55 — the full preprocessing pipeline as ONE declared query:
-# exact-dedup -> quality filter -> per-language token accounting
-# ---------------------------------------------------------------------------
-
-
-@_declare(
-    "q55_pipeline_dedup_quality_tokens",
-    f"""
-    WITH canon AS (
-        SELECT doc_id, lang, text, n_chars
-        FROM (
-            SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY {_NORM}) AS canon
-            FROM documents
-        ) WHERE canon
-    ),
-    scored AS (
-        SELECT lang, n_chars,
-            (CASE WHEN len({_TOKS}) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END
-             + len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})
-             + least(len(list_filter(string_split(lower(trim(text)), ' '),
-                                     w -> w IN ('{_SW}'))) * 5.0 / len({_TOKS}),
-                     1.0)) / 3.0 AS q
-        FROM canon
-    )
-    SELECT lang,
-        CAST(COUNT(*) AS BIGINT) AS n_docs,
-        CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        CAST(SUM(CASE WHEN q >= 0.5 THEN CAST(CEIL(n_chars / 4.0) AS BIGINT)
-                      ELSE 0 END) AS BIGINT) AS kept_bpe_tokens
-    FROM scored GROUP BY lang
-    """,
-)
-def q55(spark, sf_dir):
-    """The end-to-end preprocessing pipeline as one plan: canonical-only
-    exact dedup, quality filter at 0.5, per-language token budget."""
-    _prep(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    canon = dedup.exact_dedup(docs).where("is_canonical")
-    scored = canon.select(
-        "lang",
-        "n_chars",
-        text.quality_score(F.col("text")).alias("q"),
-    )
-    return scored.groupBy("lang").agg(
-        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
-        F.expr("CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept"),
-        F.expr(
-            "CAST(sum(CASE WHEN q >= 0.5 THEN CAST(CEIL(n_chars / 4.0) AS BIGINT)"
-            " ELSE 0 END) AS BIGINT) AS kept_bpe_tokens"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
 # q56 — stream-stream time-range join: the q41 band join executed as two
 # joined STREAMS with watermarks (Spark buffers both sides in state and
 # evicts by watermark); must equal the batch inequality-join oracle
@@ -2249,19 +2137,11 @@ def q56(spark, sf_dir):
     import tempfile
 
     _prep(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string,"
-        " value double, props string"
-    )
+    from ..sources import load_stream
 
     def read(name):
-        return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .where(f"event_type = '{name}'")
+        return load_stream(spark, sf_dir, "events").where(
+            f"event_type = '{name}'"
         )
 
     # stream-stream joins REQUIRE an equality predicate: reuse the band
@@ -2322,11 +2202,8 @@ def q56(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q57 — hypertable-style ROLLUP: every (event_type, day) level + gid in ONE
-# pass. The coarser levels re-aggregate the already-binned counts (Expand
-# runs over ~|groups x bins| rows, never the raw scan), so the whole rollup
-# costs one extra exchange over the finest-grain aggregate at any scale.
-# Oracle: UNION ALL of the per-level bin-math oracles with literal gids.
+# grouping-set helpers shared by the q62 CUBE oracle (per-level bin-math
+# oracles UNION ALLed with literal gids)
 # ---------------------------------------------------------------------------
 
 _Q57_QS = (0.5, 0.95)
@@ -2340,34 +2217,6 @@ def _q57_level_oracle(group_by):
         "value",
         quantiles=_Q57_QS,
         stats=("count", "avg"),
-    )
-
-
-_Q57_ORACLE = f"""
-SELECT event_type, day, CAST(0 AS INTEGER) AS gid, {_Q57_COLS}
-FROM ({_q57_level_oracle({"event_type": "event_type",
-                          "day": "strftime(date_trunc('day', ts), '%Y-%m-%d')"})})
-UNION ALL
-SELECT event_type, CAST(NULL AS VARCHAR) AS day, CAST(1 AS INTEGER) AS gid, {_Q57_COLS}
-FROM ({_q57_level_oracle({"event_type": "event_type"})})
-UNION ALL
-SELECT CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS VARCHAR) AS day,
-       CAST(3 AS INTEGER) AS gid, {_Q57_COLS}
-FROM ({_q57_level_oracle({})})
-"""
-
-
-@_declare("q57_rollup_quantiles", _Q57_ORACLE)
-def q57(spark, sf_dir):
-    _prep(spark)
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
-    )
-    out = native.sketch_quantile_agg(
-        ev, ["event_type", "day"], "value", 0.01, _Q57_QS, rollup=True
-    )
-    return out.select(
-        "event_type", "day", "gid", "count", *_f32("avg", "p50", "p95")
     )
 
 
@@ -2495,104 +2344,6 @@ def q59(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q60 — one-pass multi-metric quantiles: four lineitem measures sketched
-# from a single scan + single shuffle (stack unpivot keyed by metric),
-# instead of four separate aggregation queries. Oracle: UNION ALL of the
-# per-metric bin-math oracles with literal metric labels.
-# ---------------------------------------------------------------------------
-
-_Q60_METRICS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-_Q60_QS = (0.5, 0.95)
-
-
-_Q60_ORACLE = "\nUNION ALL\n".join(
-    f"SELECT l_returnflag, metric, count, p50, p95 FROM ({quantile_oracle_sql('lineitem', {'l_returnflag': 'l_returnflag', 'metric': _m_lit}, m, quantiles=_Q60_QS, stats=('count',))})"
-    for m, _m_lit in [(m, f"'{m.removeprefix('l_')}'") for m in _Q60_METRICS]
-)
-
-
-@_declare("q60_multi_metric_quantiles", _Q60_ORACLE)
-def q60(spark, sf_dir):
-    _prep(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        *[F.col(m).alias(m.removeprefix("l_")) for m in _Q60_METRICS],
-    )
-    out = native.sketch_quantile_agg_multi(
-        li,
-        ["l_returnflag"],
-        [m.removeprefix("l_") for m in _Q60_METRICS],
-        quantiles=_Q60_QS,
-    )
-    return out.select("l_returnflag", "metric", "count", *_f32("p50", "p95"))
-
-
-# ---------------------------------------------------------------------------
-# q61 — accuracy migration: sketches built at alpha=0.005 are downsampled to
-# the default alpha=0.01 mapping (beyond-reference ddsketch_downsample; the
-# reference can only REJECT cross-accuracy merges) and then read with the
-# standard 0.01 extractors. Oracle mirrors the two-step mapping: bin at
-# gamma(0.005) -> representative value -> re-bin at gamma(0.01), feeding the
-# shared bin-math quantile pipeline via binned_from.
-# ---------------------------------------------------------------------------
-
-
-def _q61_oracle() -> str:
-    c1, c2 = constants(0.005), constants(0.01)
-    g1, mult1 = repr(c1["gamma"]), repr(c1["mult"])
-    lg1, lg2 = repr(c1["log_gamma"]), repr(c2["log_gamma"])
-    binned_from = f"""
-    SELECT event_type, sign, bin, CAST(SUM(cnt) AS DOUBLE) AS cnt
-    FROM (
-        SELECT event_type, sign,
-            CASE WHEN sign = 0 THEN NULL
-                 ELSE CAST(CEIL(LN(POWER({g1}, bin1) * {mult1}) / {lg2}) AS INTEGER)
-            END AS bin,
-            cnt
-        FROM (
-            SELECT event_type,
-                CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
-                CASE WHEN v > 0 THEN CAST(CEIL(LN(v) / {lg1}) AS INTEGER)
-                     WHEN v < 0 THEN CAST(CEIL(LN(-v) / {lg1}) AS INTEGER)
-                END AS bin1,
-                CAST(COUNT(*) AS DOUBLE) AS cnt
-            FROM (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
-                  WHERE value IS NOT NULL AND value
-                  BETWEEN -1.7976931348623157E308 AND 1.7976931348623157E308)
-            GROUP BY 1, 2, 3
-        )
-    )
-    GROUP BY 1, 2, 3
-    """
-    return quantile_oracle_sql(
-        "events",
-        {"event_type": "event_type"},
-        "value",
-        alpha=0.01,
-        quantiles=(0.5, 0.95),
-        stats=("count",),
-        binned_from=binned_from,
-    )
-
-
-@_declare("q61_accuracy_migration", _q61_oracle())
-def q61(spark, sf_dir):
-    _prep(spark)
-    ev = load_table(spark, sf_dir, "events")
-    fine = ingest_values_scalable(ev, ["event_type"], "value", alpha=0.005)
-    coarse = fine.select(
-        "event_type",
-        fs.ddsketch_downsample(F.col("sketch"), F.lit(0.01)).alias("sketch"),
-    )
-    return coarse.select(
-        "event_type",
-        fs.ddsketch_count(F.col("sketch")).alias("count"),
-        fs.ddsketch_quantile(F.col("sketch"), F.lit(0.5)).cast("float").alias("p50"),
-        fs.ddsketch_quantile(F.col("sketch"), F.lit(0.95)).cast("float").alias("p95"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # q62 — CUBE over (event_type, day): all four grouping-level subsets from
 # one scan (adds the day-only level rollup cannot produce). Same
 # pre-binned-Expand scale shape as q57.
@@ -2686,74 +2437,6 @@ def q63(spark, sf_dir):
 # APPROXIMATE operator still passes the exact value-hash gate; the exact
 # distinct count rides along for error inspection.
 # ---------------------------------------------------------------------------
-
-
-def _q64_oracle(p: int = 8) -> str:
-    from ..operators.approx import hll_alpha
-
-    m = 1 << p
-    nhex = p // 4
-    # hex -> integer without conv() (DuckDB lacks it): positional digit sum.
-    def hex2int(start: int, ndigits: int) -> str:
-        terms = [
-            f"(strpos('0123456789abcdef', substr(__h, {start + i}, 1)) - 1)"
-            f" * {16 ** (ndigits - 1 - i)}"
-            for i in range(ndigits)
-        ]
-        return "(" + " + ".join(terms) + ")"
-
-    x = f"CAST({hex2int(nhex + 1, 15)} AS BIGINT)"
-    rho = f"CASE WHEN {x} = 0 THEN 61 ELSE 61 - length(bin({x})) END"
-    return f"""
-    WITH hashed AS (
-        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS __h
-        FROM events WHERE user_id IS NOT NULL
-    ),
-    regs AS (
-        SELECT event_type, CAST({hex2int(1, nhex)} AS BIGINT) AS bucket,
-               MAX({rho}) AS maxrho
-        FROM hashed GROUP BY 1, 2
-    ),
-    folded AS (
-        SELECT event_type, COUNT(*) AS observed,
-               SUM(CAST(1 AS BIGINT) << (61 - CAST(maxrho AS INTEGER)))
-                   AS sum_fp
-        FROM regs GROUP BY 1
-    ),
-    est AS (
-        SELECT event_type,
-               CAST(CASE
-                   WHEN raw <= 2.5e0 * {m} AND zeros > 0
-                       THEN {m} * LN({m} / CAST(zeros AS DOUBLE))
-                   ELSE raw
-               END AS FLOAT) AS approx_distinct
-        FROM (
-            SELECT event_type, zeros,
-                   {hll_alpha(m)!r}e0 * {m} * {m}.0
-                       / (sum_fp / 2305843009213693952e0 + zeros) AS raw
-            FROM (SELECT event_type, sum_fp, {m} - observed AS zeros
-                  FROM folded)
-        )
-    )
-    SELECT e.event_type, e.approx_distinct, x.exact_distinct
-    FROM est e JOIN (
-        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
-        FROM events GROUP BY 1
-    ) x ON e.event_type = x.event_type
-    """
-
-
-@_declare("q64_hll_distinct_users", _q64_oracle())
-def q64(spark, sf_dir):
-    from ..operators import approx
-
-    _prep(spark)
-    ev = load_table(spark, sf_dir, "events")
-    est = approx.hll_distinct(ev, ["event_type"], "user_id", p=8)
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_distinct")
-    )
-    return est.join(exact, "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -3206,17 +2889,9 @@ def q71(spark, sf_dir):
     from ..streaming import windowed_hll_registers
 
     _prep(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string,"
-        " value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from ..sources import load_stream
+
+    stream = load_stream(spark, sf_dir, "events")
     regs = windowed_hll_registers(
         stream, "ts", ["event_type"], "user_id", p=8,
         window="1 hour", watermark="0 seconds",
@@ -3525,74 +3200,6 @@ def q74(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q75 — week-over-week p99 drift: daily struct sketches MERGE into weekly
-# sketches (no raw re-scan — the mergeability payoff), then a self-join on
-# adjacent weeks reports the p99 delta per event_type. The SLO-drift shape.
-# ---------------------------------------------------------------------------
-
-
-def _q75_oracle() -> str:
-    week = "(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7)"
-    base = quantile_oracle_sql(
-        "events",
-        {"event_type": "event_type", "week": week},
-        "value",
-        quantiles=(0.99,),
-        stats=("count",),
-    )
-    return f"""
-    WITH weekly AS ({base})
-    SELECT cur.event_type AS event_type,
-           CAST(cur.week AS INT) AS week,
-           cur.count AS count,
-           cur.p99 AS p99,
-           prev.p99 AS prev_p99,
-           CAST(CAST(cur.p99 AS DOUBLE) - CAST(prev.p99 AS DOUBLE) AS FLOAT)
-               AS p99_delta
-    FROM weekly cur JOIN weekly prev
-      ON cur.event_type = prev.event_type AND cur.week = prev.week + 1
-    """
-
-
-@_declare("q75_week_over_week_drift", _q75_oracle())
-def q75(spark, sf_dir):
-    _prep(spark)
-    ev = load_table(spark, sf_dir, "events").selectExpr(
-        "event_type",
-        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7 AS INT)"
-        " AS week",
-        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS INT) AS day",
-        "value",
-    )
-    daily = native.sketch_struct_agg(ev, ["event_type", "week", "day"], "value")
-    weekly = native.merge_struct_sketches(daily, ["event_type", "week"])
-    wk = weekly.select(
-        "event_type",
-        "week",
-        native.struct_count(F.col("sketch")).alias("count"),
-        native.struct_quantile("sketch", 0.99).cast("float").alias("p99"),
-    )
-    cur, prev = wk.alias("cur"), wk.alias("prev")
-    return (
-        cur.join(
-            prev,
-            (F.col("cur.event_type") == F.col("prev.event_type"))
-            & (F.col("cur.week") == F.col("prev.week") + 1),
-        )
-        .select(
-            F.col("cur.event_type").alias("event_type"),
-            F.col("cur.week").alias("week"),
-            F.col("cur.count").alias("count"),
-            F.col("cur.p99").alias("p99"),
-            F.col("prev.p99").alias("prev_p99"),
-            (F.col("cur.p99").cast("double") - F.col("prev.p99").cast("double"))
-            .cast("float")
-            .alias("p99_delta"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # q76 — diversity-aware sampling: k-means clusters (q73) x exactly-n
 # deterministic sample per cluster (stratified_hash_topn). The corpus-
 # balancing shape: equal representation from every embedding cluster, fully
@@ -3825,17 +3432,9 @@ def q79(spark, sf_dir):
     from ..streaming import windowed_value_counts
 
     _prep(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string,"
-        " value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from ..sources import load_stream
+
+    stream = load_stream(spark, sf_dir, "events")
     counts = windowed_value_counts(
         stream, "ts", ["event_type"], "user_id",
         window="1 hour", watermark="0 seconds",
@@ -4072,3 +3671,18 @@ def q82(spark, sf_dir):
     )
     masks = bitmap.activity_bitmap(ev, "user_id", "day_idx")
     return bitmap.retention_report(masks, _Q82_DAYS, offsets=(7, 14))
+
+
+# ===========================================================================
+# Final registry: the driver grades at most 50 queries, so the staged
+# per-operator declarations above are curated into exactly 50 slots
+# (renames into priority order + same-family composites). The staged dicts
+# remain available for tests that exercise members individually.
+# ===========================================================================
+
+STAGED_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
+STAGED_ORACLES: Dict[str, str] = dict(ORACLES)
+
+from .composites import build_final  # noqa: E402  (needs the staged defs)
+
+QUERIES, ORACLES = build_final(STAGED_QUERIES, STAGED_ORACLES)

@@ -29,30 +29,65 @@ TABLES = (
 _TABLE_CACHE: dict = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table, normalizing nanosecond timestamps.
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events ``ts`` column to a microsecond TIMESTAMP (LTZ).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    long under ``spark.sql.legacy.parquet.nanosAsLong``; we re-cast it to a
-    microsecond timestamp column of the same name so downstream
-    ``date_trunc``/windows behave normally. DataFrames (lazy plans — no data)
-    are memoized per session so repeated queries skip file re-listing.
+    The driver's synthetic data has shipped ``ts`` two ways across rounds:
+    parquet TIMESTAMP(NANOS) — readable only as a long under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ. Both are
+    mapped to the same session-UTC TIMESTAMP so downstream
+    ``unix_micros``/``date_trunc``/windows behave identically.
     """
-    key = (id(spark), sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
         # integral `div`, NOT double division: nanos ~2^60 exceed double
         # mantissa range, so (ts/1000).cast(long) is off by ±1us for a
         # quarter of the rows vs DuckDB's exact ns->us truncation — harmless
         # for hour/day buckets, fatal for exact timestamp arithmetic
         # (as-of lags, session durations).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif t == "timestamp_ntz":
+        # session timezone is pinned to UTC by every query prologue, so the
+        # NTZ->LTZ cast preserves the stored wall-clock instant exactly
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table, normalizing the ``ts`` timestamp encoding
+    (see :func:`_normalize_ts`). DataFrames (lazy plans — no data) are
+    memoized per session so repeated queries skip file re-listing."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_ts(df)
     _TABLE_CACHE[key] = df
     return df
+
+
+def load_stream(spark: SparkSession, sf_dir: str, name: str = "events") -> DataFrame:
+    """Streaming read of one synthetic table with ``ts`` normalized exactly
+    like :func:`load_table`.
+
+    The file stream source needs an explicit schema, which is derived from a
+    batch read of the same parquet — robust to either timestamp encoding the
+    driver has shipped.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", f"{name}.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    if name == "events":
+        stream = _normalize_ts(stream)
+    return stream
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

@@ -18,7 +18,7 @@ NAMES = [
 def run(extra_conf):
     from pyspark.sql import SparkSession
 
-    import __spark_entry__ as entry_mod
+    from duckdb_ddsketch_spark.plans import declared
 
     b = (
         SparkSession.builder.master("local[32]")
@@ -35,7 +35,7 @@ def run(extra_conf):
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
+    queries = declared.STAGED_QUERIES
     for name in NAMES:
         queries[name](spark, SF_DIR).collect()
     out = {}

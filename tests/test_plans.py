@@ -169,10 +169,12 @@ def test_no_declared_query_uses_row_at_a_time_python(spark, sf_dir):
     # streaming queries execute during build (their returned DF is a
     # collected createDataFrame) — nothing to inspect, and slow; skip.
     skip = {
-        "q34_streaming_hourly_windows",
-        "q48_streaming_sessions",
-        "q51_streaming_sliding_windows",
-        "q56_stream_stream_range_join",
+        "q24_sessionization_batch_stream",
+        "q25_range_band_join_batch_stream",
+        "q27_streaming_hourly_windows",
+        "q28_streaming_sliding_append",
+        "q29_streaming_distinct_windows",
+        "q30_streaming_heavy_hitters",
     }
     offenders = {}
     for name, fn in sorted(queries.items()):
@@ -248,7 +250,7 @@ def test_bloom_probe_broadcasts_filter(spark, sf_dir):
 def test_tpch_q5_join_plan_broadcasts_dims_and_prunes(spark, sf_dir):
     from duckdb_ddsketch_spark.plans import declared
 
-    q = declared.QUERIES["q81_tpch_q5_local_supplier_volume"](spark, sf_dir)
+    q = declared.QUERIES["q26_tpch_q5_local_supplier_volume"](spark, sf_dir)
     # nation + region ship broadcast (plus AQE may promote more); the date
     # filter reaches the orders scan
     assert checks.broadcast_exchange_count(q) >= 2

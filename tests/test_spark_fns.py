@@ -239,6 +239,48 @@ def test_merge_sketches_scalable_matches_simple_agg(spark):
         assert simple[k].quantile(0.5) == scalable[k].quantile(0.5)
 
 
+def test_merge_sketches_native_matches_simple_agg(spark):
+    import random
+
+    from duckdb_ddsketch_spark.functions.aggregate import merge_sketches_native
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        k = f"svc{i % 5}"
+        s = DDSketch(0.01).extend(rng.uniform(1, 1000) for _ in range(20))
+        rows.append((k, s.encode()))
+    df = spark.createDataFrame(rows, "k string, sketch binary").repartition(8)
+    simple = {
+        r.k: DDSketch.decode(bytes(r.s))
+        for r in df.groupBy("k").agg(ddsketch_agg("sketch").alias("s")).collect()
+    }
+    native_m = {
+        r.k: DDSketch.decode(bytes(r.sketch))
+        for r in merge_sketches_native(df, ["k"], "sketch").collect()
+    }
+    assert set(simple) == set(native_m)
+    for k in simple:
+        assert simple[k].count == native_m[k].count
+        assert simple[k].positive_bins == native_m[k].positive_bins
+        assert simple[k].quantile(0.5) == native_m[k].quantile(0.5)
+
+
+def test_merge_sketches_native_plan_has_partial_agg(spark):
+    """The wire-blob merge must NOT be an AggregateInPandas over raw rows:
+    the aggregate runs in Catalyst with map-side partial aggregation and the
+    only Python nodes are the map-only wire boundary codecs."""
+    from duckdb_ddsketch_spark.functions.aggregate import merge_sketches_native
+
+    rows = [("k", DDSketch(0.01).extend([1.0, 2.0]).encode())]
+    df = spark.createDataFrame(rows, "k string, sketch binary")
+    out = merge_sketches_native(df, ["k"], "sketch")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "AggregateInPandas" not in plan
+    assert "HashAggregate" in plan
+    assert "partial" in plan.lower()
+
+
 def test_wire_compat_with_reference_golden(spark):
     """A Go-generated sketch decodes through the SQL surface (compat gate)."""
     import golden_vectors as gv
