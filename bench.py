@@ -46,6 +46,43 @@ HEADLINE = [
 
 N_60M = 60_000_000
 
+# ---------------------------------------------------------------------------
+# Per-family 60M-row comparators: the same generated data and the same
+# algorithm run in both engines (mirroring the native-sketch 60M comparator).
+# sf0.1 per-query times are fixed-overhead-bound (~0.3-1s stage-scheduling
+# floor); these are the honest scale signals per operator family.
+# Gate: SPARK_GRAFT_BENCH_FAMILIES=0 skips them.
+# ---------------------------------------------------------------------------
+
+FAMILIES = os.environ.get("SPARK_GRAFT_BENCH_FAMILIES", "1") != "0"
+
+# deterministic generators (arithmetic only — identical rows in both engines)
+HLL_USERS = "(id * 2654435761) % 10000000"
+HEAVY_TOK = "(id * id + 17 * id) % 50021"
+DEDUP_DOC = "id % 30000000"
+N_ASOF_L, N_ASOF_R = 54_000_000, 6_000_000
+N_MINHASH = 600_000
+MINHASH_D = 550_000
+
+
+def _minhash_text_sql(d: str) -> str:
+    """8-token doc text derived from a duplicate-class id ``d`` — portable
+    integer arithmetic, so Spark and DuckDB generate identical corpora
+    (~9%% of docs share a class with another doc at N_MINHASH/MINHASH_D)."""
+    parts = []
+    for tag, mod, div in (
+        ("a", 101, 1), ("b", 97, 101), ("c", 89, 3), ("d", 83, 7),
+        ("e", 79, 11), ("f", 73, 13), ("g", 71, 17), ("h", 67, 19),
+    ):
+        parts.append(f"'{tag}' || CAST((({d}) // {div}) % {mod} AS VARCHAR)")
+    return " || ' ' || ".join(parts)
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
 
 def _median3(fn) -> float:
     reps = []
@@ -115,7 +152,192 @@ def run_duckdb(result: dict) -> None:
     t0 = time.perf_counter()
     con.execute(duck_60m).fetchall()
     result["duckdb_60m_sec"] = round(time.perf_counter() - t0, 3)
+
+    if FAMILIES:
+        fam = {}
+        for name, sql in _duckdb_family_sqls().items():
+            fam[name] = _timed(lambda s=sql: con.execute(s).fetchall())
+        result["duckdb_families_60m_sec"] = fam
     con.close()
+
+
+def _duckdb_family_sqls() -> dict:
+    """Same-algorithm DuckDB mirrors of the per-family 60M workloads
+    (generation inline, single cold pass — symmetric with the Spark side)."""
+    from duckdb_ddsketch_spark.operators.approx import hll_alpha
+    from duckdb_ddsketch_spark.plans.declared import _dd_hex2int
+
+    sqls = {}
+
+    # HLL distinct users per key (p=8): md5-register math, both engines
+    m, nhex = 256, 2
+    x = _dd_hex2int("__h", nhex + 1, 15)
+    rho = f"CASE WHEN {x} = 0 THEN 61 ELSE 61 - length(bin({x})) END"
+    sqls["hll_distinct"] = f"""
+    WITH gen AS (
+        SELECT range % 25 AS grp, ({HLL_USERS.replace('id', 'range')}) AS u
+        FROM range({N_60M})
+    ),
+    hashed AS (SELECT grp, md5(CAST(u AS VARCHAR)) AS __h FROM gen),
+    regs AS (
+        SELECT grp, {_dd_hex2int("__h", 1, nhex)} AS bucket, MAX({rho}) AS mr
+        FROM hashed GROUP BY 1, 2
+    ),
+    folded AS (
+        SELECT grp, COUNT(*) AS observed,
+               SUM(CAST(1 AS BIGINT) << (61 - CAST(mr AS INTEGER))) AS sum_fp
+        FROM regs GROUP BY 1
+    )
+    SELECT grp, {hll_alpha(m)!r}e0 * {m} * {m}.0
+               / (sum_fp / 2305843009213693952e0 + ({m} - observed)) AS est
+    FROM folded
+    """
+
+    # as-of join: every click joined to the latest preceding error per user
+    sqls["asof_join"] = f"""
+    WITH l AS (SELECT range % 100000 AS u, range * 7 AS ts
+               FROM range({N_ASOF_L})),
+         r AS (SELECT range % 100000 AS u, range * 71 AS ts
+               FROM range({N_ASOF_R}))
+    SELECT COUNT(*) AS n, COUNT(r.ts) AS matched, SUM(l.ts - r.ts) AS lag_sum
+    FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts >= r.ts
+    """
+
+    # exact heavy hitters: top-10 tokens per key
+    sqls["heavy_hitters"] = f"""
+    WITH gen AS (
+        SELECT range % 25 AS grp,
+               CAST(({HEAVY_TOK.replace('id', 'range')}) AS VARCHAR) AS tok
+        FROM range({N_60M})
+    ),
+    counts AS (SELECT grp, tok, COUNT(*) AS c FROM gen GROUP BY 1, 2),
+    ranked AS (
+        SELECT grp, tok, c,
+               row_number() OVER (PARTITION BY grp ORDER BY c DESC, tok ASC)
+                   AS rank
+        FROM counts
+    )
+    SELECT * FROM ranked WHERE rank <= 10
+    """
+
+    # exact dedup accounting on normalized text (50% dup rate)
+    sqls["exact_dedup"] = f"""
+    WITH gen AS (
+        SELECT range % 4 AS src,
+               'lorem ipsum dolor ' || CAST(({DEDUP_DOC.replace('id', 'range')})
+                   AS VARCHAR) AS text
+        FROM range({N_60M})
+    )
+    SELECT src, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')))
+               AS n_distinct
+    FROM gen GROUP BY src
+    """
+
+    # MinHash+LSH candidate pairs at 600k docs (~67M md5 calls — the same
+    # hash work as a 60M-row single-hash workload)
+    toks = "string_split(text, ' ')"
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - 1, 0) + 1),"
+        f" i -> {toks}[CAST(i AS INT)] || ' ' || {toks}[CAST(i AS INT) + 1]))"
+    )
+    sig = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min')"
+        for i in range(16)
+    )
+    sqls["minhash_lsh_600k"] = f"""
+    WITH docs AS (
+        SELECT range AS id,
+               {_minhash_text_sql(f'range % {MINHASH_D}')} AS text
+        FROM range({N_MINHASH})
+    ),
+    shing AS (SELECT id, {shingles} AS sh FROM docs),
+    sig AS (SELECT id, [{sig}] AS sg FROM shing),
+    banded AS (
+        SELECT id, b.band_id,
+               md5(sg[b.band_id * 4 + 1] || '|' || sg[b.band_id * 4 + 2] || '|' ||
+                   sg[b.band_id * 4 + 3] || '|' || sg[b.band_id * 4 + 4]) AS bh
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+    )
+    SELECT COUNT(*) FROM (
+        SELECT DISTINCT a.id AS ia, b.id AS ib
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.bh = b.bh AND a.id < b.id
+    )
+    """
+    return sqls
+
+
+def run_spark_families(spark, result: dict) -> None:
+    """Spark side of the per-family 60M comparators — each drives the
+    repo's actual operator (not a hand-inlined plan) on generated data."""
+    from pyspark.sql import Window, functions as F
+
+    from duckdb_ddsketch_spark.operators import approx, dedup, relational
+
+    fam = {}
+
+    def gen(n, expr_pairs, partitions=64):
+        return spark.range(n, numPartitions=partitions).selectExpr(
+            *[f"{e} AS {a}" for a, e in expr_pairs]
+        )
+
+    def hll():
+        df = gen(N_60M, [("grp", "id % 25"), ("u", HLL_USERS)])
+        approx.hll_distinct(df, ["grp"], "u", p=8).collect()
+
+    fam["hll_distinct"] = _timed(hll)
+
+    def asof():
+        left = gen(N_ASOF_L, [("u", "id % 100000"), ("ts", "id * 7")])
+        right = gen(N_ASOF_R, [("u", "id % 100000"), ("ts", "id * 71")])
+        j = relational.asof_join(
+            left, right, on=["u"], left_ts="ts", right_ts="ts", right_cols=[]
+        )
+        j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ts_r").alias("matched"),
+            F.sum(F.col("ts") - F.col("ts_r")).alias("lag_sum"),
+        ).collect()
+
+    fam["asof_join"] = _timed(asof)
+
+    def heavy():
+        df = gen(
+            N_60M,
+            [("grp", "id % 25"), ("tok", f"CAST(({HEAVY_TOK}) AS STRING)")],
+        )
+        counts = df.groupBy("grp", "tok").count()
+        w = Window.partitionBy("grp").orderBy(
+            F.col("count").desc(), F.col("tok").asc()
+        )
+        counts.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= 10
+        ).collect()
+
+    fam["heavy_hitters"] = _timed(heavy)
+
+    def dedup_60m():
+        df = gen(
+            N_60M,
+            [
+                ("src", "id % 4"),
+                ("text", f"'lorem ipsum dolor ' || CAST(({DEDUP_DOC}) AS STRING)"),
+            ],
+        )
+        dedup.exact_dedup_summary(df, ["src"], text="text", id_col="id").collect()
+
+    fam["exact_dedup"] = _timed(dedup_60m)
+
+    def minhash():
+        d = f"id % {MINHASH_D}"
+        text = _minhash_text_sql(d).replace("//", "div").replace("VARCHAR", "STRING")
+        docs = gen(N_MINHASH, [("id", "id"), ("text", text)], partitions=32)
+        dedup.lsh_candidate_pairs(docs, text="text", id_col="id").count()
+
+    fam["minhash_lsh_600k"] = _timed(minhash)
+
+    result["spark_families_60m_sec"] = fam
 
 
 def main() -> None:
@@ -188,6 +410,9 @@ def main() -> None:
     dt = time.perf_counter() - t0
     result["native_sketch_rows_per_sec"] = int(N_60M / dt)
     result["native_sketch_60m_sec"] = round(dt, 3)
+
+    if FAMILIES:
+        run_spark_families(spark, result)
 
     spark.stop()
     print(json.dumps(result))

@@ -107,3 +107,57 @@ def test_cdf_sql_surface(spark, fixtures):
     assert row.at10 == 1.0
     assert row.at5 == 0.0
     assert row.empty is None
+
+
+def test_merge_sketches_native_example(spark, fixtures):
+    """MIGRATION.md §4's scale-merge example runs verbatim and matches the
+    plain UDAF fold."""
+    from duckdb_ddsketch_spark.functions.aggregate import merge_sketches_native
+
+    df = spark.table("hourly_latency_sketches")
+    out = {
+        r.service: DDSketch.decode(bytes(r.latency_sketch))
+        for r in merge_sketches_native(
+            df, ["service"], "latency_sketch"
+        ).collect()
+    }
+    ref = {
+        r.service: DDSketch.decode(bytes(r.s))
+        for r in spark.sql(
+            "SELECT service, ddsketch_agg(latency_sketch) AS s"
+            " FROM hourly_latency_sketches GROUP BY service"
+        ).collect()
+    }
+    assert set(out) == set(ref)
+    for k in ref:
+        assert out[k].count == ref[k].count
+        assert out[k].positive_bins == ref[k].positive_bins
+
+
+def test_ingest_paths_ranked_example(spark, fixtures):
+    """MIGRATION.md §2's ranked ingest paths agree on the same data."""
+    from duckdb_ddsketch_spark.functions.aggregate import ingest_values_scalable
+    from duckdb_ddsketch_spark.operators import native
+
+    rows = [("api", float(v)) for v in range(1, 101)] + [
+        ("web", float(v * 3)) for v in range(1, 51)
+    ]
+    df = spark.createDataFrame(rows, "service string, latency double")
+    nat = {
+        r["service"]: (r["count"], r["p50"])
+        for r in native.sketch_quantile_agg(
+            df, ["service"], "latency", 0.01, (0.5,)
+        ).collect()
+    }
+    wire = {
+        r["service"]: (r["count"], r["p50"])
+        for r in ingest_values_scalable(df, ["service"], "latency").select(
+            "service",
+            F.expr("ddsketch_count(sketch) AS count"),
+            F.expr("ddsketch_quantile(sketch, 0.5d) AS p50"),
+        ).collect()
+    }
+    assert set(nat) == set(wire)
+    for k in nat:
+        assert nat[k][0] == wire[k][0]
+        assert abs(nat[k][1] - wire[k][1]) <= 1e-9 * max(1.0, abs(nat[k][1]))

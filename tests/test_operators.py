@@ -227,6 +227,20 @@ def test_duplicate_clusters_end_to_end(spark, docs):
     assert 4 not in clusters and 6 not in clusters and 5 not in clusters
 
 
+def test_blas_topk_guards_oversized_query_collect(spark):
+    """The driver-side query collect must fail fast past max_query_rows
+    instead of OOMing the driver."""
+    import pytest as _pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        similarity.brute_force_topk_blas(df, df, k=2, max_query_rows=5)
+    # within the bound it still works
+    out = similarity.brute_force_topk_blas(df, df.limit(3), k=2, max_query_rows=5)
+    assert out.count() > 0
+
+
 def test_blas_topk_matches_fold_topk(spark):
     import random
 
