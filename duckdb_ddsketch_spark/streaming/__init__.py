@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 from ..sketch import DDSketch, DEFAULT_RELATIVE_ACCURACY
 
 __all__ = [
+    "scalable_state_conf",
     "windowed_binned_counts",
     "finalize_window_sketches",
     "streaming_quantiles",
@@ -49,6 +50,34 @@ __all__ = [
     "windowed_hll_registers",
     "windowed_value_counts",
 ]
+
+
+def scalable_state_conf() -> dict:
+    """Session confs for production-scale streaming state.
+
+    The default HDFS-backed state store keeps every open window's state in
+    executor heap — fine locally, an OOM at 100 TB key cardinalities. The
+    RocksDB provider (bundled with Spark since 3.2) spills state to local
+    disk with bounded memory, and changelog checkpointing uploads only the
+    per-batch delta instead of full snapshots. Apply before starting a
+    query::
+
+        for k, v in scalable_state_conf().items():
+            spark.conf.set(k, v)
+
+    State-store choice does not change results — only where state lives —
+    which ``tests/test_streaming.py`` pins by re-running a windowed
+    aggregate under RocksDB and comparing to the batch kernel.
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state"
+            ".RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
+    }
 
 
 def windowed_binned_counts(

@@ -261,3 +261,27 @@ def test_tpch_q5_join_plan_broadcasts_dims_and_prunes(spark, sf_dir):
     assert cols <= {
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     }, cols
+
+
+def test_partitioned_store_rollup_prunes_and_partial_aggs(spark, sf_dir):
+    """q52's stored-blob roll-up: the day range must land in PartitionFilters
+    (only matching day-directories scanned) and the merge must be the native
+    Catalyst aggregate — no AggregateInPandas over raw blob rows."""
+    from duckdb_ddsketch_spark.plans import declared
+
+    q = declared.STAGED_QUERIES["q52_partitioned_store_rollup"](spark, sf_dir)
+    plan = checks.formatted_plan(q)
+    assert "PartitionFilters" in plan and "day" in plan
+    assert "AggregateInPandas" not in plan
+    assert checks.has_partial_aggregation(q)
+
+
+def test_scalable_merge_rollup_uses_native_partial_agg(spark, sf_dir):
+    """q35's wire-blob merge: hash aggregate with partial aggregation, the
+    only Python nodes are the map-only wire boundary codecs."""
+    from duckdb_ddsketch_spark.plans import declared
+
+    q = declared.STAGED_QUERIES["q35_scalable_merge_rollup"](spark, sf_dir)
+    plan = checks.formatted_plan(q)
+    assert "AggregateInPandas" not in plan
+    assert checks.has_partial_aggregation(q)

@@ -294,3 +294,45 @@ def test_windowed_value_counts_match_batch(spark, stream_input, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_rocksdb_state_store_matches_default(spark, stream_input, tmp_path):
+    """scalable_state_conf(): the RocksDB provider changes where state lives,
+    never the results — the windowed aggregate under RocksDB equals the
+    batch kernel exactly."""
+    from duckdb_ddsketch_spark.streaming import scalable_state_conf
+
+    conf = scalable_state_conf()
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+        binned = windowed_binned_counts(
+            stream, "ts", ["service"], "value",
+            window="1 hour", watermark="0 seconds",
+        )
+        results = _collect_stream(
+            binned,
+            str(tmp_path / "ck_rocks"),
+            transform=lambda b: finalize_window_sketches(b, ["service"]),
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert results
+    expected = _expected_by_window(spark, stream_input)
+    for r in results:
+        kernel = DDSketch(0.01).extend_array(
+            np.array(expected[(r.window_start, r.service)])
+        )
+        s = DDSketch.decode(bytes(r.sketch))
+        assert s.count == kernel.count
+        assert s.positive_bins == kernel.positive_bins
