@@ -13,7 +13,14 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["hash_sample", "hash_threshold_hex", "stratified_hash_topn"]
+__all__ = [
+    "hash_sample",
+    "hash_threshold_hex",
+    "stratified_hash_topn",
+    "hash_shard",
+    "pack_sequences",
+    "pack_manifest",
+]
 
 _HEX_DIGITS = 15  # 60 bits: safely inside BIGINT/double-exact range
 
@@ -79,3 +86,71 @@ def hash_shard(
     )
     shard = F.conv(h, 16, 10).cast("bigint") % F.lit(n_shards)
     return df.withColumn(col, shard.cast("int"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    keys: Sequence[str] = (),
+    order_col: str = "doc_id",
+    col: str = "seq_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences.
+
+    Greedy packing in a deterministic order: within each ``keys`` partition
+    (typically the training shard), documents are laid out end-to-end in
+    ``order_col`` order and ``seq_id = floor(tokens_before / budget)`` — the
+    sequence a document's first token lands in. A document may straddle a
+    boundary (the tokenizer-side writer splits it); the manifest
+    (:func:`pack_manifest`) accounts for that exactly.
+
+    Scale shape: one window pass per key partition (a single shuffle on
+    ``keys``). Pick the shard count so one shard's documents fit an
+    executor's sort budget — packing 100 TB globally through ONE window
+    partition would serialize; per-shard windows parallelize perfectly and
+    keep sequences reproducible shard-by-shard.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    keys = list(keys)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if keys
+        else Window.partitionBy()
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return df.withColumn(col, F.floor(before / F.lit(budget)).cast("long"))
+
+
+def pack_manifest(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    keys: Sequence[str] = (),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sequence packing manifest: how many documents start in each
+    sequence and how many of the corpus' tokens it holds.
+
+    ``token_sum`` counts tokens by the sequence a document STARTS in, so
+    straddling documents attribute their whole length to their first
+    sequence — every sequence except each key's last therefore reports
+    ``token_sum >= budget`` only via its final straddler, and the totals
+    reconcile exactly with the corpus token count.
+    """
+    keys = list(keys)
+    packed = pack_sequences(df, token_col, budget, keys, order_col)
+    return (
+        packed.groupBy(*keys, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col).cast("long")).alias("token_sum"),
+            F.min(order_col).alias("first_doc"),
+            F.max(order_col).alias("last_doc"),
+        )
+    )

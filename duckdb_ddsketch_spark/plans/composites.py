@@ -576,7 +576,8 @@ FROM ({O['q47_multimodal_frames']}) m""",
 
     # -- sampling / sharding ------------------------------------------------
     # q50: training-shard manifest + stratified per-language sample + 10%
-    # hash sample on (part, k1, k2, v1..v6)
+    # hash sample + per-shard sequence-packing manifest on
+    # (part, k1, k2, v1..v6)
     def q50_sampling(spark, sf_dir) -> DataFrame:
         shards = Q["q74_training_shards"](spark, sf_dir).select(
             F.lit("shards").alias("part"),
@@ -603,9 +604,69 @@ FROM ({O['q47_multimodal_frames']}) m""",
             F.col("sum_chars").cast("long").alias("v2"),
             *[F.lit(0).cast("long").alias(f"v{i}") for i in range(3, 7)],
         )
-        return shards.unionByName(strat).unionByName(hash10)
+        # sequence packing: documents laid out per training shard into
+        # 4096-token sequences; manifest totals reconcile with the corpus
+        from ..operators import sampling
+        from ..sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        sharded = sampling.hash_shard(docs, 16, "doc_id").select(
+            "shard_id",
+            "doc_id",
+            F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+        )
+        pack = sampling.pack_manifest(
+            sharded, "n_tokens", budget=4096, keys=["shard_id"]
+        ).select(
+            F.lit("pack").alias("part"),
+            F.col("shard_id").cast("string").alias("k1"),
+            F.col("seq_id").cast("long").alias("k2"),
+            F.col("n_docs").cast("long").alias("v1"),
+            F.col("token_sum").cast("long").alias("v2"),
+            F.col("first_doc").cast("long").alias("v3"),
+            F.col("last_doc").cast("long").alias("v4"),
+            F.lit(0).cast("long").alias("v5"),
+            F.lit(0).cast("long").alias("v6"),
+        )
+        return shards.unionByName(strat).unionByName(hash10).unionByName(pack)
 
     _zeros = ", ".join(f"CAST(0 AS BIGINT) AS v{i}" for i in range(3, 7))
+
+    # DuckDB mirror of hash_shard (md5 first-8-hex mod 16; positional digit
+    # sum because DuckDB lacks conv()) + the cumulative-tokens-before packing
+    _shard_hex = "md5('|' || CAST(doc_id AS VARCHAR))"
+    _shard_int = "(" + " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr({_shard_hex}, {1 + i}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (8 - 1 - i)}"
+        for i in range(8)
+    ) + ")"
+    _pack_sql = f"""
+    WITH sharded AS (
+        SELECT ({_shard_int} % 16) AS shard_id, doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT shard_id, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard_id ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tokens_before
+        FROM sharded
+    ),
+    packed AS (
+        SELECT shard_id, doc_id, n_tokens,
+               CAST(tokens_before // 4096 AS BIGINT) AS seq_id
+        FROM cum
+    )
+    SELECT 'pack' AS part, CAST(shard_id AS VARCHAR) AS k1, seq_id AS k2,
+           CAST(COUNT(*) AS BIGINT) AS v1,
+           CAST(SUM(n_tokens) AS BIGINT) AS v2,
+           CAST(MIN(doc_id) AS BIGINT) AS v3,
+           CAST(MAX(doc_id) AS BIGINT) AS v4,
+           CAST(0 AS BIGINT) AS v5, CAST(0 AS BIGINT) AS v6
+    FROM packed GROUP BY 1, 2, 3
+    """
     add(
         "q50_sampling_shards_stratified",
         q50_sampling,
@@ -622,7 +683,9 @@ FROM ({O['q45_stratified_sample']}) st
 UNION ALL
 SELECT 'hash10' AS part, lang AS k1, CAST(0 AS BIGINT) AS k2,
        CAST(n AS BIGINT) AS v1, CAST(sum_chars AS BIGINT) AS v2, {_zeros}
-FROM ({O['q42_hash_sample']}) h""",
+FROM ({O['q42_hash_sample']}) h
+UNION ALL
+SELECT * FROM ({_pack_sql}) p""",
     )
 
     assert len(final_q) == 50, len(final_q)

@@ -838,3 +838,52 @@ def test_retention_report_known_pattern(spark):
     assert rows[0].n_active == 2 and rows[0].n_ret7 == 1
     assert rows[7].n_active == 2 and rows[7].n_ret7 == 1  # u3: 7 -> 14
     assert rows[14].n_active == 1 and rows[14].n_ret7 == 0
+
+
+def test_pack_sequences_budget_and_reconciliation(spark):
+    """Greedy packing: seq assignment is by cumulative-tokens-before;
+    manifest token totals reconcile exactly with the corpus."""
+    from duckdb_ddsketch_spark.operators import sampling
+
+    rows = [(d, d % 16, 100 + (d * 37) % 400) for d in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, shard_id int, n_tokens int")
+    man = sampling.pack_manifest(
+        df, "n_tokens", budget=1000, keys=["shard_id"]
+    ).collect()
+    assert sum(r.n_docs for r in man) == 500
+    assert sum(r.token_sum for r in man) == sum(r[2] for r in rows)
+    # every non-final sequence of a shard holds >= budget tokens only via
+    # its final straddler: token_sum >= budget - (max doc - 1) is too weak;
+    # the exact invariant is cumulative: per shard, seq ids are contiguous
+    # from 0 and each doc's seq = floor(tokens_before / budget)
+    import collections
+
+    per_shard = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda t: t[0]):
+        per_shard[r[1]].append(r)
+    expect = collections.Counter()
+    for shard, docs in per_shard.items():
+        cum = 0
+        for d, _, t in docs:
+            expect[(shard, cum // 1000)] += 1
+            cum += t
+    got = {(r.shard_id, r.seq_id): r.n_docs for r in man}
+    assert got == dict(expect)
+
+
+def test_pack_sequences_repartition_invariant(spark):
+    from duckdb_ddsketch_spark.operators import sampling
+
+    rows = [(d, 50 + d % 97) for d in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    a = sorted(
+        (r.doc_id, r.seq_id)
+        for r in sampling.pack_sequences(df, "n_tokens", 500).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.seq_id)
+        for r in sampling.pack_sequences(
+            df.repartition(7), "n_tokens", 500
+        ).collect()
+    )
+    assert a == b
