@@ -1174,7 +1174,9 @@ def q34(spark, sf_dir):
     )
     # update mode so the final (never-watermark-closed) windows are emitted
     # too; later micro-batches re-emit updated rows, so keep the last
-    # emission per (window, key, sign, bin)
+    # emission per (window, key, sign, bin). Driver-side dict sink is TEST
+    # HARNESS ONLY (bounded: one entry per window x key x bin) — production
+    # streams write to a real sink (parquet/Kafka/Delta) in append mode.
     state = {}
 
     def sink(batch_df, _id):
@@ -1785,6 +1787,8 @@ def q48(spark, sf_dir):
     sess = sessionized_gap_stats(
         stream, "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
     )
+    # driver-side dict sink: TEST HARNESS ONLY (one entry per user) —
+    # production jobs write the running summaries to a keyed sink
     state = {}
 
     def sink(batch_df, _id):
@@ -2173,6 +2177,8 @@ def q56(spark, sf_dir):
             "click_ts >= err_ts AND click_ts <= err_ts + INTERVAL 5 MINUTES"
         ),
     )
+    # driver-side list sink: TEST HARNESS ONLY (bounded pair sample) —
+    # production stream-stream joins write matches to a real sink
     rows = []
 
     def sink(batch_df, _id):
@@ -2896,7 +2902,9 @@ def q71(spark, sf_dir):
         stream, "ts", ["event_type"], "user_id", p=8,
         window="1 hour", watermark="0 seconds",
     )
-    # update mode (final open windows emit too); last emission per register
+    # update mode (final open windows emit too); last emission per register.
+    # Driver-side dict sink is TEST HARNESS ONLY (<= 2^p entries per open
+    # window x key) — production jobs sink registers to a keyed store.
     state = {}
 
     def sink(batch_df, _id):
@@ -3439,7 +3447,9 @@ def q79(spark, sf_dir):
         stream, "ts", ["event_type"], "user_id",
         window="1 hour", watermark="0 seconds",
     )
-    # update mode (final open windows emit too); last emission per counter
+    # update mode (final open windows emit too); last emission per counter.
+    # Driver-side dict sink is TEST HARNESS ONLY (one entry per window x
+    # key x user) — production jobs rank inside foreachBatch or downstream.
     state = {}
 
     def sink(batch_df, _id):

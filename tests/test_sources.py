@@ -162,3 +162,47 @@ def test_catalog_insert_into_incremental_rollup(spark, sf_dir):
     want = {r["event_type"]: (r["n"], r["p90"]) for r in direct.collect()}
     assert got == want
     spark.sql("DROP TABLE IF EXISTS rollup_store")
+
+
+def test_load_table_normalizes_both_ts_encodings(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS, NTZ) in different rounds; load_table/load_stream must
+    normalize either to a session-UTC TIMESTAMP with identical instants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_ddsketch_spark.sources import load_stream, load_table
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+    rows_us = [base_us + i * 1_000_000 for i in range(5)]
+    nanos_dir = tmp_path / "nanos"
+    micros_dir = tmp_path / "micros"
+    nanos_dir.mkdir()
+    micros_dir.mkdir()
+    cols = {
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "event_type": pa.array(["click"] * 5),
+        "value": pa.array([1.0] * 5),
+        "props": pa.array(["{}"] * 5),
+    }
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array([u * 1000 for u in rows_us],
+                                         pa.timestamp("ns"))}),
+        str(nanos_dir / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array(rows_us, pa.timestamp("us"))}),
+        str(micros_dir / "events.parquet"),
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = {}
+    for name, d in (("nanos", nanos_dir), ("micros", micros_dir)):
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        got[name] = sorted(
+            r.us for r in df.selectExpr("unix_micros(ts) AS us").collect()
+        )
+        sdf = load_stream(spark, str(d), "events")
+        assert dict(sdf.dtypes)["ts"] == "timestamp", name
+    assert got["nanos"] == got["micros"] == rows_us
