@@ -71,11 +71,21 @@ def asof_join(
     else:
         r_tag, l_tag = 1, 0
 
+    # only left columns NOT already at the union's top level ride in the
+    # __left struct: keys and the timestamp are reconstructed from the
+    # top-level columns after the window, so slim inputs (key + ts only)
+    # shuffle zero redundant bytes — at 60M rows the struct duplication
+    # would roughly double the exchange payload.
+    l_extra = [c for c in left.columns if c not in on and c != left_ts]
     l2 = left.select(
         *on,
         F.col(left_ts).alias("__t"),
         F.lit(l_tag).alias("__tag"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        *(
+            [F.struct(*[F.col(c) for c in l_extra]).alias("__left")]
+            if l_extra
+            else []
+        ),
     )
     r2 = right.select(
         *on,
@@ -86,7 +96,10 @@ def asof_join(
         ).alias("__payload"),
     )
     l2 = l2.withColumn("__payload", F.lit(None).cast(r2.schema["__payload"].dataType))
-    r2 = r2.withColumn("__left", F.lit(None).cast(l2.schema["__left"].dataType))
+    if l_extra:
+        r2 = r2.withColumn(
+            "__left", F.lit(None).cast(l2.schema["__left"].dataType)
+        )
     unioned = l2.unionByName(r2)
 
     w = Window.partitionBy(*on).orderBy(F.col("__t").asc(), F.col("__tag").asc())
@@ -102,11 +115,16 @@ def asof_join(
     # key columns come from the TOP-LEVEL union columns, not the __left
     # struct: extracting them from the struct would hide the fact that the
     # output is still hash-partitioned on the keys, forcing downstream
-    # groupBy(on)/join(on) to re-shuffle.
-    cols = [
-        (F.col(f"`{c}`").alias(c) if c in on else F.col(f"__left.`{c}`").alias(c))
-        for c in left.columns
-    ]
+    # groupBy(on)/join(on) to re-shuffle. The left timestamp likewise
+    # reconstructs from __t (rows kept all have __tag == l_tag).
+    cols = []
+    for c in left.columns:
+        if c in on:
+            cols.append(F.col(f"`{c}`").alias(c))
+        elif c == left_ts:
+            cols.append(F.col("__t").alias(c))
+        else:
+            cols.append(F.col(f"__left.`{c}`").alias(c))
     cols.append(F.col("__m.__rts").alias(f"{right_ts}{suffix}"))
     for c in right_cols:
         out_name = f"{c}{suffix}" if c in left.columns else c
