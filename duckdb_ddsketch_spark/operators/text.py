@@ -325,3 +325,41 @@ def gopher_flags(
         & F.col("pass_alpha")
         & F.col("pass_stopwords"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    keys: Sequence[str] = (),
+    separator: str = ". ",
+) -> DataFrame:
+    """Within-document repetition audit (the Gopher/C4 duplicate-segment
+    filter): split each document into segments on ``separator``, count
+    duplicated segments, and aggregate per ``keys``.
+
+    All outputs are exact integers (segment counts, not float ratios), so
+    the audit is engine-reproducible; downstream filters derive ratios as
+    needed (``dup_seg_sum / seg_sum``). Map-only per document + one
+    partial-agged groupBy — no shuffle of text.
+    """
+    import re as _re
+
+    keys = list(keys)
+    # F.split takes a REGEX; the separator is meant literally (mirrors
+    # DuckDB's literal string_split in the oracle), so escape it
+    segs = F.split(F.col(text_col), _re.escape(separator))
+    n_seg = F.size(segs)
+    n_dist = F.size(F.array_distinct(segs))
+    per = df.select(
+        *keys,
+        n_seg.alias("__n"),
+        (n_seg - n_dist).alias("__dup"),
+    )
+    return per.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__dup") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_with_dups"),
+        F.sum(F.col("__n").cast("long")).alias("seg_sum"),
+        F.sum(F.col("__dup").cast("long")).alias("dup_seg_sum"),
+    )

@@ -474,8 +474,11 @@ FROM ({O['q44_tfidf_top_terms']}) t""",
     )
 
     # q48: document gates — PII redaction audit + Gopher-style quality gate
-    # on (part, key, v1..v6)
+    # + within-doc repetition audit on (part, key, v1..v6)
     def q48_gates(spark, sf_dir) -> DataFrame:
+        from ..operators import text as text_ops
+        from ..sources import load_table
+
         red = Q["q77_redaction_report"](spark, sf_dir).select(
             F.lit("redact").alias("part"),
             F.col("event_type").alias("key"),
@@ -496,7 +499,19 @@ FROM ({O['q44_tfidf_top_terms']}) t""",
             F.col("n_pass_stopwords").cast("long").alias("v5"),
             F.col("n_pass_all").cast("long").alias("v6"),
         )
-        return red.unionByName(gopher)
+        rep = text_ops.repetition_stats(
+            load_table(spark, sf_dir, "documents"), "text", ["source"]
+        ).select(
+            F.lit("rep").alias("part"),
+            F.col("source").alias("key"),
+            F.col("n_docs").cast("long").alias("v1"),
+            F.col("n_docs_with_dups").cast("long").alias("v2"),
+            F.col("seg_sum").cast("long").alias("v3"),
+            F.col("dup_seg_sum").cast("long").alias("v4"),
+            F.lit(0).cast("long").alias("v5"),
+            F.lit(0).cast("long").alias("v6"),
+        )
+        return red.unionByName(gopher).unionByName(rep)
 
     add(
         "q48_doc_gates",
@@ -514,7 +529,19 @@ SELECT 'gopher' AS part, source AS key, CAST(n_docs AS BIGINT) AS v1,
        CAST(n_pass_alpha AS BIGINT) AS v4,
        CAST(n_pass_stopwords AS BIGINT) AS v5,
        CAST(n_pass_all AS BIGINT) AS v6
-FROM ({O['q80_gopher_quality_gate']}) g""",
+FROM ({O['q80_gopher_quality_gate']}) g
+UNION ALL
+SELECT 'rep' AS part, source AS key,
+       CAST(COUNT(*) AS BIGINT) AS v1,
+       CAST(SUM(CASE WHEN n_seg > n_dist THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+       CAST(SUM(n_seg) AS BIGINT) AS v3,
+       CAST(SUM(n_seg - n_dist) AS BIGINT) AS v4,
+       CAST(0 AS BIGINT) AS v5, CAST(0 AS BIGINT) AS v6
+FROM (
+    SELECT source, len(string_split(text, '. ')) AS n_seg,
+           len(list_distinct(string_split(text, '. '))) AS n_dist
+    FROM documents
+) rp GROUP BY source""",
     )
 
     # -- multimodal ---------------------------------------------------------

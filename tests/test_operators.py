@@ -887,3 +887,21 @@ def test_pack_sequences_repartition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_repetition_stats_counts_duplicate_segments(spark):
+    rows = [
+        (1, "s", "alpha beta. gamma delta. alpha beta"),   # 1 dup of 3 segs
+        (2, "s", "unique one. unique two"),                 # no dups
+        (3, "t", "x. x. x"),                                # 2 dups of 3 segs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = {
+        r.src: r
+        for r in text.repetition_stats(df, "text", ["src"]).collect()
+    }
+    assert out["s"].n_docs == 2
+    assert out["s"].n_docs_with_dups == 1
+    assert out["s"].seg_sum == 5 and out["s"].dup_seg_sum == 1
+    assert out["t"].n_docs_with_dups == 1
+    assert out["t"].seg_sum == 3 and out["t"].dup_seg_sum == 2
