@@ -20,6 +20,7 @@ __all__ = [
     "hash_shard",
     "pack_sequences",
     "pack_manifest",
+    "weighted_mixture",
 ]
 
 _HEX_DIGITS = 15  # 60 bits: safely inside BIGINT/double-exact range
@@ -154,3 +155,37 @@ def pack_manifest(
             F.max(order_col).alias("last_doc"),
         )
     )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    fraction,
+    id_col: str,
+    seed: str = "",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-group mixture sampling — the training-data source
+    re-weighting step (keep source s with probability w_s).
+
+    ``fraction`` is a Column of DOUBLE in [0, 1] (typically derived from a
+    weights table joined/broadcast in, or an expression over the group
+    column). The keep decision hashes only ``id_col`` — md5 first 8 hex
+    chars as an exact 32-bit integer against ``floor(fraction * 2^32)`` —
+    so it is map-only, layout-invariant, reproducible across engines, and
+    consistent for the same document across pipeline runs. Nested mixtures
+    compose like ``hash_sample`` (same hash ⇒ a 0.2 pass is a subset of a
+    0.4 pass for the same seed).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keep = h < F.floor(fraction * F.lit(4294967296.0)).cast("bigint")
+    if keep_col is None:
+        return df.where(keep)
+    return df.withColumn(keep_col, keep)

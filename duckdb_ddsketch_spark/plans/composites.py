@@ -637,6 +637,26 @@ FROM ({O['q47_multimodal_frames']}) m""",
         from ..sources import load_table
 
         docs = load_table(spark, sf_dir, "documents")
+        # mixture sampling: per-source keep fractions 0.2/0.4/0.6 derived
+        # deterministically from length(source) % 3 (stands in for a
+        # broadcast weights table), counted per source
+        frac = ((F.length("source") % 3) + 1).cast("double") * 0.2
+        mix = (
+            sampling.weighted_mixture(docs, frac, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+            )
+            .select(
+                F.lit("mix").alias("part"),
+                F.col("source").alias("k1"),
+                F.lit(0).cast("long").alias("k2"),
+                F.col("n").cast("long").alias("v1"),
+                F.col("sum_chars").cast("long").alias("v2"),
+                *[F.lit(0).cast("long").alias(f"v{i}") for i in range(3, 7)],
+            )
+        )
         sharded = sampling.hash_shard(docs, 16, "doc_id").select(
             "shard_id",
             "doc_id",
@@ -655,7 +675,12 @@ FROM ({O['q47_multimodal_frames']}) m""",
             F.lit(0).cast("long").alias("v5"),
             F.lit(0).cast("long").alias("v6"),
         )
-        return shards.unionByName(strat).unionByName(hash10).unionByName(pack)
+        return (
+            shards.unionByName(strat)
+            .unionByName(hash10)
+            .unionByName(pack)
+            .unionByName(mix)
+        )
 
     _zeros = ", ".join(f"CAST(0 AS BIGINT) AS v{i}" for i in range(3, 7))
 
@@ -712,7 +737,19 @@ SELECT 'hash10' AS part, lang AS k1, CAST(0 AS BIGINT) AS k2,
        CAST(n AS BIGINT) AS v1, CAST(sum_chars AS BIGINT) AS v2, {_zeros}
 FROM ({O['q42_hash_sample']}) h
 UNION ALL
-SELECT * FROM ({_pack_sql}) p""",
+SELECT * FROM ({_pack_sql}) p
+UNION ALL
+SELECT 'mix' AS part, source AS k1, CAST(0 AS BIGINT) AS k2,
+       CAST(COUNT(*) AS BIGINT) AS v1,
+       CAST(SUM(n_chars) AS BIGINT) AS v2, {_zeros}
+FROM documents
+WHERE ({" + ".join(
+    f"CAST(strpos('0123456789abcdef', substr(md5('|' || CAST(doc_id AS VARCHAR)), {1 + i}, 1)) - 1 AS BIGINT) * {16 ** (8 - 1 - i)}"
+    for i in range(8)
+)})
+  < CAST(FLOOR(CAST((length(source) % 3) + 1 AS DOUBLE) * 0.2 * 4294967296)
+         AS BIGINT)
+GROUP BY source""",
     )
 
     assert len(final_q) == 50, len(final_q)

@@ -905,3 +905,22 @@ def test_repetition_stats_counts_duplicate_segments(spark):
     assert out["s"].seg_sum == 5 and out["s"].dup_seg_sum == 1
     assert out["t"].n_docs_with_dups == 1
     assert out["t"].seg_sum == 3 and out["t"].dup_seg_sum == 2
+
+
+def test_weighted_mixture_rates_and_nesting(spark):
+    from duckdb_ddsketch_spark.operators import sampling
+
+    rows = [(d, "a" if d % 2 == 0 else "bb") for d in range(20000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    frac = F.when(F.col("src") == "a", 0.2).otherwise(0.6)
+    kept = sampling.weighted_mixture(df, frac, "doc_id")
+    got = {r.src: r.n for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["a"] / 10000 - 0.2) < 0.03
+    assert abs(got["bb"] / 10000 - 0.6) < 0.03
+    # same seed => smaller fraction is a subset of the larger one
+    small = {r.doc_id for r in sampling.weighted_mixture(df, F.lit(0.2), "doc_id").collect()}
+    big = {r.doc_id for r in sampling.weighted_mixture(df, F.lit(0.5), "doc_id").collect()}
+    assert small.issubset(big)
+    # deterministic under repartition
+    again = {r.doc_id for r in sampling.weighted_mixture(df.repartition(7), F.lit(0.2), "doc_id").collect()}
+    assert small == again
