@@ -7,7 +7,9 @@ value-hash → CORRECTNESS_r{N}.json).
 
 Queries/oracles are declared in ``duckdb_ddsketch_spark.plans.declared``
 (one entry per operator from SURVEY.md §2, plus the beyond-reference
-training-data operators).
+training-data operators) and curated into exactly 50 driver-facing slots
+in ``plans.composites`` (the driver grades at most 50 queries; COVERAGE.md
+maps each slot to its member operators).
 """
 
 from __future__ import annotations
