@@ -31,6 +31,8 @@ __all__ = [
     "redact",
     "redaction_stats",
     "gopher_flags",
+    "repetition_stats",
+    "unigram_logfreq_stats",
 ]
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -362,4 +364,64 @@ def repetition_stats(
         .alias("n_docs_with_dups"),
         F.sum(F.col("__n").cast("long")).alias("seg_sum"),
         F.sum(F.col("__dup").cast("long")).alias("dup_seg_sum"),
+    )
+
+
+def unigram_logfreq_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    keys: Sequence[str] = (),
+    id_col: str = "doc_id",
+    vocab_size: int = 50000,
+    unknown_count: float = 0.5,
+    low_threshold: float = -8.0,
+) -> DataFrame:
+    """Perplexity-proxy quality scoring: the corpus' own unigram
+    distribution is the language model, each document scores the mean
+    log-probability of its tokens (the standard cheap LM filter — docs of
+    rare/gibberish tokens score low).
+
+    Two passes over tokens, both scale-shaped: (1) vocabulary = top
+    ``vocab_size`` tokens by count (vocab-bounded partial aggregate,
+    deterministic ``count DESC, token ASC`` tie-break), kept small enough
+    to broadcast; (2) per-token log-prob via a broadcast join, averaged per
+    document, then summarized per ``keys``: n_docs, mean score, and the
+    count of docs below ``low_threshold`` (compared after the float32
+    round, so the flag is engine-reproducible).
+    """
+    keys = list(keys)
+    toks = df.select(
+        id_col,
+        *keys,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    vocab = (
+        counts.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= vocab_size)
+        .select("w", "c")
+    )
+    total = vocab.agg(F.sum("c").cast("double").alias("t"))
+    scored = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            *keys,
+            F.log(
+                F.coalesce(F.col("c").cast("double"), F.lit(unknown_count))
+                / F.col("t")
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col, *keys).agg(
+        F.avg("lp").cast("float").alias("score")
+    )
+    return per_doc.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("score").cast("double")).cast("float").alias("avg_logfreq"),
+        F.sum(F.when(F.col("score") < low_threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low"),
     )

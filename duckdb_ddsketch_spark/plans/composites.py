@@ -400,10 +400,13 @@ FROM ({O['q69_conversion_funnel']}) f""",
     )
 
     # -- text analysis ------------------------------------------------------
-    # q45: per-doc token accounting + per-source quality scoring on
-    # (part, key, c1..c5 DOUBLE) — int-valued doubles stay exact, float32
-    # values are rounded before widening so both engines agree bitwise
+    # q45: per-doc token accounting + per-source quality scoring +
+    # unigram-LM (perplexity-proxy) scoring on (part, key, c1..c5 DOUBLE) —
+    # int-valued doubles stay exact, float32 values are rounded before
+    # widening so both engines agree bitwise
     def q45_text_metrics(spark, sf_dir) -> DataFrame:
+        from ..operators import text as text_ops
+        from ..sources import load_table
         toks = Q["q30_token_stats"](spark, sf_dir).select(
             F.lit("tokens").alias("part"),
             F.col("doc_id").cast("string").alias("key"),
@@ -422,7 +425,18 @@ FROM ({O['q69_conversion_funnel']}) f""",
             F.lit(0.0).alias("c4"),
             F.lit(0.0).alias("c5"),
         )
-        return toks.unionByName(qual)
+        lm = text_ops.unigram_logfreq_stats(
+            load_table(spark, sf_dir, "documents"), "text", ["source"]
+        ).select(
+            F.lit("lm").alias("part"),
+            F.col("source").alias("key"),
+            F.col("n_docs").cast("double").alias("c1"),
+            F.col("avg_logfreq").cast("double").alias("c2"),
+            F.col("n_low").cast("double").alias("c3"),
+            F.lit(0.0).alias("c4"),
+            F.lit(0.0).alias("c5"),
+        )
+        return toks.unionByName(qual).unionByName(lm)
 
     add(
         "q45_text_metrics",
@@ -436,7 +450,34 @@ UNION ALL
 SELECT 'quality' AS part, source AS key, CAST(n_docs AS DOUBLE) AS c1,
        CAST(avg_quality AS DOUBLE) AS c2, CAST(avg_tokens AS DOUBLE) AS c3,
        CAST(0.0 AS DOUBLE) AS c4, CAST(0.0 AS DOUBLE) AS c5
-FROM ({O['q31_quality_by_source']}) q""",
+FROM ({O['q31_quality_by_source']}) q
+UNION ALL
+SELECT 'lm' AS part, source AS key,
+       CAST(COUNT(*) AS DOUBLE) AS c1,
+       CAST(CAST(AVG(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS c2,
+       CAST(SUM(CASE WHEN score < -8.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c3,
+       CAST(0.0 AS DOUBLE) AS c4, CAST(0.0 AS DOUBLE) AS c5
+FROM (
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(string_split(trim(lower(text)), ' ')) AS w
+        FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE w <> ''),
+    counts AS (SELECT w, COUNT(*) AS c FROM tok2 GROUP BY w),
+    vocab AS (
+        SELECT w, c FROM (
+            SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS rn
+            FROM counts
+        ) WHERE rn <= 50000
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab)
+    SELECT doc_id, source,
+           CAST(AVG(LN(COALESCE(CAST(v.c AS DOUBLE), 0.5) / tot.t)) AS REAL)
+               AS score
+    FROM tok2 LEFT JOIN vocab v USING (w), tot
+    GROUP BY doc_id, source
+) lmq GROUP BY source""",
     )
 
     ren("q46_language_id", "q33_language_id")

@@ -924,3 +924,22 @@ def test_weighted_mixture_rates_and_nesting(spark):
     # deterministic under repartition
     again = {r.doc_id for r in sampling.weighted_mixture(df.repartition(7), F.lit(0.2), "doc_id").collect()}
     assert small == again
+
+
+def test_unigram_logfreq_scores_gibberish_low(spark):
+    rows = (
+        [(i, "s", "the cat and the dog sat on the mat") for i in range(20)]
+        + [(100, "s", "qzx vbnk wrtp zzyq plmo qqqe rrty uuio")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    per = text.unigram_logfreq_stats(df, "text", ["src"], low_threshold=-4.0)
+    r = per.collect()[0]
+    assert r.n_docs == 21
+    # the gibberish doc's tokens are singletons -> far below the common-doc
+    # scores; with threshold -4.0 exactly one doc flags low
+    assert r.n_low == 1
+    # determinism under repartition
+    r2 = text.unigram_logfreq_stats(
+        df.repartition(5), "text", ["src"], low_threshold=-4.0
+    ).collect()[0]
+    assert (r.n_docs, r.n_low, r.avg_logfreq) == (r2.n_docs, r2.n_low, r2.avg_logfreq)
