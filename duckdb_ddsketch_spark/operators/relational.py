@@ -77,6 +77,11 @@ def asof_join(
     # shuffle zero redundant bytes — at 60M rows the struct duplication
     # would roughly double the exchange payload.
     l_extra = [c for c in left.columns if c not in on and c != left_ts]
+    # with no right payload columns the only thing to carry through the
+    # window is the matched right timestamp itself: a bare scalar column
+    # instead of a 1-field struct — the struct wrapper is pure overhead in
+    # the exchange and in the running-last state (~2x payload at 60M rows).
+    bare = not right_cols
     l2 = left.select(
         *on,
         F.col(left_ts).alias("__t"),
@@ -91,7 +96,9 @@ def asof_join(
         *on,
         F.col(right_ts).alias("__t"),
         F.lit(r_tag).alias("__tag"),
-        F.struct(
+        F.col(right_ts).alias("__payload")
+        if bare
+        else F.struct(
             F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
         ).alias("__payload"),
     )
@@ -122,10 +129,19 @@ def asof_join(
         if c in on:
             cols.append(F.col(f"`{c}`").alias(c))
         elif c == left_ts:
-            cols.append(F.col("__t").alias(c))
+            # unionByName may have widened __t when the two timestamp
+            # columns had different (union-coercible) types; restore the
+            # left input's declared dtype so output schema is stable.
+            cols.append(
+                F.col("__t").cast(left.schema[left_ts].dataType).alias(c)
+            )
         else:
             cols.append(F.col(f"__left.`{c}`").alias(c))
-    cols.append(F.col("__m.__rts").alias(f"{right_ts}{suffix}"))
+    cols.append(
+        (F.col("__m") if bare else F.col("__m.__rts")).alias(
+            f"{right_ts}{suffix}"
+        )
+    )
     for c in right_cols:
         out_name = f"{c}{suffix}" if c in left.columns else c
         cols.append(F.col(f"__m.`{c}`").alias(out_name))

@@ -312,12 +312,18 @@ def q11(spark, sf_dir):
     pre = native.sketch_struct_agg(ev, ["day", "event_type"], "value", 0.01).select(
         "day", "event_type", native.struct_to_wire("sketch").alias("sketch")
     )
-    rolled = pre.groupBy("event_type").agg(ddsketch_agg("sketch").alias("s"))
+    # roll the pre-serialized blobs up on the native merge path: decode is a
+    # map-only Arrow hop, the merge itself is a Catalyst hash aggregate WITH
+    # partial aggregation (raw AggregateInPandas ddsketch_agg — which shuffles
+    # every blob to its reducer — stays covered by the pure-SQL CTE query)
+    from ..functions.aggregate import merge_sketches_native
+
+    rolled = merge_sketches_native(pre, ["event_type"], "sketch")
     # one stats_full call = ONE blob decode per row; per-stat scalar calls
     # would re-decode the same merged blob once per extractor (the per-call
     # decode cost the reference built stats_agg to avoid, README.md:265-295)
     st = rolled.select(
-        "event_type", fs.ddsketch_stats_full(F.col("s")).alias("st")
+        "event_type", fs.ddsketch_stats_full(F.col("sketch")).alias("st")
     )
     return st.select(
         "event_type",
@@ -3230,7 +3236,7 @@ def _q76_oracle(n: int = _Q76_N) -> str:
     )
     SELECT CAST(cid AS INT) AS cluster_id,
            COUNT(*) AS n_sampled,
-           SUM(vec_id) AS vec_id_sum,
+           CAST(SUM(vec_id) AS BIGINT) AS vec_id_sum,
            COUNT(DISTINCT label) AS n_labels,
            MIN(vec_id) AS min_vec_id
     FROM ranked WHERE rn <= {n} GROUP BY cid

@@ -9,6 +9,7 @@ import math
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -40,15 +41,31 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def values_equal(a, b) -> bool:
-    if pd.isna(a) and pd.isna(b):
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if a == b:
-            return True
-        m = max(abs(a), abs(b))
-        return m > 0 and abs(a - b) <= m * 1e-6
-    return a == b
+def canon_cell(v) -> str:
+    """Driver-style canonical form: exact, type-preserving stringification.
+
+    The round driver hash-compares stringified values, so ``4833`` (BIGINT)
+    and ``4833.0`` (a HUGEINT that pandas widened to float64) must NOT be
+    considered equal here — that exact divergence shipped q40 red in round 3
+    while the old 1e-6-tolerant comparison passed it locally.
+    """
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        fv = float(v)
+        return "NULL" if math.isnan(fv) else repr(fv)
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
+def dtype_kind(series: pd.Series) -> str:
+    k = series.dtype.kind
+    return "i" if k == "u" else k
 
 
 QUERY_NAMES = sorted(entry_mod.queries().keys())
@@ -69,11 +86,40 @@ def test_query_matches_oracle(spark, ddb, name):
     )
     s = normalize(sdf)
     o = normalize(odf)
+    kind_mismatches = [
+        (col, str(s[col].dtype), str(o[col].dtype))
+        for col in s.columns
+        if dtype_kind(s[col]) != dtype_kind(o[col])
+    ]
+    assert not kind_mismatches, (
+        f"{name}: dtype-kind drift (spark vs oracle) — a HUGEINT/DECIMAL "
+        f"oracle column or an uncast Spark aggregate: {kind_mismatches}"
+    )
     mismatches = []
     for col in s.columns:
         for i, (av, bv) in enumerate(zip(s[col], o[col])):
-            if not values_equal(av, bv):
+            if canon_cell(av) != canon_cell(bv):
                 mismatches.append((col, i, av, bv))
                 if len(mismatches) > 5:
                     break
     assert not mismatches, f"{name}: {mismatches}"
+
+
+# DuckDB widens these to python objects / float64 in pandas, which the
+# driver's type-exact hash then flags against Spark's BIGINT/DOUBLE output.
+# Every oracle must CAST its way into this closed set of surface types.
+BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT")
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_oracle_output_types(ddb, name):
+    oracles = entry_mod.oracle_sql()
+    if name not in oracles:
+        pytest.skip("no oracle (rows-only check)")
+    desc = ddb.execute(f"DESCRIBE {oracles[name]}").fetchall()
+    bad = [
+        (cname, ctype)
+        for cname, ctype, *_ in desc
+        if any(ctype.upper().startswith(b) for b in BANNED_ORACLE_TYPES)
+    ]
+    assert not bad, f"{name}: oracle emits driver-hostile types {bad}; add CASTs"
