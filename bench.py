@@ -64,6 +64,72 @@ N_ASOF_L, N_ASOF_R = 54_000_000, 6_000_000
 N_MINHASH = 600_000
 MINHASH_D = 550_000
 
+# k-means family: 60M 4-dim vectors of exactly-representable dyadic
+# rationals ((id*p) % 1024) / 64 — identical doubles in both engines, so
+# the Python-driven DuckDB mirror reproduces the Spark operator's centroid
+# literals bit-for-bit between iterations.
+KM_K, KM_ITERS = 8, 2
+KM_PRIMES = (13, 101, 977, 8191)
+KM_SCALE = 1048576.0  # clustering._SCALE
+
+
+def _km_vec(i: int) -> list:
+    return [((i * p) % 1024) / 64.0 for p in KM_PRIMES]
+
+
+def _km_seed_centroids() -> list:
+    # mirrors clustering.kmeans_centroids seeding: quantize+dequantize the
+    # k smallest ids' vectors (exact for these dyadic inputs)
+    import math as _m
+
+    return [
+        (cid, [_m.floor(v * KM_SCALE) / KM_SCALE for v in _km_vec(cid)])
+        for cid in range(KM_K)
+    ]
+
+
+# streaming family: 60M (ts, key, value) rows staged ONCE as deterministic
+# parquet (numpy-generated — no JVM needed, so the DuckDB pass can still run
+# on an idle machine); Spark streams the files through the repo's
+# windowed-binned-counts state operator, DuckDB runs the identical windowed
+# aggregation as one batch query over the same files.
+STREAM_SRC = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), f"ddsketch_bench_stream_{N_60M}"
+)
+STREAM_KEYS, STREAM_HOURS = 25, 1000
+
+
+def _ensure_stream_src() -> None:
+    done = os.path.join(STREAM_SRC, "_DONE")
+    if os.path.exists(done):
+        return
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(STREAM_SRC, exist_ok=True)
+    n_files, base = 16, 1_700_000_000
+    per = N_60M // n_files
+    for f in range(n_files):
+        ids = np.arange(f * per, (f + 1) * per, dtype=np.int64)
+        ts = (
+            base
+            + (ids % STREAM_HOURS) * 3600
+            + (ids // STREAM_HOURS) % 3600
+        ) * 1_000_000  # epoch micros
+        tbl = pa.table(
+            {
+                "ts": pa.Array.from_pandas(ts).cast(pa.timestamp("us")),
+                "key": pa.Array.from_pandas((ids % STREAM_KEYS).astype(np.int32)),
+                "value": pa.Array.from_pandas(
+                    ((ids * 7919) % 100_000) / 10.0 + 1.0
+                ),
+            }
+        )
+        pq.write_table(tbl, os.path.join(STREAM_SRC, f"part-{f:02d}.parquet"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+
 
 def _minhash_text_sql(d: str) -> str:
     """8-token doc text derived from a duplicate-class id ``d`` — portable
@@ -154,9 +220,13 @@ def run_duckdb(result: dict) -> None:
     result["duckdb_60m_sec"] = round(time.perf_counter() - t0, 3)
 
     if FAMILIES:
+        _ensure_stream_src()
         fam = {}
         for name, sql in _duckdb_family_sqls().items():
-            fam[name] = _timed(lambda s=sql: con.execute(s).fetchall())
+            if callable(sql):
+                fam[name] = _timed(lambda f=sql: f(con))
+            else:
+                fam[name] = _timed(lambda s=sql: con.execute(s).fetchall())
         result["duckdb_families_60m_sec"] = fam
     con.close()
 
@@ -265,6 +335,93 @@ def _duckdb_family_sqls() -> dict:
           ON a.band_id = b.band_id AND a.bh = b.bh AND a.id < b.id
     )
     """
+    # k-means: Python-driven mirror of clustering.kmeans_summary — the Spark
+    # operator collects k*dims centroid sums between Lloyd iterations, so
+    # the honest DuckDB mirror is the same loop with literal centroids
+    # substituted per pass (2 assignment+sum passes + 1 summary pass).
+    def _km_gen_cols():
+        return ", ".join(
+            f"CAST(((range * {p}) % 1024) / 64.0 AS DOUBLE) AS v{d}"
+            for d, p in enumerate(KM_PRIMES)
+        )
+
+    def _km_assigned_cte(cents) -> str:
+        dists = ", ".join(
+            "("
+            + " + ".join(
+                f"(v{d} - {c[d]!r}) * (v{d} - {c[d]!r})"
+                for d in range(len(KM_PRIMES))
+            )
+            + f") AS d{cid}"
+            for cid, c in cents
+        )
+        dmin = "LEAST(" + ", ".join(f"d{cid}" for cid, _ in cents) + ")"
+        case = (
+            "CASE "
+            + " ".join(f"WHEN d{cid} = dmin THEN {cid}" for cid, _ in cents)
+            + " END"
+        )
+        return f"""
+        gen AS (SELECT {_km_gen_cols()} FROM range({N_60M})),
+        dist AS (SELECT *, {dists} FROM gen),
+        assigned AS (SELECT *, {case} AS cid
+                     FROM (SELECT *, {dmin} AS dmin FROM dist))
+        """
+
+    def _duck_kmeans(con) -> None:
+        cents = _km_seed_centroids()
+        ndim = len(KM_PRIMES)
+        qsums = ", ".join(
+            f"CAST(SUM(CAST(floor(v{d} * {KM_SCALE!r}) AS BIGINT)) AS BIGINT)"
+            f" AS s{d}"
+            for d in range(ndim)
+        )
+        for _ in range(KM_ITERS):
+            rows = con.execute(
+                f"""WITH {_km_assigned_cte(cents)}
+                SELECT cid, {qsums}, COUNT(*) AS n
+                FROM assigned GROUP BY cid ORDER BY cid
+                """
+            ).fetchall()
+            cents = [
+                (
+                    r[0],
+                    [
+                        float(r[1 + d]) / (float(r[-1]) * KM_SCALE)
+                        for d in range(ndim)
+                    ],
+                )
+                for r in rows
+            ]
+        con.execute(
+            f"""WITH {_km_assigned_cte(cents)}
+            SELECT CAST(cid AS INT) AS cluster_id, COUNT(*) AS n_vecs,
+                   CAST(CAST(SUM(CAST(floor(v0 * {KM_SCALE!r}) AS BIGINT)) AS DOUBLE)
+                        / (COUNT(*) * {KM_SCALE!r}) AS FLOAT) AS c0,
+                   CAST(CAST(SUM(CAST(floor(v1 * {KM_SCALE!r}) AS BIGINT)) AS DOUBLE)
+                        / (COUNT(*) * {KM_SCALE!r}) AS FLOAT) AS c1
+            FROM assigned GROUP BY cid ORDER BY cid
+            """
+        ).fetchall()
+
+    sqls["kmeans_60m"] = _duck_kmeans
+
+    # streaming windows: the same (hour window, key, sign, bin) state
+    # aggregation the Spark streaming operator maintains, as batch SQL over
+    # the identical staged parquet.
+    import math as _math
+
+    _lg = repr(_math.log(1.0 + 2.0 * 0.01 / 0.99))
+    sqls["streaming_windows"] = f"""
+    SELECT date_trunc('hour', ts) AS window_start, key,
+           CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS sign,
+           CASE WHEN value > 0 THEN CAST(CEIL(LN(value) / {_lg}) AS INTEGER)
+                WHEN value < 0 THEN CAST(CEIL(LN(-value) / {_lg}) AS INTEGER)
+                END AS bin,
+           CAST(COUNT(*) AS DOUBLE) AS cnt
+    FROM read_parquet('{STREAM_SRC}/part-*.parquet')
+    GROUP BY 1, 2, 3, 4
+    """
     return sqls
 
 
@@ -336,6 +493,48 @@ def run_spark_families(spark, result: dict) -> None:
         dedup.lsh_candidate_pairs(docs, text="text", id_col="id").count()
 
     fam["minhash_lsh_600k"] = _timed(minhash)
+
+    def kmeans_60m():
+        from duckdb_ddsketch_spark.operators import clustering
+
+        vec = "array(" + ", ".join(
+            f"CAST(((id * {p}) % 1024) / 64.0 AS FLOAT)" for p in KM_PRIMES
+        ) + ")"
+        df = gen(N_60M, [("vec_id", "id"), ("embedding", vec)])
+        clustering.kmeans_summary(
+            df, "embedding", "vec_id", k=KM_K, iters=KM_ITERS
+        ).collect()
+
+    fam["kmeans_60m"] = _timed(kmeans_60m)
+
+    def streaming_windows():
+        import shutil
+        import tempfile
+
+        from duckdb_ddsketch_spark import streaming as st
+
+        _ensure_stream_src()
+        ckpt = tempfile.mkdtemp(prefix="ddsketch_bench_ckpt_")
+        try:
+            stream = spark.readStream.schema(
+                "ts TIMESTAMP, key INT, value DOUBLE"
+            ).parquet(STREAM_SRC)
+            binned = st.windowed_binned_counts(
+                stream, "ts", ["key"], "value", window="1 hour"
+            )
+            n_out = []
+            q = (
+                binned.writeStream.outputMode("update")
+                .foreachBatch(lambda df, _bid: n_out.append(df.count()))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    fam["streaming_windows"] = _timed(streaming_windows)
 
     result["spark_families_60m_sec"] = fam
 

@@ -396,9 +396,23 @@ def unigram_logfreq_stats(
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), " ")).alias("w"),
     ).where(F.col("w") != "")
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # two-stage top-k: every member of the global top-vocab_size is in its
+    # hash-bucket's top-vocab_size, so the single-partition total-order sort
+    # only ever sees <= n_buckets * vocab_size candidate rows — bounded by
+    # structure, not by the corpus' distinct-token cardinality (which an
+    # unpartitioned row_number would funnel through one partition).
+    n_buckets = 64
+    bucket_w = Window.partitionBy(F.pmod(F.hash("w"), F.lit(n_buckets))).orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    cand = (
+        counts.withColumn("brn", F.row_number().over(bucket_w))
+        .where(F.col("brn") <= vocab_size)
+        .drop("brn")
+    )
     wv = Window.orderBy(F.col("c").desc(), F.col("w").asc())
     vocab = (
-        counts.withColumn("rn", F.row_number().over(wv))
+        cand.withColumn("rn", F.row_number().over(wv))
         .where(F.col("rn") <= vocab_size)
         .select("w", "c")
     )

@@ -285,3 +285,56 @@ def test_scalable_merge_rollup_uses_native_partial_agg(spark, sf_dir):
     plan = checks.formatted_plan(q)
     assert "AggregateInPandas" not in plan
     assert checks.has_partial_aggregation(q)
+
+
+def test_headline_bench_names_stay_declared():
+    """bench.py's HEADLINE names key BENCH_r{N} continuity across rounds:
+    every name must survive registry re-curations with both a staged query
+    and a staged oracle."""
+    import bench
+    from duckdb_ddsketch_spark.plans import declared
+
+    missing_q = [n for n in bench.HEADLINE if n not in declared.STAGED_QUERIES]
+    missing_o = [n for n in bench.HEADLINE if n not in declared.STAGED_ORACLES]
+    assert not missing_q, f"HEADLINE names without a staged query: {missing_q}"
+    assert not missing_o, f"HEADLINE names without a staged oracle: {missing_o}"
+
+
+def test_q11_rollup_uses_native_partial_agg(spark, sf_dir):
+    """The q11 headline blob roll-up must stay on the native merge path:
+    hash aggregate with partial aggregation, no AggregateInPandas."""
+    from duckdb_ddsketch_spark.plans import declared
+
+    q = declared.STAGED_QUERIES["q11_agg_rollup_event_type"](spark, sf_dir)
+    plan = checks.formatted_plan(q)
+    assert "AggregateInPandas" not in plan
+    assert checks.has_partial_aggregation(q)
+
+
+def test_asof_bare_payload_carries_no_struct(spark):
+    """asof_join with right_cols=[] must window a bare scalar, not a
+    1-field struct (the struct wrapper ~doubles the exchanged payload)."""
+    from duckdb_ddsketch_spark.operators import relational
+
+    left = spark.range(10).selectExpr("id % 3 AS u", "id * 5 AS ts")
+    right = spark.range(5).selectExpr("id % 3 AS u", "id * 11 AS ts")
+    j = relational.asof_join(
+        left, right, on=["u"], left_ts="ts", right_ts="ts", right_cols=[]
+    )
+    assert dict(j.dtypes) == {"u": "bigint", "ts": "bigint", "ts_r": "bigint"}
+    plan = checks.formatted_plan(j)
+    assert "named_struct" not in plan and "__rts" not in plan
+
+
+def test_unigram_vocab_ranking_is_two_stage(spark, sf_dir):
+    """The vocabulary top-k must bound its single-partition sort by
+    n_buckets * vocab_size candidates, not rank every distinct token in
+    one partition: the plan shows a bucket-partitioned window before the
+    global one."""
+    from duckdb_ddsketch_spark.operators import text
+    from duckdb_ddsketch_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.unigram_logfreq_stats(docs, "text", keys=["lang"])
+    plan = checks.formatted_plan(out)
+    assert "pmod(hash(w" in plan
