@@ -312,24 +312,23 @@ def q11(spark, sf_dir):
     pre = native.sketch_struct_agg(ev, ["day", "event_type"], "value", 0.01).select(
         "day", "event_type", native.struct_to_wire("sketch").alias("sketch")
     )
-    # roll the pre-serialized blobs up on the native merge path: decode is a
-    # map-only Arrow hop, the merge itself is a Catalyst hash aggregate WITH
-    # partial aggregation (raw AggregateInPandas ddsketch_agg — which shuffles
-    # every blob to its reducer — stays covered by the pure-SQL CTE query)
-    from ..functions.aggregate import merge_sketches_native
-
-    rolled = merge_sketches_native(pre, ["event_type"], "sketch")
-    # one stats_full call = ONE blob decode per row; per-stat scalar calls
-    # would re-decode the same merged blob once per extractor (the per-call
-    # decode cost the reference built stats_agg to avoid, README.md:265-295)
-    st = rolled.select(
-        "event_type", fs.ddsketch_stats_full(F.col("sketch")).alias("st")
+    # roll the pre-serialized blobs up on the native merge path: ONE map-only
+    # Arrow hop decodes the blobs to the struct working form, the merge is a
+    # Catalyst hash aggregate WITH partial aggregation, and the quantiles are
+    # fold expressions over the merged struct — no re-encode, no Python
+    # stats pass (raw AggregateInPandas ddsketch_agg — which shuffles every
+    # blob to its reducer — stays covered by the pure-SQL CTE query)
+    decoded = pre.select(
+        "event_type", native.wire_to_struct("sketch").alias("sketch")
     )
-    return st.select(
+    rolled = native.merge_struct_sketches(decoded, ["event_type"], "sketch")
+    return rolled.select(
         "event_type",
-        F.col("st.count").alias("count"),
+        native.struct_count(F.col("sketch")).alias("count"),
         *[
-            F.col(f"st.p{qname(q)}").cast("float").alias(f"p{qname(q)}")
+            F.expr(native.struct_quantile_sql("sketch", q))
+            .cast("float")
+            .alias(f"p{qname(q)}")
             for q in _Q11_QS
         ],
     )

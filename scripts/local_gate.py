@@ -13,9 +13,9 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
-import pandas as pd
 
 import __spark_entry__ as entry_mod
+from duckdb_ddsketch_spark.plans.parity import frame_mismatches, normalize
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2:]
@@ -23,14 +23,6 @@ ONLY = sys.argv[2:]
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-
-
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda x: str(x) if x is not None else None)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
 def main() -> int:
@@ -85,20 +77,11 @@ def main() -> int:
             failures.append((name, f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}"))
             print(f"FAIL {name}: cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
             continue
-        s, o = normalize(sdf), normalize(odf)
-        bad = []
-        for col in s.columns:
-            sv, ov = s[col], o[col]
-            for i in range(len(sv)):
-                a, b = sv.iloc[i], ov.iloc[i]
-                if (pd.isna(a) and pd.isna(b)) or a == b:
-                    continue
-                bad.append((col, i, a, b))
-                if len(bad) >= 3:
-                    break
-            if len(bad) >= 3:
-                break
-        if bad:
+        kinds, bad = frame_mismatches(normalize(sdf), normalize(odf), limit=3)
+        if kinds:
+            failures.append((name, f"dtype kinds {kinds}"))
+            print(f"FAIL {name}: dtype kinds {kinds}")
+        elif bad:
             failures.append((name, f"values {bad}"))
             print(f"FAIL {name}: values {bad}")
         else:

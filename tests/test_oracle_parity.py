@@ -5,15 +5,17 @@ This mimics what the round driver does at sf=0.01 (we default to sf0.001 for
 speed; set SPARK_GRAFT_TESTDATA=/root/testdata/sf0.01 to reproduce the gate).
 """
 
-import math
 import os
 
 import duckdb
-import numpy as np
-import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
+from duckdb_ddsketch_spark.plans.parity import (
+    BANNED_ORACLE_TYPES,
+    frame_mismatches,
+    normalize,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
 
@@ -33,41 +35,6 @@ def ddb():
     con.close()
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda x: str(x) if x is not None else None)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
-
-
-def canon_cell(v) -> str:
-    """Driver-style canonical form: exact, type-preserving stringification.
-
-    The round driver hash-compares stringified values, so ``4833`` (BIGINT)
-    and ``4833.0`` (a HUGEINT that pandas widened to float64) must NOT be
-    considered equal here — that exact divergence shipped q40 red in round 3
-    while the old 1e-6-tolerant comparison passed it locally.
-    """
-    if v is None or v is pd.NaT:
-        return "NULL"
-    if isinstance(v, (np.floating, float)):
-        fv = float(v)
-        return "NULL" if math.isnan(fv) else repr(fv)
-    if isinstance(v, (np.bool_, bool)):
-        return str(bool(v))
-    if isinstance(v, (np.integer, int)):
-        return str(int(v))
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    return str(v)
-
-
-def dtype_kind(series: pd.Series) -> str:
-    k = series.dtype.kind
-    return "i" if k == "u" else k
-
-
 QUERY_NAMES = sorted(entry_mod.queries().keys())
 
 
@@ -84,31 +51,12 @@ def test_query_matches_oracle(spark, ddb, name):
     assert sorted(sdf.columns) == sorted(odf.columns), (
         f"{name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     )
-    s = normalize(sdf)
-    o = normalize(odf)
-    kind_mismatches = [
-        (col, str(s[col].dtype), str(o[col].dtype))
-        for col in s.columns
-        if dtype_kind(s[col]) != dtype_kind(o[col])
-    ]
-    assert not kind_mismatches, (
+    kinds, values = frame_mismatches(normalize(sdf), normalize(odf))
+    assert not kinds, (
         f"{name}: dtype-kind drift (spark vs oracle) — a HUGEINT/DECIMAL "
-        f"oracle column or an uncast Spark aggregate: {kind_mismatches}"
+        f"oracle column or an uncast Spark aggregate: {kinds}"
     )
-    mismatches = []
-    for col in s.columns:
-        for i, (av, bv) in enumerate(zip(s[col], o[col])):
-            if canon_cell(av) != canon_cell(bv):
-                mismatches.append((col, i, av, bv))
-                if len(mismatches) > 5:
-                    break
-    assert not mismatches, f"{name}: {mismatches}"
-
-
-# DuckDB widens these to python objects / float64 in pandas, which the
-# driver's type-exact hash then flags against Spark's BIGINT/DOUBLE output.
-# Every oracle must CAST its way into this closed set of surface types.
-BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT")
+    assert not values, f"{name}: {values}"
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)

@@ -149,6 +149,49 @@ def test_range_band_join_with_keys_and_negative_band(spark):
     }
 
 
+def test_asof_matches_bruteforce_randomized(spark):
+    """Both directions x bare/payload paths against an O(n*m) reference.
+
+    Right (k, ts) pairs are unique so the matched payload is well-defined
+    even where several right rows tie a left timestamp."""
+    import random
+
+    rng = random.Random(42)
+    lrows = [(rng.randint(0, 5), rng.randint(0, 1000)) for _ in range(300)]
+    rpairs = rng.sample(
+        [(k, t) for k in range(6) for t in range(1001)], 200
+    )
+    rrows = [(k, t, k * 10000 + t) for k, t in rpairs]
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid long, k long, ts long"
+    )
+    right = spark.createDataFrame(rrows, "k long, ts long, rv long")
+
+    for direction in ("backward", "forward"):
+        for cols in ([], ["rv"]):
+            got = {
+                r.lid: (r.ts_r, r.rv if cols else None)
+                for r in relational.asof_join(
+                    left,
+                    right,
+                    ["k"],
+                    right_cols=cols,
+                    direction=direction,
+                ).collect()
+            }
+            for lid, (k, t) in enumerate(lrows):
+                if direction == "backward":
+                    cand = [(rt, rv) for rk, rt, rv in rrows if rk == k and rt <= t]
+                    exp = max(cand, default=(None, None))
+                else:
+                    cand = [(rt, rv) for rk, rt, rv in rrows if rk == k and rt >= t]
+                    exp = min(cand, default=(None, None))
+                exp_ts, exp_rv = exp
+                assert got[lid][0] == exp_ts, (direction, cols, lid)
+                if cols:
+                    assert got[lid][1] == exp_rv, (direction, cols, lid)
+
+
 def test_asof_plan_single_shuffle_per_side(spark, frames):
     """The union-tag-window form must not contain a join operator."""
     left, right = frames
