@@ -541,20 +541,20 @@ def run_spark_families(spark, result: dict) -> None:
 
     fam["kmeans_60m"] = _timed(kmeans_60m)
 
-    def streaming_windows():
+    def _run_streaming(glob_filter=None):
         import shutil
         import tempfile
 
         from duckdb_ddsketch_spark import streaming as st
 
-        _ensure_stream_src()
         ckpt = tempfile.mkdtemp(prefix="ddsketch_bench_ckpt_")
         try:
-            stream = (
-                spark.readStream.schema("ts TIMESTAMP, key INT, value DOUBLE")
-                .option("maxFilesPerTrigger", STREAM_BATCH_FILES)
-                .parquet(STREAM_SRC)
-            )
+            reader = spark.readStream.schema(
+                "ts TIMESTAMP, key INT, value DOUBLE"
+            ).option("maxFilesPerTrigger", STREAM_BATCH_FILES)
+            if glob_filter:
+                reader = reader.option("pathGlobFilter", glob_filter)
+            stream = reader.parquet(STREAM_SRC)
             binned = st.windowed_binned_counts(
                 stream, "ts", ["key"], "value", window="1 hour"
             )
@@ -570,6 +570,15 @@ def run_spark_families(spark, result: dict) -> None:
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
 
+    def streaming_windows():
+        _run_streaming()
+
+    _ensure_stream_src()
+    # one-file warm-up: the streaming machinery (state store, micro-batch
+    # planner, streaming codegen) appears nowhere else in the session, so
+    # its one-time JIT would otherwise be billed to this family alone —
+    # the headline section applies the same steady-state policy.
+    _run_streaming(glob_filter="part-00.parquet")
     fam["streaming_windows"] = _timed(streaming_windows)
 
     result["spark_families_60m_sec"] = fam
