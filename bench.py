@@ -453,8 +453,12 @@ def _duckdb_family_sqls() -> dict:
         con.execute("DROP TABLE __stream_state")
 
     sqls["streaming_windows"] = _duck_streaming
+    # summary materialization on both engines: the comparator measures the
+    # windowed aggregation, not driver-side transfer of ~6M result rows
     sqls["streaming_windows_full_recompute"] = (
-        _stream_select(f"'{STREAM_SRC}/part-*.parquet'") + " ORDER BY 1, 2, 3, 4"
+        "SELECT COUNT(*) AS n, SUM(cnt) AS c FROM ("
+        + _stream_select(f"'{STREAM_SRC}/part-*.parquet'")
+        + ")"
     )
     return sqls
 
@@ -573,6 +577,34 @@ def run_spark_families(spark, result: dict) -> None:
     def streaming_windows():
         _run_streaming()
 
+    def streaming_full_recompute():
+        # batch recompute over the same staged files — the symmetric
+        # counterpart of the DuckDB full-recompute row, so the bench
+        # records both streaming-vs-IVM and batch-vs-batch.
+        from duckdb_ddsketch_spark.operators.native import (
+            gamma_of,
+            value_to_bin_expr,
+        )
+
+        gamma = gamma_of(0.01)
+        df = spark.read.schema("ts TIMESTAMP, key INT, value DOUBLE").parquet(
+            STREAM_SRC
+        )
+        v = F.col("value")
+        df.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"),
+            "key",
+            F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(0).alias(
+                "sign"
+            ),
+            F.when(v > 0, value_to_bin_expr(v, gamma))
+            .when(v < 0, value_to_bin_expr(-v, gamma))
+            .otherwise(F.lit(0))
+            .alias("bin"),
+        ).agg(F.count("*").cast("double").alias("cnt")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("c")
+        ).collect()
+
     _ensure_stream_src()
     # one-file warm-up: the streaming machinery (state store, micro-batch
     # planner, streaming codegen) appears nowhere else in the session, so
@@ -580,6 +612,7 @@ def run_spark_families(spark, result: dict) -> None:
     # the headline section applies the same steady-state policy.
     _run_streaming(glob_filter="part-00.parquet")
     fam["streaming_windows"] = _timed(streaming_windows)
+    fam["streaming_windows_full_recompute"] = _timed(streaming_full_recompute)
 
     result["spark_families_60m_sec"] = fam
 
