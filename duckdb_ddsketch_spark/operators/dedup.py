@@ -87,6 +87,57 @@ def exact_dedup_summary(
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated n-token span detection — substring-level dedup.
+
+    The document-level tools (exact/fingerprint/MinHash) miss boilerplate
+    that repeats INSIDE otherwise-distinct documents (headers, license
+    blocks, navigation chrome); the standard training-data fix is to flag
+    exact n-token spans occurring in >= ``min_docs`` distinct documents
+    (the substring-dedup rule, usually quoted at n=50 tokens; n is a
+    parameter). Returns one row per repeated span:
+    (span_hash, n_docs, n_occurrences, canonical_id).
+
+    Scale shape: tokenization is map-only; the rolling n-gram hash explode
+    is linear in corpus tokens (the same envelope as the MinHash shingle
+    explode); the groupBy shuffles 16-byte md5 hashes with map-side
+    partial aggregation; output is bounded by spans that actually repeat
+    across documents. No reference counterpart (beyond-reference operator).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text))), " +")
+    ntok = F.size(toks)
+    idx = F.sequence(F.lit(1), ntok - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                *[F.element_at(toks, (i + j).cast("int")) for j in range(n)],
+            )
+        ),
+    )
+    # sequence(1, 0) is DESCENDING in Spark — guard short documents
+    guarded = F.when(ntok >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    spans = df.select(F.col(id_col), F.explode(guarded).alias("span_hash"))
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, ngram: int = 2) -> Column:
     """MinHash signature as array<string> of length ``num_hashes``.
 

@@ -175,7 +175,43 @@ FROM ({O['q41_range_band_join']}) t""",
     # -- dedup --------------------------------------------------------------
     ren("q31_exact_dedup_summary", "q20_exact_dedup_summary")
     ren("q32_incremental_dedup", "q54_incremental_dedup")
-    ren("q33_fingerprint_dedup", "q32_fingerprint_dedup")
+
+    # q33: fingerprint (doc-level) + repeated-span (substring-level) dedup —
+    # part-tagged union onto (part, k, n_docs, n_occurrences, canonical_id).
+    # A doc-level fingerprint "occurs" once per doc, so its n_occurrences
+    # IS its n_docs; the span part counts within-doc repeats separately.
+    def q33_fp_span(spark, sf_dir) -> DataFrame:
+        fp = Q["q32_fingerprint_dedup"](spark, sf_dir).select(
+            F.lit("fingerprint").alias("part"),
+            F.col("fingerprint").alias("k"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_docs").cast("long").alias("n_occurrences"),
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+        )
+        sp = Q["q85_repeated_span_dedup"](spark, sf_dir).select(
+            F.lit("span").alias("part"),
+            F.col("span_hash").alias("k"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+        )
+        return fp.unionByName(sp)
+
+    add(
+        "q33_fingerprint_dedup",
+        q33_fp_span,
+        f"""SELECT 'fingerprint' AS part, fingerprint AS k,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs AS BIGINT) AS n_occurrences,
+       CAST(canonical_id AS BIGINT) AS canonical_id
+FROM ({O['q32_fingerprint_dedup']})
+UNION ALL
+SELECT 'span' AS part, span_hash AS k,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(canonical_id AS BIGINT) AS canonical_id
+FROM ({O['q85_repeated_span_dedup']})""",
+    )
 
     # q34: near-dup pair mining — full n-gram Jaccard pairs vs the
     # MinHash+LSH banded candidates, method-tagged

@@ -724,6 +724,47 @@ def q32(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q85 — exact repeated-span (substring-level) dedup: n-token spans occurring
+# in >= 2 distinct documents (boilerplate the doc-level dedups can't see)
+# ---------------------------------------------------------------------------
+
+_Q85_N = 8
+
+
+@_declare(
+    "q85_repeated_span_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - {_Q85_N - 1}, 0) + 1),
+                      i -> md5(array_to_string(t[CAST(i AS INT):CAST(i + {_Q85_N - 1} AS INT)], ' ')))) AS span_hash
+        FROM toks
+    )
+    SELECT span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM grams
+    GROUP BY span_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q85(spark, sf_dir):
+    from ..operators import dedup
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repeated_spans(
+        docs, text="text", id_col="doc_id", n=_Q85_N, min_docs=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # q15 — nested ddsketch_merge across columns (README.md:148-169 multi-region
 # shape): merge(merge(s1,s2), merge(s3,s4)) == sketch of the value union
 # ---------------------------------------------------------------------------

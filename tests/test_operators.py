@@ -943,3 +943,35 @@ def test_unigram_logfreq_scores_gibberish_low(spark):
         df.repartition(5), "text", ["src"], low_threshold=-4.0
     ).collect()[0]
     assert (r.n_docs, r.n_low, r.avg_logfreq) == (r2.n_docs, r2.n_low, r2.avg_logfreq)
+
+
+def test_repeated_spans_cross_doc_and_within_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),        # grams: [a..h], [b..i]
+            (2, "x a b c d e f g h"),        # shares [a..h] with doc 1
+            (3, "short text"),               # < n tokens: no grams
+            (4, "p q r s t u v w p q r s t u v w"),  # [p..w] twice, one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.span_hash: (r.n_docs, r.n_occurrences, r.canonical_id)
+        for r in dedup.repeated_spans(df, n=8, min_docs=2).collect()
+    }
+    import hashlib
+
+    shared = hashlib.md5(b"a b c d e f g h").hexdigest()
+    # only the cross-document span survives min_docs=2
+    assert out == {shared: (2, 2, 1)}
+
+    # min_docs=1 exposes within-doc boilerplate multiplicity
+    all_spans = {
+        r.span_hash: (r.n_docs, r.n_occurrences)
+        for r in dedup.repeated_spans(df, n=8, min_docs=1).collect()
+    }
+    pqrs = hashlib.md5(b"p q r s t u v w").hexdigest()
+    assert all_spans[pqrs] == (1, 2)
+    assert all_spans[shared] == (2, 2)
+    # doc 3 contributes nothing
+    assert all(v[0] <= 2 for v in all_spans.values())
