@@ -99,10 +99,13 @@ def _km_seed_centroids() -> list:
 # state table). A one-shot full-recompute DuckDB number is also recorded
 # (informational) — it answers a different question (recompute everything
 # at the end) than the streaming operator does (answer after every batch).
-STREAM_SRC = os.path.join(
-    os.environ.get("TMPDIR", "/tmp"), f"ddsketch_bench_stream_v2_{N_60M}"
-)
 STREAM_KEYS, STREAM_HOURS, STREAM_FILES = 25, 1000, 16
+# cache key encodes every generation parameter so a config change can't
+# silently reuse stale staged files through the _DONE sentinel
+STREAM_SRC = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"),
+    f"ddsketch_bench_stream_v2_{N_60M}_{STREAM_KEYS}k_{STREAM_HOURS}h_{STREAM_FILES}f",
+)
 # both engines ingest the 16 files in arrival chunks of 4 — micro-batch
 # fixed costs (state commit, plan) amortize over real per-batch work
 STREAM_BATCH_FILES = 4
@@ -122,9 +125,16 @@ def _ensure_stream_src() -> None:
     per_hour = N_60M // STREAM_HOURS
     for f in range(STREAM_FILES):
         ids = np.arange(f * per, (f + 1) * per, dtype=np.int64)
-        ts = (
-            base + (ids // per_hour) * 3600 + (ids % 3600)
-        ) * 1_000_000  # epoch micros, globally non-decreasing across files
+        # epoch micros; the HOUR component (ids // per_hour) is
+        # non-decreasing across files, while the second offset (ids % 3600)
+        # resets within each hour block. Append-mode correctness therefore
+        # relies on batch boundaries aligning with whole hour blocks:
+        # each file spans 62.5 hour-blocks, so every 4-file batch covers
+        # exactly 250 whole hours and the 10-min watermark (advanced only
+        # between batches) never drops an in-hour late row. Changing
+        # STREAM_FILES/STREAM_HOURS/STREAM_BATCH_FILES must preserve that
+        # alignment (or make ts fully monotone).
+        ts = (base + (ids // per_hour) * 3600 + (ids % 3600)) * 1_000_000
         tbl = pa.table(
             {
                 "ts": pa.Array.from_pandas(ts).cast(pa.timestamp("us")),
@@ -426,6 +436,9 @@ def _duckdb_family_sqls() -> dict:
         SELECT date_trunc('hour', ts) AS ws, key,
                CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END
                    AS sign,
+               -- zeros map to bin 0 here (the operator under test uses a
+               -- NULL bin, but the state table's PRIMARY KEY cannot hold
+               -- NULL); safe because the generator emits value >= 1.0 only
                CASE WHEN value > 0 THEN CAST(CEIL(LN(value) / {_lg}) AS INTEGER)
                     WHEN value < 0 THEN CAST(CEIL(LN(-value) / {_lg}) AS INTEGER)
                     ELSE 0 END AS bin,
@@ -597,6 +610,8 @@ def run_spark_families(spark, result: dict) -> None:
             F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(0).alias(
                 "sign"
             ),
+            # zeros -> bin 0, mirroring the DuckDB side's PK-safe mapping
+            # (generator emits value >= 1.0 only, so the branch is dead)
             F.when(v > 0, value_to_bin_expr(v, gamma))
             .when(v < 0, value_to_bin_expr(-v, gamma))
             .otherwise(F.lit(0))

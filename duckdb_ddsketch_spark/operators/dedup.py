@@ -116,10 +116,7 @@ def repeated_spans(
     grams = F.transform(
         idx,
         lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                *[F.element_at(toks, (i + j).cast("int")) for j in range(n)],
-            )
+            F.concat_ws(" ", F.slice(toks, i.cast("int"), F.lit(n)))
         ),
     )
     # sequence(1, 0) is DESCENDING in Spark — guard short documents

@@ -66,7 +66,14 @@ def frame_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame, limit: int = 6):
 
     Returns (kind_mismatches, value_mismatches): per-column dtype-kind
     drift (int-vs-float etc.) and up to ``limit`` exact-value differences.
+    Frames must already be row-count- and column-matched; this guard keeps
+    the zip() below from silently truncating to the shorter frame.
     """
+    if len(sdf) != len(odf) or list(sdf.columns) != list(odf.columns):
+        raise ValueError(
+            f"frames not aligned: {len(sdf)}x{list(sdf.columns)} vs "
+            f"{len(odf)}x{list(odf.columns)} — compare counts/columns first"
+        )
     kinds = [
         (col, str(sdf[col].dtype), str(odf[col].dtype))
         for col in sdf.columns

@@ -10,7 +10,9 @@ import sys
 import time
 
 DRIVER_MEM = sys.argv[1] if len(sys.argv) > 1 else "8g"
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CPUS = int(
+    sys.argv[2] if len(sys.argv) > 2 else os.environ.get("SPARK_GRAFT_CPUS", "32")
+)
 
 N_ASOF_L, N_ASOF_R = 54_000_000, 6_000_000
 

@@ -338,3 +338,15 @@ def test_unigram_vocab_ranking_is_two_stage(spark, sf_dir):
     out = text.unigram_logfreq_stats(docs, "text", keys=["lang"])
     plan = checks.formatted_plan(out)
     assert "pmod(hash(w" in plan
+
+
+def test_repeated_spans_partial_agg_no_python(spark, sf_dir):
+    """Span dedup must be a native explode + hash aggregate with map-side
+    partial aggregation — no Python in the pipeline."""
+    from duckdb_ddsketch_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.repeated_spans(docs)
+    plan = checks.formatted_plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert checks.has_partial_aggregation(out)
