@@ -63,6 +63,7 @@ DEDUP_DOC = "id % 30000000"
 N_ASOF_L, N_ASOF_R = 54_000_000, 6_000_000
 N_MINHASH = 600_000
 MINHASH_D = 550_000
+N_BITMAP_USERS = 5_000_000
 
 # k-means family: 60M 4-dim vectors of exactly-representable dyadic
 # rationals ((id*p) % 1024) / 64 — identical doubles in both engines, so
@@ -465,6 +466,36 @@ def _duckdb_family_sqls() -> dict:
         con.execute("SELECT COUNT(*), SUM(cnt) FROM __stream_state").fetchall()
         con.execute("DROP TABLE __stream_state")
 
+    # bitmap activity/retention: 63-day bitmask per user via bit_or, then
+    # day-activity and 7-day retention expanded from SET BITS only (not a
+    # user x day-grid cross join) — the identical algorithm on both sides.
+    sqls["bitmap_retention"] = f"""
+    WITH gen AS (
+        SELECT range % {N_BITMAP_USERS} AS u,
+               (range * 2654435761) % 62 AS day
+        FROM range({N_60M})
+    ),
+    bm AS (
+        SELECT u, bit_or(CAST(1 AS BIGINT) << CAST(day AS INT)) AS bits
+        FROM gen GROUP BY u
+    ),
+    act AS (
+        SELECT unnest(list_filter(range(0, 62),
+               d -> ((bits >> CAST(d AS INT)) & 1) = 1)) AS day_idx
+        FROM bm
+    ),
+    ret AS (
+        SELECT unnest(list_filter(range(0, 55),
+               d -> ((bits >> CAST(d AS INT)) & 1) = 1
+                AND ((bits >> CAST(d + 7 AS INT)) & 1) = 1)) AS day_idx
+        FROM bm
+    ),
+    a AS (SELECT day_idx, COUNT(*) AS n_active FROM act GROUP BY 1),
+    r AS (SELECT day_idx, COUNT(*) AS n_ret7 FROM ret GROUP BY 1)
+    SELECT a.day_idx, a.n_active, COALESCE(r.n_ret7, 0) AS n_ret7
+    FROM a LEFT JOIN r USING (day_idx) ORDER BY 1
+    """
+
     sqls["streaming_windows"] = _duck_streaming
     # summary materialization on both engines: the comparator measures the
     # windowed aggregation, not driver-side transfer of ~6M result rows
@@ -544,6 +575,21 @@ def run_spark_families(spark, result: dict) -> None:
         dedup.lsh_candidate_pairs(docs, text="text", id_col="id").count()
 
     fam["minhash_lsh_600k"] = _timed(minhash)
+
+    def bitmap_retention():
+        from duckdb_ddsketch_spark.operators import bitmap
+
+        df = gen(
+            N_60M,
+            [
+                ("user", f"id % {N_BITMAP_USERS}"),
+                ("day", "(id * 2654435761) % 62"),
+            ],
+        )
+        bm = bitmap.activity_bitmap(df, "user", "day")
+        bitmap.retention_report(bm, 62, offsets=(7,)).collect()
+
+    fam["bitmap_retention"] = _timed(bitmap_retention)
 
     def kmeans_60m():
         from duckdb_ddsketch_spark.operators import clustering
