@@ -65,6 +65,25 @@ N_MINHASH = 600_000
 MINHASH_D = 550_000
 N_BITMAP_USERS = 5_000_000
 
+# ANN family: exact brute-force top-k — 2M 16-dim corpus x 128 queries
+# (256M scored pairs). Components are dyadic rationals + 0.5 so no vector
+# is ever zero-norm; both engines generate identical doubles. Spark drives
+# similarity.brute_force_topk_blas (Arrow + numpy matmul, distributive
+# local top-k — the corpus never shuffles); DuckDB runs the canonical SQL
+# form (cross join + windowed rank over the materialized pair set) — a SQL
+# engine has no way to express "local top-k then merge" without the
+# partitioning machinery, which is the point of the comparison.
+N_ANN_CORPUS, N_ANN_Q, ANN_K = 2_000_000, 128, 10
+ANN_PRIMES = (
+    13, 101, 977, 8191, 131, 337, 547, 761,
+    1009, 1213, 1427, 1619, 1823, 2029, 2239, 2447,
+)
+
+# text-metrics family: 15M 8-token docs (120M tokens) through the repo's
+# token_stats operator (split / distinct / length arithmetic, all
+# whole-stage-codegen) vs the same list arithmetic in DuckDB.
+N_TEXT, N_TEXT_D = 15_000_000, 1_000_000
+
 # k-means family: 60M 4-dim vectors of exactly-representable dyadic
 # rationals ((id*p) % 1024) / 64 — identical doubles in both engines, so
 # the Python-driven DuckDB mirror reproduces the Spark operator's centroid
@@ -354,6 +373,63 @@ def _duckdb_family_sqls() -> dict:
           ON a.band_id = b.band_id AND a.bh = b.bh AND a.id < b.id
     )
     """
+    # ANN brute-force top-k: cross join + windowed rank (the SQL-native
+    # plan); corpus norms precomputed once via MATERIALIZED (favorable)
+    ndim = len(ANN_PRIMES)
+
+    def _ann_comps(idv: str) -> str:
+        return ", ".join(
+            f"CAST((({idv}) * {p}) % 1024 AS DOUBLE) / 64.0 + 0.5 AS x{d}"
+            for d, p in enumerate(ANN_PRIMES)
+        )
+
+    _ann_norm = "sqrt(" + " + ".join(f"x{d} * x{d}" for d in range(ndim)) + ")"
+    _ann_dot = " + ".join(f"c.x{d} * q.x{d}" for d in range(ndim))
+    sqls["ann_brute_2m_x128"] = f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT range AS id, {_ann_comps('range')} FROM range({N_ANN_CORPUS})
+    ),
+    cn AS MATERIALIZED (SELECT *, {_ann_norm} AS nrm FROM corpus),
+    q AS MATERIALIZED (
+        SELECT * , {_ann_norm} AS nrm
+        FROM (SELECT range AS qid, {_ann_comps('range')} FROM range({N_ANN_Q}))
+    ),
+    scored AS (
+        SELECT q.qid, c.id, ({_ann_dot}) / (c.nrm * q.nrm) AS cos
+        FROM cn c CROSS JOIN q
+        WHERE c.id <> q.qid
+    )
+    SELECT qid, id, cos FROM scored
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC)
+            <= {ANN_K}
+    """
+
+    # text metrics: token/char accounting over 15M generated docs — the
+    # same split/list_distinct/length arithmetic token_stats performs
+    sqls["text_metrics_15m"] = f"""
+    WITH docs AS (
+        SELECT range AS doc_id,
+               {_minhash_text_sql(f'range % {N_TEXT_D}')} AS text
+        FROM range({N_TEXT})
+    ),
+    toksd AS (
+        SELECT strlen(text) AS n_chars, string_split(text, ' ') AS toks
+        FROM docs
+    ),
+    per AS (
+        SELECT len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               n_chars,
+               CAST(CEIL(n_chars / 4.0) AS INT) AS est_bpe,
+               CAST(n_chars AS DOUBLE) / len(toks) AS avg_tok
+        FROM toksd
+    )
+    SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS tok_sum,
+           SUM(n_distinct) AS distinct_sum, SUM(est_bpe) AS bpe_sum,
+           AVG(avg_tok) AS avg_tok_len
+    FROM per
+    """
+
     # k-means: Python-driven mirror of clustering.kmeans_summary — the Spark
     # operator collects k*dims centroid sums between Lloyd iterations, so
     # the honest DuckDB mirror is the same loop with literal centroids
@@ -590,6 +666,41 @@ def run_spark_families(spark, result: dict) -> None:
         bitmap.retention_report(bm, 62, offsets=(7,)).collect()
 
     fam["bitmap_retention"] = _timed(bitmap_retention)
+
+    def ann_brute():
+        from duckdb_ddsketch_spark.operators import similarity
+
+        vec = "array(" + ", ".join(
+            f"CAST(((id * {p}) % 1024) / 64.0 + 0.5 AS DOUBLE)"
+            for p in ANN_PRIMES
+        ) + ")"
+        corpus = gen(N_ANN_CORPUS, [("vec_id", "id"), ("embedding", vec)])
+        queries = gen(N_ANN_Q, [("vec_id", "id"), ("embedding", vec)])
+        similarity.brute_force_topk_blas(
+            corpus, queries, k=ANN_K, max_query_rows=N_ANN_Q
+        ).collect()
+
+    fam["ann_brute_2m_x128"] = _timed(ann_brute)
+
+    def text_metrics():
+        from duckdb_ddsketch_spark.operators import text as text_ops
+
+        t = (
+            _minhash_text_sql(f"id % {N_TEXT_D}")
+            .replace("//", "div")
+            .replace("VARCHAR", "STRING")
+        )
+        docs = gen(N_TEXT, [("doc_id", "id"), ("text", t)])
+        stats = text_ops.token_stats(docs, text="text", id_col="doc_id")
+        stats.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.sum("n_distinct_tokens").alias("distinct_sum"),
+            F.sum("est_bpe_tokens").alias("bpe_sum"),
+            F.avg("avg_token_len").alias("avg_tok_len"),
+        ).collect()
+
+    fam["text_metrics_15m"] = _timed(text_metrics)
 
     def kmeans_60m():
         from duckdb_ddsketch_spark.operators import clustering
