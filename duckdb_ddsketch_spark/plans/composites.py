@@ -174,7 +174,44 @@ FROM ({O['q41_range_band_join']}) t""",
 
     # -- dedup --------------------------------------------------------------
     ren("q31_exact_dedup_summary", "q20_exact_dedup_summary")
-    ren("q32_incremental_dedup", "q54_incremental_dedup")
+    # q32: ingest-path dedup — batch incremental (anti-join vs corpus) +
+    # streaming first-seen (dropDuplicatesWithinWatermark), part-tagged onto
+    # (part, source, n_rows, n_dups, n_unique). Semantics per part:
+    # incremental: n_rows = new-batch rows, n_dups = already-in-corpus,
+    # n_unique = canonical AND new; stream: n_rows = arrived rows,
+    # n_unique = emitted first-occurrences, n_dups = dropped.
+    def q32_incr_stream(spark, sf_dir) -> DataFrame:
+        inc = Q["q54_incremental_dedup"](spark, sf_dir).select(
+            F.lit("incremental").alias("part"),
+            "source",
+            F.col("n_new").cast("long").alias("n_rows"),
+            F.col("n_in_corpus").cast("long").alias("n_dups"),
+            F.col("n_new_unique").cast("long").alias("n_unique"),
+        )
+        st = Q["q86_streaming_first_seen"](spark, sf_dir).select(
+            F.lit("stream").alias("part"),
+            "source",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+        )
+        return inc.unionByName(st)
+
+    add(
+        "q32_incremental_dedup",
+        q32_incr_stream,
+        f"""SELECT 'incremental' AS part, source,
+       CAST(n_new AS BIGINT) AS n_rows,
+       CAST(n_in_corpus AS BIGINT) AS n_dups,
+       CAST(n_new_unique AS BIGINT) AS n_unique
+FROM ({O['q54_incremental_dedup']})
+UNION ALL
+SELECT 'stream' AS part, source,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_dups AS BIGINT) AS n_dups,
+       CAST(n_unique AS BIGINT) AS n_unique
+FROM ({O['q86_streaming_first_seen']})""",
+    )
 
     # q33: fingerprint (doc-level) + repeated-span (substring-level) dedup —
     # part-tagged union onto (part, k, n_docs, n_occurrences, canonical_id).

@@ -170,3 +170,54 @@ def read_source(
         if dtypes.get(c) == "string":
             df = df.withColumn(c, F.unbase64(F.col(c)))
     return df
+
+
+def compact_sketch_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    keys,
+    sketch_col: str = "sketch",
+    coarsen=None,
+    partition_by=None,
+    coalesce_output: bool = True,
+) -> DataFrame:
+    """Compact a fine-grained sketch store into a coarser one.
+
+    The reference's storage pattern keeps hourly/daily sketch tables and
+    rolls them up by re-aggregating blobs (README.md:119-124, 191-198);
+    operationally that leaves behind many small files and fine partitions
+    long after anyone queries them at that grain. This operator rewrites
+    the store at a coarser grain without ever touching fact data:
+
+    - ``coarsen`` maps new column name -> SQL expression over the input
+      columns (e.g. ``{"week": "date_trunc('week', day)"}``); the new
+      columns join ``keys`` as the output grouping.
+    - Blob merge runs through ``merge_sketches_native`` — map-only decode,
+      bin-exploded hash aggregate with map-side partial aggregation, one
+      re-encode at the boundary — so the shuffle carries combined
+      (group, sign, bin) counts, not blobs, and the merge is byte-exact
+      with building the coarse sketch from raw values directly.
+    - With ``coalesce_output`` (default) the result is hash-repartitioned
+      on the partition columns before the partitioned write, so each output
+      partition directory gets one file: the small-file problem does not
+      propagate to the compacted store, and readers get partition pruning
+      at the new grain. Disable it when single per-partition outputs would
+      be too large to write from one task.
+
+    Returns the compacted table re-read from ``out_path`` (lazy).
+    """
+    from ..functions.aggregate import merge_sketches_native
+
+    coarsen = dict(coarsen or {})
+    keys = list(keys)
+    df = spark.read.parquet(path)
+    for name, expr in coarsen.items():
+        df = df.withColumn(name, F.expr(expr))
+    group_cols = list(coarsen) + keys
+    merged = merge_sketches_native(df, group_cols, sketch_col)
+    part_cols = list(partition_by) if partition_by else list(coarsen)
+    if part_cols and coalesce_output:
+        merged = merged.repartition(*[F.col(c) for c in part_cols])
+    write_sketch_table(merged, out_path, partition_by=part_cols or None)
+    return spark.read.parquet(out_path)

@@ -49,6 +49,7 @@ __all__ = [
     "sessionized_gap_stats",
     "windowed_hll_registers",
     "windowed_value_counts",
+    "streaming_first_seen",
 ]
 
 
@@ -392,6 +393,48 @@ def windowed_hll_registers(
             "maxrho",
         )
     )
+
+
+def streaming_first_seen(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str] = ("doc_id",),
+    text: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming first-occurrence dedup for a continuous ingest front-end.
+
+    Emits each distinct key tuple — or, when ``text`` is given, each
+    distinct normalized-text digest — exactly once within the watermark
+    horizon, via Spark's native ``dropDuplicatesWithinWatermark`` state:
+    one state row per distinct value currently inside the horizon, evicted
+    automatically as the watermark advances. State is therefore bounded by
+    arrival rate x horizon, never by stream length, and lives in the
+    configured state store (RocksDB under ``scalable_state_conf``), so the
+    operator runs at 1000-executor scale with no Python in the hot path.
+
+    The digest path reuses the batch normalization
+    (:func:`..operators.dedup.normalize_text`, md5 — the same canonical
+    form ``exact_dedup`` / ``incremental_dedup`` key on), so a streaming
+    front-end and the batch dedup ledger agree on what counts as a
+    duplicate, and only the 16-byte digest — not the text — enters state.
+
+    A duplicate arriving *after* its first occurrence has aged out of the
+    horizon is re-emitted (the documented ``dropDuplicatesWithinWatermark``
+    contract); dedup against all history is the batch
+    ``incremental_dedup`` anti-join's job downstream.
+    """
+    from ..operators.dedup import normalize_text
+
+    df = stream
+    dedup_cols = list(keys)
+    if text is not None:
+        df = df.withColumn("__digest", F.md5(normalize_text(F.col(text))))
+        dedup_cols = ["__digest"]
+    out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        dedup_cols
+    )
+    return out.drop("__digest") if text is not None else out
 
 
 def windowed_value_counts(

@@ -206,3 +206,56 @@ def test_load_table_normalizes_both_ts_encodings(spark, tmp_path):
         sdf = load_stream(spark, str(d), "events")
         assert dict(sdf.dtypes)["ts"] == "timestamp", name
     assert got["nanos"] == got["micros"] == rows_us
+
+
+def test_compact_sketch_table_day_to_week(spark, sf_dir, tmp_path):
+    """Day-partitioned store -> week-partitioned store: byte-exact with
+    sketching the raw values at week grain, one file per output partition."""
+    from duckdb_ddsketch_spark.sources import compact_sketch_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    pre = native.sketch_struct_agg(ev, ["day", "event_type"], "value", 0.01).select(
+        "day", "event_type", native.struct_to_wire("sketch").alias("sketch")
+    )
+    daily_path = str(tmp_path / "daily")
+    write_sketch_table(pre, daily_path, partition_by=["day"])
+
+    weekly_path = str(tmp_path / "weekly")
+    compacted = compact_sketch_table(
+        spark,
+        daily_path,
+        weekly_path,
+        keys=["event_type"],
+        coarsen={
+            "week": "date_format(date_trunc('week', to_date(day)), 'yyyy-MM-dd')"
+        },
+    )
+
+    # direct: sketch the raw values at week grain (no store round-trip)
+    evw = ev.withColumn(
+        "week", F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    )
+    direct = native.sketch_struct_agg(
+        evw, ["week", "event_type"], "value", 0.01
+    ).select("week", "event_type", native.struct_to_wire("sketch").alias("sketch"))
+    want = {(str(r.week), r.event_type): bytes(r.sketch) for r in direct.collect()}
+    got = {(str(r.week), r.event_type): bytes(r.sketch) for r in compacted.collect()}
+    assert got == want
+
+    # layout: week=... partition dirs, exactly one parquet file in each
+    weeks = [d for d in os.listdir(weekly_path) if d.startswith("week=")]
+    assert weeks
+    for d in weeks:
+        files = [
+            f
+            for f in os.listdir(os.path.join(weekly_path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+
+    # partition pruning survives compaction
+    some_week = weeks[0].split("=", 1)[1]
+    plan = checks.formatted_plan(compacted.where(F.col("week") == some_week))
+    assert "PartitionFilters" in plan and "week" in plan

@@ -336,3 +336,67 @@ def test_rocksdb_state_store_matches_default(spark, stream_input, tmp_path):
         s = DDSketch.decode(bytes(r.sketch))
         assert s.count == kernel.count
         assert s.positive_bins == kernel.positive_bins
+
+
+def test_streaming_first_seen_dedup_cross_batch(spark, tmp_path):
+    """First-occurrence dedup across micro-batches: duplicates inside the
+    watermark horizon are dropped whether they arrive in the same batch or
+    a later one; normalized-text duplicates collapse like batch
+    exact_dedup."""
+    from duckdb_ddsketch_spark.streaming import streaming_first_seen
+
+    import time as _time
+
+    src = str(tmp_path / "dedup_in")
+    schema = "ts timestamp, doc_id long, text string"
+
+    def write_file(mode, rows):
+        df = spark.createDataFrame(
+            rows, "ts_str string, doc_id long, text string"
+        ).select(F.to_timestamp("ts_str").alias("ts"), "doc_id", "text")
+        df.coalesce(1).write.mode(mode).parquet(src)
+
+    # batch 0: A, B, and an in-batch near-duplicate of A (case/space drift)
+    write_file(
+        "overwrite",
+        [
+            ("2024-03-01 10:00:00", 1, "Alpha  doc"),
+            ("2024-03-01 10:00:10", 2, "beta doc"),
+            ("2024-03-01 10:00:20", 3, "alpha doc"),
+        ],
+    )
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    # batch 1: cross-batch duplicate of B plus a new doc C
+    write_file(
+        "append",
+        [
+            ("2024-03-01 10:01:00", 4, "BETA   DOC"),
+            ("2024-03-01 10:01:10", 5, "gamma doc"),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_first_seen(
+        stream, "ts", text="text", watermark="1 hour"
+    )
+    results = _collect_stream(out, str(tmp_path / "ck_dedup"))
+
+    # one row per distinct normalized text, first occurrence wins
+    emitted_ids = sorted(r.doc_id for r in results)
+    assert emitted_ids == [1, 2, 5]
+    # the internal digest column does not leak into the output
+    assert sorted(results[0].asDict()) == ["doc_id", "text", "ts"]
+
+    # key-based variant: same machinery keyed on doc_id, no digest
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out2 = streaming_first_seen(stream2, "ts", keys=["doc_id"], watermark="1 hour")
+    results2 = _collect_stream(out2, str(tmp_path / "ck_dedup2"))
+    assert sorted(r.doc_id for r in results2) == [1, 2, 3, 4, 5]
