@@ -19,6 +19,7 @@ _FUNCTIONS = {
     "ddsketch_quantile": scalar.ddsketch_quantile,
     "ddsketch_quantiles": scalar.ddsketch_quantiles,
     "ddsketch_cdf": scalar.ddsketch_cdf,
+    "ddsketch_trimmed_mean": scalar.ddsketch_trimmed_mean,
     "ddsketch_downsample": scalar.ddsketch_downsample,
     "ddsketch_count": scalar.ddsketch_count,
     "ddsketch_min": scalar.ddsketch_min,

@@ -41,6 +41,7 @@ __all__ = [
     "ddsketch_quantile",
     "ddsketch_quantiles",
     "ddsketch_cdf",
+    "ddsketch_trimmed_mean",
     "ddsketch_downsample",
     "ddsketch_count",
     "ddsketch_min",
@@ -200,6 +201,26 @@ def ddsketch_cdf(sketch: pd.Series, v: pd.Series) -> pd.Series:
         return s.cdf(float(value))
 
     return pd.Series([go(b, x) for b, x in zip(sketch, v)], dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def ddsketch_trimmed_mean(
+    sketch: pd.Series, q_lo: pd.Series, q_hi: pd.Series
+) -> pd.Series:
+    """Beyond-reference rank-windowed (trimmed) mean — the interquartile
+    mean for (0.25, 0.75); see DDSketch.trimmed_mean. NULL semantics match
+    the other scalars: bad blob/NULL/empty window -> NULL."""
+
+    def go(blob, lo, hi):
+        s = _try_decode(blob)
+        if s is None or lo is None or hi is None:
+            return None
+        return s.trimmed_mean(float(lo), float(hi))
+
+    return pd.Series(
+        [go(b, lo, hi) for b, lo, hi in zip(sketch, q_lo, q_hi)],
+        dtype="float64",
+    )
 
 
 @pandas_udf(LongType())

@@ -54,6 +54,7 @@ __all__ = [
     "sketch_struct_agg",
     "struct_quantile",
     "struct_cdf_sql",
+    "struct_trimmed_mean_sql",
     "struct_histogram",
     "struct_count",
     "struct_sum",
@@ -567,6 +568,50 @@ def struct_cdf_sql(sketch_col: str, v: float, alpha: Optional[float] = None) -> 
         )
         frac = f"{ge} / {s}.count"
     return f"CASE WHEN {s}.count > 0 THEN {frac} END"
+
+
+def struct_trimmed_mean_sql(
+    sketch_col: str, q_lo: float = 0.25, q_hi: float = 0.75
+) -> str:
+    """SQL text of the rank-windowed (trimmed) mean over the struct form —
+    the native twin of :func:`DDSketch.trimmed_mean`. One fold over the
+    sign-ordered bin array carrying (cumulative, weight, weighted-value):
+    no Python, no explode, no shuffle; scale cost is |occupied bins| lambda
+    steps per row, input-size independent.
+    """
+    s = f"`{sketch_col}`"
+    if (
+        q_lo is None
+        or q_hi is None
+        or math.isnan(q_lo)
+        or math.isnan(q_hi)
+        or q_lo < 0.0
+        or q_hi > 1.0
+        or q_lo >= q_hi
+    ):
+        return "CAST(NULL AS DOUBLE)"
+    mult = f"(2.0D - 2.0D / (1.0D + {s}.gamma))"
+    rep = f"(POWER({s}.gamma, CAST(e.key AS DOUBLE)) * {mult})"
+    ordered = (
+        "concat("
+        f" transform(reverse(sort_array(map_entries({s}.neg))),"
+        f"  e -> struct(-{rep} AS v, e.value AS c)),"
+        f" filter(array(struct(0.0D AS v, {s}.zero_count AS c)), x -> x.c > 0),"
+        f" transform(sort_array(map_entries({s}.pos)),"
+        f"  e -> struct({rep} AS v, e.value AS c))"
+        ")"
+    )
+    lo = f"({float(q_lo)!r}D * {s}.count)"
+    hi = f"({float(q_hi)!r}D * {s}.count)"
+    w = f"greatest(least(acc.cum + e.c, {hi}) - greatest(acc.cum, {lo}), 0.0D)"
+    folded = (
+        f"aggregate({ordered},"
+        " struct(0.0D AS cum, 0.0D AS w, 0.0D AS wv),"
+        f" (acc, e) -> struct(acc.cum + e.c AS cum, acc.w + {w} AS w,"
+        f" acc.wv + {w} * e.v AS wv),"
+        " acc -> CASE WHEN acc.w > 0.0D THEN acc.wv / acc.w END)"
+    )
+    return f"CASE WHEN {s}.count > 0 THEN {folded} END"
 
 
 def struct_histogram(

@@ -246,6 +246,52 @@ class DDSketch:
         ge = sum(c for i, c in self.negative_bins.items() if i >= b)
         return ge / self.count
 
+    def trimmed_mean(
+        self, q_lo: float = 0.25, q_hi: float = 0.75
+    ) -> Optional[float]:
+        """Mean of the values whose rank mass falls in [q_lo, q_hi) — the
+        robust-statistics companion to ``quantile`` (an interquartile mean
+        by default). Beyond-reference operator (no counterpart in
+        /root/reference): defined over the same log-binned state, each bin
+        contributes its representative value (``bin_to_value``) weighted by
+        the overlap of its cumulative-count span with the rank window, so
+        ``trimmed_mean(0, 1)`` is exactly the bin-math mean. Empty sketch
+        or an empty/invalid window -> None.
+        """
+        if self.count == 0.0:
+            return None
+        if (
+            q_lo is None
+            or q_hi is None
+            or math.isnan(q_lo)
+            or math.isnan(q_hi)
+            or q_lo < 0.0
+            or q_hi > 1.0
+            or q_lo >= q_hi
+        ):
+            return None
+        lo = q_lo * self.count
+        hi = q_hi * self.count
+        cum = 0.0
+        total_w = 0.0
+        total_wv = 0.0
+
+        def visit(v: float, c: float) -> None:
+            nonlocal cum, total_w, total_wv
+            w = min(cum + c, hi) - max(cum, lo)
+            if w > 0.0:
+                total_w += w
+                total_wv += w * v
+            cum += c
+
+        for idx in sorted(self.negative_bins, reverse=True):
+            visit(-self.bin_to_value(idx), self.negative_bins[idx])
+        if self.zero_count > 0.0:
+            visit(0.0, self.zero_count)
+        for idx in sorted(self.positive_bins):
+            visit(self.bin_to_value(idx), self.positive_bins[idx])
+        return total_wv / total_w if total_w > 0.0 else None
+
     def _key_at_rank(self, bins: dict[int, float], rank: float) -> float:
         if rank < 0.0:
             rank = 0.0

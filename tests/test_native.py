@@ -391,3 +391,70 @@ def test_sketch_quantile_agg_multi_matches_per_metric(spark):
         plain = native.sketch_quantile_agg(df, ["k"], m, 0.01, (0.5,))
         for p in plain.collect():
             assert got[(p["k"], m)] == (p["count"], p["p50"]), (m, p["k"])
+
+
+def test_struct_trimmed_mean_matches_kernel(spark):
+    """Native trimmed-mean fold == kernel == scalar UDF over the wire,
+    across sign classes and rank windows; (0, 1) is the bin-math mean and
+    the interquartile mean tracks the exact trimmed mean within O(alpha)."""
+    import random
+
+    from duckdb_ddsketch_spark.functions import scalar as fs
+
+    rng = random.Random(13)
+    values = [rng.uniform(-50, 200) for _ in range(800)] + [0.0] * 40
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    s = native.sketch_struct_agg(df.withColumn("k", F.lit("k")), ["k"], "v", 0.01)
+    kernel = DDSketch(0.01).extend(values)
+    windows = ((0.25, 0.75), (0.0, 1.0), (0.1, 0.2), (0.0, 0.5), (0.9, 1.0))
+    cols = [
+        f"{native.struct_trimmed_mean_sql('sketch', lo, hi)} AS m{i}"
+        for i, (lo, hi) in enumerate(windows)
+    ]
+    row = s.selectExpr(*cols).first()
+    blob_df = spark.createDataFrame([(kernel.encode(),)], "b binary")
+    for i, (lo, hi) in enumerate(windows):
+        expect = kernel.trimmed_mean(lo, hi)
+        assert expect is not None
+        assert rel_eq(row[f"m{i}"], expect), (lo, hi, row[f"m{i}"], expect)
+        got = (
+            blob_df.select(
+                fs.ddsketch_trimmed_mean(
+                    F.col("b"), F.lit(lo), F.lit(hi)
+                ).alias("m")
+            )
+            .first()
+            .m
+        )
+        assert rel_eq(got, expect), (lo, hi, got, expect)
+
+    # (0,1) == bin-math mean (sum of representative*count / count)
+    full = kernel.trimmed_mean(0.0, 1.0)
+    rep_sum = (
+        sum(-kernel.bin_to_value(i) * c for i, c in kernel.negative_bins.items())
+        + sum(kernel.bin_to_value(i) * c for i, c in kernel.positive_bins.items())
+    )
+    assert rel_eq(full, rep_sum / kernel.count)
+
+    # interquartile mean is within ~2*alpha of the exact one
+    sv = sorted(values)
+    n = len(sv)
+    exact_iqm_vals = sv[int(0.25 * n): int(0.75 * n)]
+    exact = sum(exact_iqm_vals) / len(exact_iqm_vals)
+    approx = kernel.trimmed_mean(0.25, 0.75)
+    scale = max(abs(v) for v in sv)
+    assert abs(approx - exact) <= 0.03 * scale, (approx, exact)
+
+    # NULL semantics: empty sketch, empty/invalid windows
+    assert kernel.trimmed_mean(0.5, 0.5) is None
+    assert kernel.trimmed_mean(-0.1, 0.5) is None
+    assert DDSketch(0.01).trimmed_mean() is None
+    empty = spark.createDataFrame([(DDSketch(0.01).encode(),)], "b binary")
+    assert (
+        empty.select(
+            fs.ddsketch_trimmed_mean(F.col("b"), F.lit(0.25), F.lit(0.75)).alias("m")
+        )
+        .first()
+        .m
+        is None
+    )

@@ -259,3 +259,102 @@ def test_compact_sketch_table_day_to_week(spark, sf_dir, tmp_path):
     some_week = weeks[0].split("=", 1)[1]
     plan = checks.formatted_plan(compacted.where(F.col("week") == some_week))
     assert "PartitionFilters" in plan and "week" in plan
+
+
+def test_zorder_write_clusters_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: each output file covers a tight range of BOTH
+    ordering columns (file/row-group stats prune filters on either), where
+    a plain leading-column sort leaves the second column unpruned; rows
+    round-trip unchanged."""
+    import pyarrow.parquet as pq
+
+    from duckdb_ddsketch_spark.sources import zorder_write
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "plain")
+    zorder_write(ev, zpath, ["user_id", "value"], bits=10, num_files=8)
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.mode("overwrite").parquet(spath)
+
+    # rows round-trip
+    want = sorted((r.user_id, r.value) for r in ev.collect())
+    got = sorted(
+        (r.user_id, r.value) for r in spark.read.parquet(zpath).collect()
+    )
+    assert got == want
+
+    def spans(path, col):
+        """Per-file normalized (0-1) min-max span of ``col`` from footer
+        statistics — what row-group pruning sees."""
+        vals = [v[0 if col == "user_id" else 1] for v in want]
+        glo, ghi = min(vals), max(vals)
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    cc = md.row_group(rg).column(ci)
+                    if cc.path_in_schema == col and cc.statistics is not None:
+                        st = cc.statistics
+                        fmin = st.min if fmin is None else min(fmin, st.min)
+                        fmax = st.max if fmax is None else max(fmax, st.max)
+            assert fmin is not None, (path, f, col)
+            out.append((fmax - fmin) / (ghi - glo))
+        return out
+
+    z_val = spans(zpath, "value")
+    plain_val = spans(spath, "value")
+    assert len(z_val) == 8
+    z_avg = sum(z_val) / len(z_val)
+    plain_avg = sum(plain_val) / len(plain_val)
+    # plain user_id-sort leaves value unclustered (span ~= 1 per file);
+    # z-order bounds it (value holds ~half the interleaved top bits)
+    assert z_avg < 0.6 * plain_avg, (z_avg, plain_avg)
+    # and the leading column stays clustered enough to prune too
+    z_user = spans(zpath, "user_id")
+    assert sum(z_user) / len(z_user) < 0.8, z_user
+
+
+def test_zorder_expr_matches_python_reference(spark):
+    """The Morton key is the exact bit interleave of the IEEE-double
+    min/max scaling — mirrored op-for-op in Python."""
+    from duckdb_ddsketch_spark.sources import zorder_expr
+
+    rows = [(a, float(b)) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a int, b double")
+    ranges = {"a": (0, 15), "b": (0, 15)}
+    bits = 4
+    got = {
+        (r.a, r.b): r.z
+        for r in df.withColumn("z", zorder_expr(ranges, bits)).collect()
+    }
+
+    def ref(vals):
+        z = 0
+        for i, (col, (lo, hi)) in enumerate(ranges.items()):
+            span = float(hi) - float(lo)
+            scaled = int(
+                min(max((float(vals[i]) - float(lo)) / span, 0.0), 1.0)
+                * ((1 << bits) - 1)
+            )
+            for b in range(bits):
+                z |= ((scaled >> b) & 1) << (b * len(ranges) + i)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == ref((a, b)), (a, b, z)
+
+    # constant column contributes nothing; single varying column degrades
+    # to a plain (scaled) sort key
+    one = {
+        r.a: r.z
+        for r in df.withColumn(
+            "z", zorder_expr({"a": (0, 15), "b": (3, 3)}, bits)
+        ).collect()
+    }
+    order = [one[a] for a in range(16)]
+    assert order == sorted(order)
