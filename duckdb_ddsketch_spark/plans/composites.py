@@ -63,8 +63,11 @@ def build_final(
     ren("q14_scalable_merge_rollup", "q35_scalable_merge_rollup")
 
     # q15: sketch distribution extraction — CDF thresholds + histogram bins
-    # from the same per-type sketches, part-tagged onto (event_type, part,
-    # x, y, n)
+    # + trimmed means from the same per-type sketches, part-tagged onto
+    # (event_type, part, x, y, n); the 'tm' part's x carries the window's
+    # lower rank bound (upper bound is determined by it — see _TM_WINDOWS)
+    from .declared import _TM_WINDOWS, _tm_name
+
     def q15_cdf_histogram(spark, sf_dir) -> DataFrame:
         cdf = Q["q37_cdf_by_event_type"](spark, sf_dir)
         cdf_rows = cdf.select(
@@ -95,12 +98,40 @@ def build_final(
             F.col("bin_hi").alias("y"),
             F.col("count").alias("n"),
         )
-        return cdf_rows.unionByName(hist)
+        tm = Q["q87_trimmed_mean_by_event_type"](spark, sf_dir)
+        tm_rows = tm.select(
+            "event_type",
+            F.col("count").alias("n"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lo).cast("float").alias("x"),
+                            F.col(_tm_name(lo, hi)).alias("y"),
+                        )
+                        for lo, hi in _TM_WINDOWS
+                    ]
+                )
+            ).alias("e"),
+        ).select(
+            "event_type",
+            F.lit("tm").alias("part"),
+            F.col("e.x").alias("x"),
+            F.col("e.y").alias("y"),
+            "n",
+        )
+        return cdf_rows.unionByName(hist).unionByName(tm_rows)
 
     _cdf_sql = "\nUNION ALL\n".join(
         f"SELECT event_type, 'cdf' AS part, CAST({t!r} AS REAL) AS x,"
         f" {c} AS y, count AS n FROM ({O['q37_cdf_by_event_type']}) c{i}"
         for i, (t, c) in enumerate(_CDF_PARTS)
+    )
+    _tm_sql = "\nUNION ALL\n".join(
+        f"SELECT event_type, 'tm' AS part, CAST({lo!r} AS REAL) AS x,"
+        f" {_tm_name(lo, hi)} AS y, count AS n"
+        f" FROM ({O['q87_trimmed_mean_by_event_type']}) t{i}"
+        for i, (lo, hi) in enumerate(_TM_WINDOWS)
     )
     add(
         "q15_cdf_histogram",
@@ -108,7 +139,9 @@ def build_final(
         f"""{_cdf_sql}
 UNION ALL
 SELECT event_type, 'hist' AS part, bin_lo AS x, bin_hi AS y, count AS n
-FROM ({O['q38_sketch_histogram']}) h0""",
+FROM ({O['q38_sketch_histogram']}) h0
+UNION ALL
+{_tm_sql}""",
     )
 
     ren("q16_sketch_range_bucket", "q50_sketch_range_bucket")

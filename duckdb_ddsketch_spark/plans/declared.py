@@ -3832,6 +3832,92 @@ def q86(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# q87 — sketch trimmed mean (rank-windowed robust mean): native fold over
+# the struct form vs a DuckDB bin-math mirror (same sign-ordered cumulative
+# overlap weights over the same log bins)
+# ---------------------------------------------------------------------------
+
+_TM_WINDOWS = ((0.25, 0.75), (0.05, 0.5))
+
+
+def _tm_name(lo: float, hi: float) -> str:
+    return f"tm_{lo:g}_{hi:g}".replace(".", "")
+
+
+def _q87_oracle() -> str:
+    g = repr(_C01["gamma"])
+    lg = repr(_C01["log_gamma"])
+    mult = f"(2.0 - 2.0 / (1.0 + {g}))"
+    win_cols = []
+    for lo, hi in _TM_WINDOWS:
+        w = (
+            f"GREATEST(LEAST(cum0 + cnt, {hi!r} * total)"
+            f" - GREATEST(cum0, {lo!r} * total), 0.0)"
+        )
+        win_cols.append(
+            f"CAST(SUM({w} * v_rep) / SUM({w}) AS REAL) AS {_tm_name(lo, hi)}"
+        )
+    wins = ",\n       ".join(win_cols)
+    # LN arguments guarded with inner CASE: DuckDB evaluates eagerly over
+    # the whole vector, so LN(<=0) would raise even under the outer CASE
+    return f"""
+    WITH vals AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT event_type,
+            CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+            CASE WHEN v > 0 THEN
+                   CAST(CEIL(LN(CASE WHEN v > 0 THEN v ELSE 1 END) / {lg})
+                        AS INTEGER)
+                 WHEN v < 0 THEN
+                   CAST(CEIL(LN(CASE WHEN v < 0 THEN -v ELSE 1 END) / {lg})
+                        AS INTEGER)
+                 ELSE 0 END AS bin,
+            CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM vals GROUP BY 1, 2, 3
+    ),
+    ordv AS (
+        SELECT event_type, cnt,
+            CASE WHEN sign = 1 THEN POWER({g}, CAST(bin AS DOUBLE)) * {mult}
+                 WHEN sign = 0 THEN 0.0
+                 ELSE -(POWER({g}, CAST(bin AS DOUBLE)) * {mult}) END AS v_rep,
+            SUM(cnt) OVER (
+                PARTITION BY event_type
+                ORDER BY CASE sign WHEN -1 THEN 0 WHEN 0 THEN 1 ELSE 2 END,
+                         CASE WHEN sign = -1 THEN -bin ELSE bin END
+                ROWS UNBOUNDED PRECEDING) - cnt AS cum0,
+            SUM(cnt) OVER (PARTITION BY event_type) AS total
+        FROM b
+    )
+    SELECT event_type, CAST(total AS BIGINT) AS count,
+       {wins}
+    FROM ordv GROUP BY event_type, total
+    """
+
+
+@_declare("q87_trimmed_mean_by_event_type", _q87_oracle())
+def q87(spark, sf_dir):
+    """ddsketch_trimmed_mean (beyond-reference robust mean): interquartile
+    and 5-50% rank-window means per event_type, fully native over the
+    struct working form — one fold over the sign-ordered bins, no Python.
+    The oracle rebuilds the identical overlap weights with a cumulative
+    window over the same bins in the same order, so the doubles agree and
+    the float32 cast pins them bit-for-bit."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per = native.sketch_struct_agg(ev, ["event_type"], "value", 0.01)
+    cols = ["event_type", "CAST(sketch.count AS BIGINT) AS count"]
+    for lo, hi in _TM_WINDOWS:
+        cols.append(
+            f"CAST({native.struct_trimmed_mean_sql('sketch', lo, hi)}"
+            f" AS FLOAT) AS {_tm_name(lo, hi)}"
+        )
+    return per.selectExpr(*cols)
+
+
 # ===========================================================================
 # Final registry: the driver grades at most 50 queries, so the staged
 # per-operator declarations above are curated into exactly 50 slots

@@ -26,6 +26,10 @@ def bench_small(tmp_path_factory):
             "N_MINHASH",
             "MINHASH_D",
             "N_BITMAP_USERS",
+            "N_ANN_CORPUS",
+            "N_ANN_Q",
+            "N_TEXT",
+            "N_TEXT_D",
             "STREAM_SRC",
         )
     }
@@ -34,6 +38,8 @@ def bench_small(tmp_path_factory):
     bench.N_MINHASH = 4_000
     bench.MINHASH_D = 3_600
     bench.N_BITMAP_USERS = 5_000
+    bench.N_ANN_CORPUS, bench.N_ANN_Q = 5_000, 8
+    bench.N_TEXT, bench.N_TEXT_D = 20_000, 500
     bench.STREAM_SRC = str(tmp_path_factory.mktemp("bench_stream"))
     yield bench
     for k, v in saved.items():
@@ -51,6 +57,8 @@ def test_all_spark_families_execute(spark, bench_small):
         "exact_dedup",
         "minhash_lsh_600k",
         "bitmap_retention",
+        "ann_brute_2m_x128",
+        "text_metrics_15m",
         "kmeans_60m",
         "streaming_windows",
         "streaming_windows_full_recompute",

@@ -191,3 +191,40 @@ def test_cdf_monotone(values, a, b):
     s = DDSketch(0.01).extend(values)
     lo, hi = (a, b) if a <= b else (b, a)
     assert s.cdf(lo) <= s.cdf(hi)
+
+
+@given(
+    st.lists(finite_floats, min_size=1, max_size=120),
+    st.floats(min_value=0.0, max_value=0.45),
+    st.floats(min_value=0.05, max_value=0.5),
+)
+@settings(max_examples=150, deadline=None)
+def test_trimmed_mean_properties(values, q_lo, width):
+    """Rank-window mean invariants across sign classes:
+    - (0, 1) window == the bin-representative mean;
+    - every window mean lies inside [min rep, max rep];
+    - negating the inputs mirrors the window: tm_neg(1-hi, 1-lo) == -tm."""
+    q_hi = min(q_lo + width, 1.0)
+    s = DDSketch(0.01).extend(values)
+
+    reps = (
+        [-s.bin_to_value(i) for i in s.negative_bins]
+        + ([0.0] if s.zero_count > 0 else [])
+        + [s.bin_to_value(i) for i in s.positive_bins]
+    )
+    rep_mean = (
+        sum(-s.bin_to_value(i) * c for i, c in s.negative_bins.items())
+        + sum(s.bin_to_value(i) * c for i, c in s.positive_bins.items())
+    ) / s.count
+
+    full = s.trimmed_mean(0.0, 1.0)
+    assert math.isclose(full, rep_mean, rel_tol=1e-9, abs_tol=1e-9)
+
+    tm = s.trimmed_mean(q_lo, q_hi)
+    assert tm is not None
+    slack = 1e-9 * max(abs(min(reps)), abs(max(reps))) + 1e-9
+    assert min(reps) - slack <= tm <= max(reps) + slack
+
+    neg = DDSketch(0.01).extend([-v for v in values])
+    mirrored = neg.trimmed_mean(1.0 - q_hi, 1.0 - q_lo)
+    assert math.isclose(mirrored, -tm, rel_tol=1e-9, abs_tol=1e-9)
