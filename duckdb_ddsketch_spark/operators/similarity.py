@@ -31,6 +31,7 @@ __all__ = [
     "ivf_topk",
     "hyperplane_code",
     "lsh_topk",
+    "embedding_neardup_lsh",
 ]
 
 
@@ -105,8 +106,8 @@ def cosine_near_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos >= threshold).
 
-    The exact O(n^2) baseline; at corpus scale use ``lsh_topk``'s bucket
-    join with a threshold filter instead.
+    The exact O(n^2) baseline; at corpus scale use
+    :func:`embedding_neardup_lsh` (bucketed self-join, same exact verify).
     """
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
@@ -122,6 +123,98 @@ def cosine_near_pairs(
             "id_a",
             "id_b",
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dims: int = 64,
+    tables: int = 4,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Corpus-scale embedding near-duplicate pairs — the bucketed twin of
+    :func:`cosine_near_pairs` (which is the exact O(n^2) verification
+    baseline and stays that way on purpose).
+
+    Shape: ``tables`` independent sign-LSH code tables (each ``planes``
+    deterministic md5 hyperplanes — table t uses plane indices
+    t*planes..t*planes+planes-1, so tables share no planes) bucket the
+    corpus; candidate pairs form ONLY inside equal (table, code) buckets
+    via a self equi-join, then the exact cosine filters at ``threshold``.
+    Multiple tables are the standard OR-construction: a near-dup pair is
+    missed only if it splits in EVERY table, so recall rises with
+    ``tables`` while the join stays bucket-local. Candidates found by
+    several tables dedup on (id_a, id_b) before verification.
+
+    Scale: the corpus shuffles ``tables`` times clustered by code — never
+    an all-pairs product; ``max_bucket`` drops degenerate buckets (e.g. a
+    zero-mode corpus collapsing to one code), the same skew cap the text
+    LSH path uses. Output ⊆ ``cosine_near_pairs(df, threshold)`` with
+    recall < 1 (documented approximate operator).
+    """
+    pairs = None
+    ids = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    for t in range(tables):
+        # table t's code comes from plane indices [t*planes, (t+1)*planes)
+        # so tables share no hyperplanes (independent OR-construction)
+        c = F.lit(0).cast("long")
+        for p in range(t * planes, (t + 1) * planes):
+            comps = F.array(
+                *[F.lit(_plane_component(p, d)) for d in range(dims)]
+            )
+            proj = F.aggregate(
+                F.zip_with(_dbl(F.col("vec")), comps, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            c = c + F.when(proj > 0, F.lit(1 << (p - t * planes))).otherwise(
+                F.lit(0)
+            )
+        coded = ids.select("id", c.alias("code"))
+        sizes = coded.groupBy("code").agg(F.count("*").alias("__bn"))
+        coded = coded.join(
+            F.broadcast(sizes.where(F.col("__bn") <= max_bucket)), "code"
+        )
+        cand = (
+            coded.alias("a")
+            .join(
+                coded.alias("b"),
+                (F.col("a.code") == F.col("b.code"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    pairs = pairs.distinct()
+    va = ids.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        norm(F.col("vec")).alias("na"),
+    )
+    vb = ids.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        norm(F.col("vec")).alias("nb"),
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
         )
         .where(F.col("cos") >= threshold)
     )

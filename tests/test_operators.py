@@ -975,3 +975,57 @@ def test_repeated_spans_cross_doc_and_within_doc(spark):
     assert all_spans[shared] == (2, 2)
     # doc 3 contributes nothing
     assert all(v[0] <= 2 for v in all_spans.values())
+
+
+def test_embedding_neardup_lsh_subset_and_recall(spark):
+    """Bucketed corpus near-dup: output is a subset of the exact all-pairs
+    baseline (same threshold, exact verify), recall is high on clustered
+    vectors, and results are deterministic across repartitioning."""
+    import random
+
+    rng = random.Random(17)
+    dims = 16
+    rows = []
+    # 12 tight clusters of 4 near-identical vectors + 50 scattered vectors
+    for c in range(12):
+        base = [rng.uniform(-1, 1) for _ in range(dims)]
+        for j in range(4):
+            rows.append(
+                (c * 4 + j, [v + rng.uniform(-0.02, 0.02) for v in base])
+            )
+    for i in range(50):
+        rows.append((1000 + i, [rng.uniform(-1, 1) for _ in range(dims)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_near_pairs(df, 0.98).collect()
+    }
+    approx_df = similarity.embedding_neardup_lsh(
+        df, 0.98, planes=6, dims=dims, tables=4
+    )
+    approx = {(r.id_a, r.id_b) for r in approx_df.collect()}
+    assert approx <= exact
+    assert len(exact) > 0
+    # OR-construction over 4 independent tables recovers nearly all
+    # in-cluster pairs at cos >= 0.98
+    assert len(approx) >= 0.8 * len(exact), (len(approx), len(exact))
+
+    again = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_lsh(
+            df.repartition(7), 0.98, planes=6, dims=dims, tables=4
+        ).collect()
+    }
+    assert again == approx
+
+    # degenerate corpus: every vector identical -> one bucket holds all
+    # rows; the bucket cap drops it instead of exploding to all-pairs
+    same = spark.createDataFrame(
+        [(i, [1.0] * dims) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    capped = similarity.embedding_neardup_lsh(
+        same, 0.5, planes=6, dims=dims, tables=2, max_bucket=10
+    )
+    assert capped.count() == 0
