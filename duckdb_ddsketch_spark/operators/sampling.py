@@ -21,6 +21,7 @@ __all__ = [
     "pack_sequences",
     "pack_manifest",
     "weighted_mixture",
+    "priority_sample",
 ]
 
 _HEX_DIGITS = 15  # 60 bits: safely inside BIGINT/double-exact range
@@ -155,6 +156,66 @@ def pack_manifest(
             F.max(order_col).alias("last_doc"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    n: int,
+    weight,
+    id_col: str,
+    strata: Sequence[str] = (),
+    seed: str = "",
+) -> DataFrame:
+    """Exactly-n WEIGHTED sample without replacement (per stratum), the
+    Efraimidis-Spirakis priority scheme with a deterministic hash in place
+    of the RNG: each row draws u = md5-uniform(seed|id) in (0, 1) and
+    competes on the exponential race key ln(u)/w — the n largest keys win,
+    and P[row selected] rises with its weight exactly as E-S prescribes.
+    ``weight`` is a Column of positive DOUBLE (rows with weight <= 0 or
+    NULL never win).
+
+    Deterministic (same seed|id -> same u), layout-invariant, and map-only
+    up to the one per-stratum top-n shuffle — the same shape as
+    :func:`stratified_hash_topn`, which is the w == const special case.
+    Ranking keys are continuous doubles so cross-engine float drift can
+    flip neighbors; use the pytest-pinned semantics (this operator is not
+    oracle-gated for that reason — see test_operators).
+    """
+    strata = list(strata)
+    # 60-bit md5 prefix -> exact double in (0, 1); never exactly 0
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            _HEX_DIGITS,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << (4 * _HEX_DIGITS)))
+    w = weight.cast("double")
+    key = F.when(w > 0, F.log(u) / w)  # NULL (never wins) otherwise
+    scored = df.withColumn("__k", key).where(F.col("__k").isNotNull())
+
+    def topn(frame: DataFrame, parts: Sequence) -> DataFrame:
+        rn = F.row_number().over(
+            Window.partitionBy(*parts).orderBy(
+                F.col("__k").desc(), F.col(id_col).asc()
+            )
+        )
+        return frame.withColumn("__rn", rn).where(F.col("__rn") <= n).drop("__rn")
+
+    if strata:
+        return topn(scored, strata).drop("__k")
+    # global sample: an unpartitioned row_number would funnel the corpus
+    # through one task, so pre-select per hash bucket (each bucket's top-n
+    # is a superset of its share of the global top-n), then re-rank only
+    # the <= 64*n survivors
+    bucketed = scored.withColumn(
+        "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(64))
+    )
+    cand = topn(bucketed, ["__b"]).drop("__b")
+    return topn(cand, []).drop("__k")
 
 
 def weighted_mixture(

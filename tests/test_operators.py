@@ -5,7 +5,13 @@ text, multimodal) on controlled synthetic inputs where ground truth is known.
 import pytest
 from pyspark.sql import functions as F
 
-from duckdb_ddsketch_spark.operators import dedup, multimodal, similarity, text
+from duckdb_ddsketch_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
 
 @pytest.fixture(scope="module")
@@ -1029,3 +1035,53 @@ def test_embedding_neardup_lsh_subset_and_recall(spark):
         same, 0.5, planes=6, dims=dims, tables=2, max_bucket=10
     )
     assert capped.count() == 0
+
+
+def test_priority_sample_weighted_exact_n(spark):
+    """Efraimidis-Spirakis priority sampling with md5 keys: exactly n per
+    stratum, deterministic under repartitioning, heavier weights win more
+    often, nonpositive/NULL weights never win, and the two-stage global
+    path equals a direct single-window ranking."""
+    rows = [
+        (i, "s%d" % (i % 3), 10.0 if i % 10 == 0 else 1.0) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+
+    out = sampling.priority_sample(
+        df, 20, F.col("w"), "doc_id", strata=["src"], seed="a"
+    )
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.src, []).append(r.doc_id)
+    assert {len(v) for v in per.values()} == {20}
+
+    # deterministic across layout
+    again = sampling.priority_sample(
+        df.repartition(13), 20, F.col("w"), "doc_id", strata=["src"], seed="a"
+    ).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in got)
+
+    # weight-10 docs are 10% of the corpus but should take well over 10%
+    # of the sample (E-S inclusion rises with weight)
+    heavy = sum(1 for r in got if r.doc_id % 10 == 0)
+    assert heavy >= 0.25 * len(got), heavy
+
+    # nonpositive/NULL weights never win even when n exceeds the rest
+    small = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    picked = sampling.priority_sample(small, 10, F.col("w"), "doc_id")
+    assert sorted(r.doc_id for r in picked.collect()) == [1, 5]
+
+    # global two-stage path == the strata path on a constant stratum
+    # (i.e. a direct single-window ranking)
+    one = df.withColumn("__s", F.lit(1))
+    ref = sampling.priority_sample(
+        one, 25, F.col("w"), "doc_id", strata=["__s"], seed="g"
+    ).drop("__s")
+    glob = sampling.priority_sample(df, 25, F.col("w"), "doc_id", seed="g")
+    assert sorted(r.doc_id for r in glob.collect()) == sorted(
+        r.doc_id for r in ref.collect()
+    )
