@@ -134,7 +134,7 @@ def embedding_neardup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 8,
-    dims: int = 64,
+    dims=None,
     tables: int = 4,
     max_bucket: int = 2000,
 ) -> DataFrame:
@@ -152,50 +152,46 @@ def embedding_neardup_lsh(
     ``tables`` while the join stays bucket-local. Candidates found by
     several tables dedup on (id_a, id_b) before verification.
 
-    Scale: the corpus shuffles ``tables`` times clustered by code — never
-    an all-pairs product; ``max_bucket`` drops degenerate buckets (e.g. a
+    Scale: all tables' codes are computed in ONE pass over the corpus
+    (a posexplode to (table, code) rows, lazily local-checkpointed so the
+    projection is not re-derived for the bucket-size aggregate and both
+    join sides); the join shuffles clustered by (table, code) — never an
+    all-pairs product. ``max_bucket`` drops degenerate buckets (e.g. a
     zero-mode corpus collapsing to one code), the same skew cap the text
-    LSH path uses. Output ⊆ ``cosine_near_pairs(df, threshold)`` with
-    recall < 1 (documented approximate operator).
+    LSH path uses. ``dims`` defaults to the data's width (validated —
+    a mismatch raises instead of silently bucketing everything together).
+    Output ⊆ ``cosine_near_pairs(df, threshold)`` with recall < 1
+    (documented approximate operator).
     """
-    pairs = None
+    dims = _resolve_dims(df, vec_col, dims)
     ids = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    for t in range(tables):
-        # table t's code comes from plane indices [t*planes, (t+1)*planes)
-        # so tables share no hyperplanes (independent OR-construction)
-        c = F.lit(0).cast("long")
-        for p in range(t * planes, (t + 1) * planes):
-            comps = F.array(
-                *[F.lit(_plane_component(p, d)) for d in range(dims)]
+    codes = F.array(
+        *[
+            hyperplane_code(
+                F.col("vec"), planes=planes, dims=dims, plane_offset=t * planes
             )
-            proj = F.aggregate(
-                F.zip_with(_dbl(F.col("vec")), comps, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            c = c + F.when(proj > 0, F.lit(1 << (p - t * planes))).otherwise(
-                F.lit(0)
-            )
-        coded = ids.select("id", c.alias("code"))
-        sizes = coded.groupBy("code").agg(F.count("*").alias("__bn"))
-        coded = coded.join(
-            F.broadcast(sizes.where(F.col("__bn") <= max_bucket)), "code"
+            for t in range(tables)
+        ]
+    )
+    coded = ids.select("id", F.posexplode(codes).alias("tbl", "code"))
+    coded = coded.localCheckpoint(eager=False)
+    sizes = coded.groupBy("tbl", "code").agg(F.count("*").alias("__bn"))
+    kept = coded.join(
+        F.broadcast(sizes.where(F.col("__bn") <= max_bucket)), ["tbl", "code"]
+    ).drop("__bn")
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        cand = (
-            coded.alias("a")
-            .join(
-                coded.alias("b"),
-                (F.col("a.code") == F.col("b.code"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(
-                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-            )
-        )
-        pairs = cand if pairs is None else pairs.unionByName(cand)
-    pairs = pairs.distinct()
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     va = ids.select(
         F.col("id").alias("id_a"),
         F.col("vec").alias("va"),
@@ -290,18 +286,24 @@ def brute_force_topk_blas(
     )
 
 
-def hyperplane_code(vec: Column, planes: int = 8, dims: int = 64) -> Column:
+def hyperplane_code(
+    vec: Column, planes: int = 8, dims: int = 64, plane_offset: int = 0
+) -> Column:
     """Sign-LSH bucket code from deterministic pseudo-random hyperplanes.
 
     Plane p's component for dimension d is derived from md5(p||','||d),
     mapped into [-1, 1): engine-independent, reproducible, no RNG state.
-    Code bit p = sign(v · plane_p).
+    Code bit p = sign(v · plane_p). ``plane_offset`` shifts the plane
+    indices so independent code tables (OR-construction LSH) share no
+    hyperplanes. ``dims`` must equal the embedding width: ``zip_with``
+    NULL-pads a mismatch and the projection silently degenerates — the
+    DataFrame-level operators validate it (:func:`_resolve_dims`).
     """
     code = F.lit(0).cast("long")
     for p in range(planes):
         comps = F.array(
             *[
-                F.lit(_plane_component(p, d))
+                F.lit(_plane_component(plane_offset + p, d))
                 for d in range(dims)
             ]
         )
@@ -312,6 +314,28 @@ def hyperplane_code(vec: Column, planes: int = 8, dims: int = 64) -> Column:
         )
         code = code + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return code
+
+
+def _resolve_dims(df: DataFrame, vec_col: str, dims) -> int:
+    """Derive/validate the embedding width (one LIMIT-1 probe job).
+
+    A ``dims`` that disagrees with the data would make every hyperplane
+    projection NULL (``zip_with`` pads with NULLs), silently collapsing
+    all vectors into code 0 — so mismatch is an error, never a degrade.
+    """
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    actual = None if row is None else row["d"]
+    if dims is None:
+        if actual is None:
+            raise ValueError(
+                f"cannot derive dims: '{vec_col}' has no rows; pass dims="
+            )
+        return int(actual)
+    if actual is not None and int(actual) != int(dims):
+        raise ValueError(
+            f"dims={dims} does not match {vec_col} width {actual}"
+        )
+    return int(dims)
 
 
 def _plane_component(p: int, d: int) -> float:
@@ -412,6 +436,7 @@ def lsh_topk(
     once clustered by code (2^planes buckets; plane count tunes bucket
     size), queries broadcast. Output schema matches ``brute_force_topk``.
     """
+    dims = _resolve_dims(corpus, vec_col, dims)
     code_q = hyperplane_code(F.col(vec_col), planes, dims)
     q = queries.select(
         F.col(id_col).alias("query_id"),

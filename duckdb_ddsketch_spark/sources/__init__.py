@@ -235,6 +235,12 @@ def zorder_write(
         ]
     b = df.agg(*aggs).first()
     ranges = {c: (b[f"__lo_{c}"], b[f"__hi_{c}"]) for c in cols}
+    dead = [c for c, (lo, hi) in ranges.items() if lo is None or hi is None]
+    if dead:
+        raise ValueError(
+            f"zorder_write: ordering column(s) {dead} have no non-NULL "
+            "values (empty input?) — cannot derive min/max ranges"
+        )
     z = df.withColumn("__z", zorder_expr(ranges, bits))
     n = num_files or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     z = z.repartitionByRange(int(n), "__z").sortWithinPartitions("__z")
