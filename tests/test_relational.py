@@ -246,3 +246,22 @@ def test_gapfill_locf_multiple_measures_and_leading_nulls(spark):
     # they contain NULL measures
     assert rows[11].gap_filled == 1
     assert rows[10].gap_filled == 0 and rows[12].gap_filled == 0
+
+
+def test_asof_preserves_left_ts_dtype_on_union_widening(spark):
+    """When left_ts and right_ts have different union-coercible types
+    (int vs bigint), unionByName widens the internal __t column; the
+    output left_ts must be restored to the LEFT input's declared dtype
+    with values intact."""
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b")], "k long, ts int, lbl string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5), (1, 15)], "k long, ts bigint"
+    )
+    out = relational.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=[]
+    )
+    assert dict(out.dtypes)["ts"] == "int"
+    got = {(r.k, r.ts): r.ts_r for r in out.collect()}
+    assert got == {(1, 10): 5, (1, 20): 15}
