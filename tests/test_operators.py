@@ -1085,3 +1085,35 @@ def test_priority_sample_weighted_exact_n(spark):
     assert sorted(r.doc_id for r in glob.collect()) == sorted(
         r.doc_id for r in ref.collect()
     )
+
+
+def test_embedding_neardup_feeds_duplicate_clusters(spark):
+    """Composition: embedding near-dup pairs resolve into clusters with
+    the same min-label operator the text pipeline uses — each tight
+    vector cluster collapses to one canonical id."""
+    import random
+
+    rng = random.Random(23)
+    dims = 16
+    rows = []
+    for c in range(6):
+        base = [rng.uniform(-1, 1) for _ in range(dims)]
+        for j in range(4):
+            rows.append(
+                (c * 100 + j, [v + rng.uniform(-0.01, 0.01) for v in base])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_neardup_lsh(df, 0.99, planes=5, tables=4)
+    clusters = dedup.duplicate_clusters(pairs)
+    got = {r.id: r.cluster_id for r in clusters.collect()}
+    # every clustered member maps to its group's min id; with recall < 1
+    # some pairs may be missed, but no cluster may MIX two vector groups
+    for vid, cid in got.items():
+        assert vid // 100 == cid // 100, (vid, cid)
+    # at cos >= 0.99 with 4 tables, most of the 6 groups fully collapse
+    full = sum(
+        1
+        for c in range(6)
+        if all(got.get(c * 100 + j) == c * 100 for j in range(4))
+    )
+    assert full >= 4, (full, got)
