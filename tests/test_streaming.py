@@ -400,3 +400,66 @@ def test_streaming_first_seen_dedup_cross_batch(spark, tmp_path):
     out2 = streaming_first_seen(stream2, "ts", keys=["doc_id"], watermark="1 hour")
     results2 = _collect_stream(out2, str(tmp_path / "ck_dedup2"))
     assert sorted(r.doc_id for r in results2) == [1, 2, 3, 4, 5]
+
+
+def test_streaming_append_to_partitioned_store_rollup(spark, stream_input, tmp_path):
+    """The production pipeline end to end: append-mode streaming windows ->
+    finalize inside foreachBatch -> day-partitioned sketch store on disk ->
+    blob rollup from the store equals direct batch sketching. Watermark 0
+    closes each hourly window as soon as a later one appears; the final
+    (never-closed) windows are the documented append-mode remainder, so the
+    comparison covers exactly the windows the stream emitted."""
+    from duckdb_ddsketch_spark.functions import scalar as fs
+    from duckdb_ddsketch_spark.functions.aggregate import merge_sketches_native
+    from duckdb_ddsketch_spark.sources import write_sketch_table
+
+    store = str(tmp_path / "stream_store")
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    binned = windowed_binned_counts(
+        stream, "ts", ["service"], "value", window="1 hour", watermark="0 seconds"
+    )
+
+    def to_store(batch_df, _id):
+        closed = finalize_window_sketches(batch_df, ["service"]).withColumn(
+            "day", F.date_format(F.col("window_start"), "yyyy-MM-dd")
+        )
+        write_sketch_table(closed, store, partition_by=["day"], mode="append")
+
+    q = (
+        binned.writeStream.foreachBatch(to_store)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_store"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    stored = spark.read.parquet(store)
+    emitted = {
+        (r.window_start, r.service) for r in stored.select(
+            "window_start", "service"
+        ).collect()
+    }
+    assert emitted, "no windows were closed by the stream"
+
+    # roll the stored blobs up per service on the native merge path and
+    # compare against direct kernel sketching of the same emitted windows
+    rolled = merge_sketches_native(stored, ["service"], "sketch")
+    got = {
+        r.service: (r.c, r.p95)
+        for r in rolled.select(
+            "service",
+            fs.ddsketch_count(F.col("sketch")).alias("c"),
+            fs.ddsketch_quantile(F.col("sketch"), F.lit(0.95)).alias("p95"),
+        ).collect()
+    }
+    expected = _expected_by_window(spark, stream_input)
+    per_service = {}
+    for (ws, svc), vals in expected.items():
+        if (ws, svc) in emitted:
+            per_service.setdefault(svc, []).extend(vals)
+    for svc, vals in per_service.items():
+        kernel = DDSketch(0.01).extend(vals)
+        assert got[svc][0] == kernel.get_count(), svc
+        p95 = kernel.quantile(0.95)
+        assert abs(got[svc][1] - p95) <= abs(p95) * 1e-9, svc
