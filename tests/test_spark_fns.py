@@ -401,3 +401,23 @@ def test_ddsketch_downsample_sql_surface(spark):
     df2 = spark.createDataFrame([(coarse, other)], "a binary, b binary")
     n = df2.selectExpr("ddsketch_count(ddsketch_merge(a, b)) AS n").first()["n"]
     assert n == 3
+
+
+def test_trimmed_mean_sql_surface(spark):
+    """ddsketch_trimmed_mean is registered for spark.sql and matches the
+    kernel; invalid windows yield NULL."""
+    values = [float(v) for v in range(1, 101)]
+    blob = DDSketch(0.01).extend(values).encode()
+    spark.createDataFrame([(blob,)], "sketch binary").createOrReplaceTempView(
+        "tm_sketch"
+    )
+    out = spark.sql(
+        "SELECT ddsketch_trimmed_mean(sketch, 0.25d, 0.75d) AS iqm,"
+        " ddsketch_trimmed_mean(sketch, 0.0d, 1.0d) AS full,"
+        " ddsketch_trimmed_mean(sketch, 0.7d, 0.3d) AS bad"
+        " FROM tm_sketch"
+    ).first()
+    kernel = DDSketch(0.01).extend(values)
+    assert approx_rel(out.iqm, kernel.trimmed_mean(0.25, 0.75))
+    assert approx_rel(out.full, kernel.trimmed_mean(0.0, 1.0))
+    assert out.bad is None
