@@ -20,6 +20,7 @@ __all__ = [
     "hash_shard",
     "pack_sequences",
     "pack_manifest",
+    "materialize_sequences",
     "weighted_mixture",
     "priority_sample",
 ]
@@ -216,6 +217,46 @@ def priority_sample(
     )
     cand = topn(bucketed, ["__b"]).drop("__b")
     return topn(cand, []).drop("__k")
+
+
+def materialize_sequences(
+    df: DataFrame,
+    text_col: str,
+    token_col: str,
+    budget: int,
+    keys: Sequence[str] = (),
+    order_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Emit the packed training rows: one row per (keys, seq_id) with the
+    member documents' text concatenated in deterministic ``order_col``
+    order — the final step after :func:`pack_sequences` assigns documents
+    to fixed-budget sequences.
+
+    The per-group ``collect_list`` is bounded by the token budget (a
+    sequence holds ~``budget`` tokens of documents, never the corpus), and
+    the (order, text) structs are ``array_sort``-ed after collection so the
+    concatenation is reproducible regardless of aggregation order or input
+    layout. One shuffle on (keys, seq_id).
+    """
+    keys = list(keys)
+    packed = pack_sequences(df, token_col, budget, keys, order_col)
+    member = F.struct(
+        F.col(order_col).alias("o"), F.col(text_col).alias("t")
+    )
+    return (
+        packed.groupBy(*keys, "seq_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(member)), lambda s: s["t"]
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col).cast("long")).alias("token_sum"),
+        )
+    )
 
 
 def weighted_mixture(

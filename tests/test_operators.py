@@ -1117,3 +1117,35 @@ def test_embedding_neardup_feeds_duplicate_clusters(spark):
         if all(got.get(c * 100 + j) == c * 100 for j in range(4))
     )
     assert full >= 4, (full, got)
+
+
+def test_materialize_sequences_orders_and_reconciles(spark):
+    """Packed-sequence materialization: member texts concatenate in
+    doc_id order, every doc lands in exactly one sequence, token totals
+    reconcile, and the output is layout-invariant."""
+    rows = [
+        (i, "s%d" % (i % 2), "doc%02d" % i, 30 + (i % 3) * 10)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, text string, n_tok int")
+
+    out = sampling.materialize_sequences(
+        df, "text", "n_tok", budget=100, keys=["shard"], sep="|"
+    ).collect()
+    # every doc appears exactly once across all sequences
+    all_docs = [t for r in out for t in r.text.split("|")]
+    assert sorted(all_docs) == sorted("doc%02d" % i for i in range(20))
+    # concatenation order inside a sequence == doc_id order
+    for r in out:
+        members = r.text.split("|")
+        assert members == sorted(members)
+        assert r.n_docs == len(members)
+    # token totals reconcile with the corpus
+    assert sum(r.token_sum for r in out) == sum(x[3] for x in rows)
+
+    again = sampling.materialize_sequences(
+        df.repartition(7), "text", "n_tok", budget=100, keys=["shard"], sep="|"
+    ).collect()
+    assert sorted((r.shard, r.seq_id, r.text) for r in again) == sorted(
+        (r.shard, r.seq_id, r.text) for r in out
+    )
