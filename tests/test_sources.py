@@ -358,3 +358,35 @@ def test_zorder_expr_matches_python_reference(spark):
     }
     order = [one[a] for a in range(16)]
     assert order == sorted(order)
+
+
+def test_compact_sketch_table_idempotent(spark, sf_dir, tmp_path):
+    """Re-compacting an already-compacted store at the same grain is a
+    byte-identical no-op — safe for at-least-once compaction schedulers."""
+    from duckdb_ddsketch_spark.sources import compact_sketch_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    pre = native.sketch_struct_agg(ev, ["day", "event_type"], "value", 0.01).select(
+        "day", "event_type", native.struct_to_wire("sketch").alias("sketch")
+    )
+    daily = str(tmp_path / "daily")
+    write_sketch_table(pre, daily, partition_by=["day"])
+
+    week_expr = {
+        "week": "date_format(date_trunc('week', to_date(day)), 'yyyy-MM-dd')"
+    }
+    once = compact_sketch_table(
+        spark, daily, str(tmp_path / "w1"), keys=["event_type"], coarsen=week_expr
+    )
+    twice = compact_sketch_table(
+        spark,
+        str(tmp_path / "w1"),
+        str(tmp_path / "w2"),
+        keys=["event_type"],
+        coarsen={"week": "week"},
+    )
+    a = {(str(r.week), r.event_type): bytes(r.sketch) for r in once.collect()}
+    b = {(str(r.week), r.event_type): bytes(r.sketch) for r in twice.collect()}
+    assert a == b
