@@ -413,7 +413,7 @@ def _duckdb_family_sqls() -> dict:
         FROM range({N_TEXT})
     ),
     toksd AS (
-        SELECT strlen(text) AS n_chars, string_split(text, ' ') AS toks
+        SELECT length(text) AS n_chars, string_split(text, ' ') AS toks
         FROM docs
     ),
     per AS (

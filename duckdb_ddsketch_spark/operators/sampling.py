@@ -25,7 +25,8 @@ __all__ = [
     "priority_sample",
 ]
 
-_HEX_DIGITS = 15  # 60 bits: safely inside BIGINT/double-exact range
+_HEX_DIGITS = 15  # 60 bits, compared as hex STRINGS (never cast to double:
+# doubles are exact only to 2^53, so 60-bit values would round)
 
 
 def hash_threshold_hex(fraction: float) -> str:
@@ -183,17 +184,20 @@ def priority_sample(
     oracle-gated for that reason — see test_operators).
     """
     strata = list(strata)
-    # 60-bit md5 prefix -> exact double in (0, 1); never exactly 0
+    # 52-bit md5 prefix: every value is exactly representable as a double,
+    # so u = (h + 0.5) / 2^52 lies strictly inside (0, 1) with no rounding
+    # to the endpoints (15 hex digits could round to u == 1.0, making
+    # ln(u)/w == 0 an unconditional winner)
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
             1,
-            _HEX_DIGITS,
+            13,
         ),
         16,
         10,
     ).cast("double")
-    u = (h + F.lit(0.5)) / F.lit(float(1 << (4 * _HEX_DIGITS)))
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 52))
     w = weight.cast("double")
     key = F.when(w > 0, F.log(u) / w)  # NULL (never wins) otherwise
     scored = df.withColumn("__k", key).where(F.col("__k").isNotNull())
@@ -210,13 +214,26 @@ def priority_sample(
         return topn(scored, strata).drop("__k")
     # global sample: an unpartitioned row_number would funnel the corpus
     # through one task, so pre-select per hash bucket (each bucket's top-n
-    # is a superset of its share of the global top-n), then re-rank only
-    # the <= 64*n survivors
-    bucketed = scored.withColumn(
-        "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(64))
+    # is a superset of its share of the global top-n), then geometrically
+    # reduce the bucket count so every window task sorts <= 8*n rows —
+    # a single final window over 64*n candidates would reintroduce the
+    # one-task sort the bucketing exists to avoid
+    buckets = 64
+    cand = topn(
+        scored.withColumn(
+            "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+        ),
+        ["__b"],
     )
-    cand = topn(bucketed, ["__b"]).drop("__b")
-    return topn(cand, []).drop("__k")
+    while buckets > 1:
+        buckets = max(buckets // 8, 1)
+        cand = topn(
+            cand.withColumn(
+                "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+            ),
+            ["__b"],
+        )
+    return cand.drop("__b", "__k")
 
 
 def materialize_sequences(

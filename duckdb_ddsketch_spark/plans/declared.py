@@ -3785,7 +3785,10 @@ def q86(spark, sf_dir):
     )
     stage = tempfile.mkdtemp(prefix="ddsketch_q86_")
     try:
-        thr = docs.agg(F.max("doc_id")).first()[0] // 2
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        if max_id is None:
+            raise ValueError("q86 requires a non-empty documents table")
+        thr = max_id // 2
         for mode, cond in (
             ("overwrite", F.col("doc_id") <= thr),
             ("append", F.col("doc_id") > thr),
