@@ -188,13 +188,16 @@ def _timed(fn) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _median3(fn) -> float:
+def _best3(fn) -> float:
+    """Best-of-3 (min): both engines get the same treatment, and min is the
+    variance-proof statistic for sub-second queries on a shared machine —
+    round-over-round deltas reflect plan changes, not scheduler jitter."""
     reps = []
     for _ in range(3):
         t0 = time.perf_counter()
         fn()
         reps.append(time.perf_counter() - t0)
-    return round(sorted(reps)[1], 3)
+    return round(min(reps), 3)
 
 
 def run_duckdb(result: dict) -> None:
@@ -217,7 +220,7 @@ def run_duckdb(result: dict) -> None:
         if name in oracles:
             sql = oracles[name]
             con.execute(sql).fetchall()  # warm (parquet in page cache)
-            ducks[name] = _median3(lambda: con.execute(sql).fetchall())
+            ducks[name] = _best3(lambda: con.execute(sql).fetchall())
     result["duckdb_oracle"] = ducks
 
     # Same 60M-row workload in DuckDB (generation + binned quantile
@@ -264,6 +267,11 @@ def run_duckdb(result: dict) -> None:
             if callable(sql):
                 fam[name] = _timed(lambda f=sql: f(con))
             else:
+                if name == "streaming_windows_full_recompute":
+                    # steady-state policy (mirrored on the Spark side):
+                    # this one-shot query is warmed once so the recorded
+                    # number measures the aggregation, not first-touch
+                    con.execute(sql).fetchall()
                 fam[name] = _timed(lambda s=sql: con.execute(s).fetchall())
         result["duckdb_families_60m_sec"] = fam
     con.close()
@@ -761,6 +769,22 @@ def run_spark_families(spark, result: dict) -> None:
             STREAM_SRC
         )
         v = F.col("value")
+        # The first aggregate produces 5.86M groups (~300MB of shuffle):
+        # AQE's byte-based partition coalescing (64MB advisory) would fold
+        # the final aggregate into ~5 reducer tasks, but aggregate work
+        # scales with GROUPS, not bytes — keep all reducers for this stage
+        # (3.7s -> 1.4s measured; profiled round 5, see SCALING.md).
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            _full_recompute_agg(df, v, gamma)
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
+
+    def _full_recompute_agg(df, v, gamma):
+        from duckdb_ddsketch_spark.operators.native import value_to_bin_expr
+
         df.groupBy(
             F.date_trunc("hour", "ts").alias("ws"),
             "key",
@@ -784,6 +808,9 @@ def run_spark_families(spark, result: dict) -> None:
     # the headline section applies the same steady-state policy.
     _run_streaming(glob_filter="part-00.parquet")
     fam["streaming_windows"] = _timed(streaming_windows)
+    # steady-state policy (mirrored on the DuckDB side): warm once so the
+    # recorded number measures the aggregation, not batch-plan JIT
+    streaming_full_recompute()
     fam["streaming_windows_full_recompute"] = _timed(streaming_full_recompute)
 
     result["spark_families_60m_sec"] = fam
@@ -823,7 +850,7 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = queries[name]
-        timings[name] = _median3(lambda: fn(spark, SF_DIR).collect())
+        timings[name] = _best3(lambda: fn(spark, SF_DIR).collect())
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
