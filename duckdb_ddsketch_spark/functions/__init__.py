@@ -23,6 +23,7 @@ from .scalar import (
 )
 from .aggregate import ddsketch_agg, ddsketch_stats_agg, sketch_values_agg
 from .registry import register_all
+from .rewrite import rewrite_stats_agg, install_sql_rewrite
 
 __all__ = [
     "ddsketch_create",
@@ -43,4 +44,6 @@ __all__ = [
     "ddsketch_stats_agg",
     "sketch_values_agg",
     "register_all",
+    "rewrite_stats_agg",
+    "install_sql_rewrite",
 ]

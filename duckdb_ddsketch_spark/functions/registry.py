@@ -49,4 +49,12 @@ def register_all(spark: SparkSession) -> SparkSession:
         lambda: DDSketch(DEFAULT_RELATIVE_ACCURACY).encode(),
         BinaryType(),
     )
+    # the reference's 12th function, ddsketch_stats_agg (lib.rs:955-981):
+    # grouped-agg pandas UDFs cannot return structs, so the SQL name is
+    # provided as a session-local macro that rewrites the call into the
+    # equivalent ddsketch_stats_full(ddsketch_agg(s)) composition — the
+    # one name a migrating query would otherwise have to rewrite by hand.
+    from .rewrite import install_sql_rewrite
+
+    install_sql_rewrite(spark)
     return spark

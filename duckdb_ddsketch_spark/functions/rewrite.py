@@ -1,0 +1,147 @@
+"""SQL-macro rewrite for ``ddsketch_stats_agg``.
+
+The reference registers ``ddsketch_stats_agg`` as ONE aggregate function
+(lib.rs:955-981) returning a stats struct. Spark's grouped-agg pandas
+UDFs cannot return structs (PySparkNotImplementedError as of 4.1), so the
+engine implements the same semantics as the composition
+``ddsketch_stats_full(ddsketch_agg(s))`` — one merge aggregate, one
+struct-producing finalizer, identical output.
+
+So that a reference query migrates VERBATIM —
+``SELECT service, ddsketch_stats_agg(sketch) FROM t GROUP BY 1`` —
+``register_all`` installs a session-local ``spark.sql`` wrapper that
+rewrites each ``ddsketch_stats_agg(<expr>)`` call into the composition
+before parsing. The rewrite is purely syntactic but string/comment-aware
+and paren-balanced, so sketch expressions containing nested calls,
+quoted literals, or comments rewrite correctly; occurrences inside
+string literals, quoted identifiers, or comments are left untouched.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["rewrite_stats_agg", "install_sql_rewrite"]
+
+_NAME = re.compile(r"ddsketch_stats_agg", re.IGNORECASE)
+
+
+def _scan_token_spans(sql: str):
+    """Yield (start, end, kind) spans for regions the rewriter must skip:
+    single-quoted strings, double-quoted identifiers, backtick identifiers,
+    line comments and block comments."""
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # escaped ''
+                        j += 2
+                        continue
+                    break
+                j += 1
+            yield (i, min(j + 1, n), "str")
+            i = j + 1
+        elif c == '"' or c == "`":
+            q = c
+            j = sql.find(q, i + 1)
+            j = n - 1 if j == -1 else j
+            yield (i, j + 1, "ident")
+            i = j + 1
+        elif c == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            yield (i, j, "comment")
+            i = j
+        elif c == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n - 2 if j == -1 else j
+            yield (i, j + 2, "comment")
+            i = j + 2
+        else:
+            i += 1
+
+
+def _matching_paren(sql: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``sql[open_idx] == '('``, skipping
+    strings/comments; -1 if unbalanced."""
+    skip = list(_scan_token_spans(sql[open_idx:]))
+    depth = 0
+    i = 0
+    seg = sql[open_idx:]
+    spans = iter(skip)
+    cur = next(spans, None)
+    while i < len(seg):
+        if cur and cur[0] <= i < cur[1]:
+            i = cur[1]
+            cur = next(spans, None)
+            continue
+        while cur and cur[1] <= i:
+            cur = next(spans, None)
+        ch = seg[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return open_idx + i
+        i += 1
+    return -1
+
+
+def rewrite_stats_agg(sql: str) -> str:
+    """Rewrite every top-level-code occurrence of
+    ``ddsketch_stats_agg(<args>)`` to
+    ``ddsketch_stats_full(ddsketch_agg(<args>))``. Leaves the query
+    untouched when the name does not appear outside strings/comments."""
+    skip_spans = [(s, e) for s, e, _ in _scan_token_spans(sql)]
+
+    def in_skip(idx: int) -> bool:
+        return any(s <= idx < e for s, e in skip_spans)
+
+    out = sql
+    # right-to-left so earlier indices stay valid after each splice
+    for m in reversed(list(_NAME.finditer(sql))):
+        if in_skip(m.start()):
+            continue
+        # must be a standalone identifier (not e.g. my_ddsketch_stats_agg2)
+        before = sql[m.start() - 1] if m.start() > 0 else " "
+        after = sql[m.end()] if m.end() < len(sql) else " "
+        if re.match(r"[A-Za-z0-9_]", before) or re.match(r"[A-Za-z0-9_]", after):
+            continue
+        # find the call's opening paren (whitespace allowed)
+        k = m.end()
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        if k >= len(sql) or sql[k] != "(":
+            continue
+        close = _matching_paren(sql, k)
+        if close == -1:
+            continue
+        inner = sql[k + 1 : close]
+        out = (
+            out[: m.start()]
+            + f"ddsketch_stats_full(ddsketch_agg({inner}))"
+            + out[close + 1 :]
+        )
+    return out
+
+
+def install_sql_rewrite(spark) -> None:
+    """Wrap ``spark.sql`` on THIS session instance so queries calling
+    ``ddsketch_stats_agg(...)`` run verbatim. Idempotent; all other
+    queries pass through unchanged (the wrapper short-circuits on a
+    cheap substring check before doing any scanning)."""
+    if getattr(spark, "_ddsketch_sql_rewrite_installed", False):
+        return
+    original = spark.sql
+
+    def sql(query, *args, **kwargs):
+        if isinstance(query, str) and "ddsketch_stats_agg" in query.lower():
+            query = rewrite_stats_agg(query)
+        return original(query, *args, **kwargs)
+
+    spark.sql = sql
+    spark._ddsketch_sql_rewrite_installed = True

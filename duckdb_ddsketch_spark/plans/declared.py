@@ -878,13 +878,16 @@ def q17(spark, sf_dir):
             GROUP BY o_orderstatus, bkt
         ),
         rolled AS (
-            SELECT o_orderstatus, ddsketch_agg(sketch) AS s
+            -- the reference's single-name aggregate, VERBATIM (lib.rs:955-981):
+            -- register_all's SQL macro rewrites it to
+            -- ddsketch_stats_full(ddsketch_agg(sketch))
+            SELECT o_orderstatus, ddsketch_stats_agg(sketch) AS st
             FROM sketches GROUP BY o_orderstatus
         )
         SELECT o_orderstatus,
-               ddsketch_count(s) AS count,
-               CAST(ddsketch_stats(s).avg AS FLOAT) AS avg,
-               CAST(ddsketch_quantile(s, 0.5d) AS FLOAT) AS p50
+               st.count AS count,
+               CAST(st.avg AS FLOAT) AS avg,
+               CAST(st.p50 AS FLOAT) AS p50
         FROM rolled
         """
     )

@@ -196,6 +196,68 @@ def test_stats_agg_struct(spark):
     assert out["p50"] is not None and out["p25"] <= out["p75"]
 
 
+def test_stats_agg_sql_name_verbatim(spark):
+    """The reference's README query shape runs VERBATIM through spark.sql:
+    ddsketch_stats_agg as ONE SQL aggregate name (lib.rs:955-981), provided
+    by the session macro rewrite installed in register_all."""
+    rows = [
+        ("api", DDSketch(0.01).extend([float(v)]).encode()) for v in (10, 20, 30)
+    ] + [("web", DDSketch(0.01).extend([100.0]).encode())]
+    spark.createDataFrame(rows, "service string, sketch binary").createOrReplaceTempView(
+        "stats_agg_t"
+    )
+    out = {
+        r.service: r
+        for r in spark.sql(
+            "SELECT service, ddsketch_stats_agg(sketch) AS st"
+            " FROM stats_agg_t GROUP BY 1"
+        ).select("service", "st.*").collect()
+    }
+    assert out["api"]["count"] == 3
+    assert approx_rel(out["api"]["avg"], 20.0, 0.03)
+    assert out["web"]["count"] == 1
+    # identical to the explicit composition
+    comp = {
+        r.service: r
+        for r in spark.sql(
+            "SELECT service, ddsketch_stats_full(ddsketch_agg(sketch)) AS st"
+            " FROM stats_agg_t GROUP BY 1"
+        ).select("service", "st.*").collect()
+    }
+    assert out == comp
+
+
+def test_stats_agg_rewrite_string_edge_cases():
+    from duckdb_ddsketch_spark.functions.rewrite import rewrite_stats_agg
+
+    # basic + case-insensitive + GROUP BY untouched
+    assert (
+        rewrite_stats_agg("SELECT g, DDSketch_Stats_Agg(s) FROM t GROUP BY g")
+        == "SELECT g, ddsketch_stats_full(ddsketch_agg(s)) FROM t GROUP BY g"
+    )
+    # nested call with parens and a quoted literal inside the argument
+    q = "SELECT ddsketch_stats_agg(ddsketch_add(s, if(x=')', 1.0, 2.0))) FROM t"
+    assert rewrite_stats_agg(q) == (
+        "SELECT ddsketch_stats_full(ddsketch_agg("
+        "ddsketch_add(s, if(x=')', 1.0, 2.0)))) FROM t"
+    )
+    # occurrences inside string literals / comments / identifiers untouched
+    for q in (
+        "SELECT 'ddsketch_stats_agg(x)' AS lit FROM t",
+        "SELECT s -- ddsketch_stats_agg(x)\n FROM t",
+        "SELECT /* ddsketch_stats_agg(x) */ s FROM t",
+        'SELECT "ddsketch_stats_agg" FROM t',
+        "SELECT my_ddsketch_stats_agg(x) FROM t",
+    ):
+        assert rewrite_stats_agg(q) == q
+    # two occurrences in one query
+    q2 = "SELECT ddsketch_stats_agg(a), ddsketch_stats_agg(b) FROM t"
+    assert rewrite_stats_agg(q2) == (
+        "SELECT ddsketch_stats_full(ddsketch_agg(a)),"
+        " ddsketch_stats_full(ddsketch_agg(b)) FROM t"
+    )
+
+
 def test_prepare_then_agg_group_by(spark):
     data = [("api", float(v)) for v in range(1, 11)] + [("web", 100.0)]
     df = spark.createDataFrame(data, "service string, latency double")
