@@ -2065,7 +2065,13 @@ def q51(spark, sf_dir):
 # back with partition pruning, rolled up over a date range
 # ---------------------------------------------------------------------------
 
-_Q52_LO, _Q52_HI = "2024-01-10", "2024-01-20"
+# week-aligned day range (Mondays 2024-01-08 and 2024-01-15): the same
+# roll-up is computed from the day-grain store AND from the week-grain
+# store produced by compact_sketch_table, so the compaction operator sits
+# under the driver's oracle gate (merge is byte-exact, so both stores
+# reproduce the direct aggregation identically)
+_Q52_LO, _Q52_HI = "2024-01-08", "2024-01-21"
+_Q52_WEEKS = ("2024-01-08", "2024-01-15")
 
 
 def _q52_store(spark, sf_dir: str) -> str:
@@ -2095,43 +2101,88 @@ def _q52_store(spark, sf_dir: str) -> str:
     return base
 
 
-@_declare(
-    "q52_partitioned_store_rollup",
-    quantile_oracle_sql(
-        "events",
-        {"event_type": "event_type"},
-        "value",
-        quantiles=(0.5, 0.95),
-        stats=("count",),
-        where=(
-            f"strftime(date_trunc('day', ts), '%Y-%m-%d')"
-            f" BETWEEN '{_Q52_LO}' AND '{_Q52_HI}'"
-        ),
+def _q52_week_store(spark, sf_dir: str) -> str:
+    """Compact (once per sf_dir) the day store to week grain via
+    ``compact_sketch_table`` — the store-rewrite operator under test."""
+    import os
+    import tempfile
+
+    from ..sources import compact_sketch_table
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sketch_store_wk_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(base, "_SUCCESS_STORE")
+    if not os.path.exists(marker):
+        compact_sketch_table(
+            spark,
+            _q52_store(spark, sf_dir),
+            base,
+            keys=["event_type"],
+            coarsen={
+                "week": "date_format(date_trunc('week', CAST(day AS DATE)),"
+                " 'yyyy-MM-dd')"
+            },
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return base
+
+
+_Q52_ORACLE_BASE = quantile_oracle_sql(
+    "events",
+    {"event_type": "event_type"},
+    "value",
+    quantiles=(0.5, 0.95),
+    stats=("count",),
+    where=(
+        f"strftime(date_trunc('day', ts), '%Y-%m-%d')"
+        f" BETWEEN '{_Q52_LO}' AND '{_Q52_HI}'"
     ),
 )
+
+
+@_declare(
+    "q52_partitioned_store_rollup",
+    # the same aggregate must come out of BOTH stores — the oracle is the
+    # direct aggregation over raw events, labeled once per store path
+    f"SELECT 'day' AS store, * FROM ({_Q52_ORACLE_BASE})\n"
+    f"UNION ALL\nSELECT 'week' AS store, * FROM ({_Q52_ORACLE_BASE})",
+)
 def q52(spark, sf_dir):
-    """Partition-pruned roll-up over a stored sketch table: only the 11
-    day-directories inside the range are scanned (the filter sits on the
-    partition column), then the stored blobs merge on the native path —
-    a Catalyst hash aggregate with partial aggregation, not an
-    AggregateInPandas over raw blob rows."""
+    """Partition-pruned roll-up over a stored sketch table, twice: from the
+    day-grain store (only the 14 day-directories in the range are scanned —
+    the filter sits on the partition column) and from the week-grain store
+    produced by ``compact_sketch_table`` (2 week-directories). Stored blobs
+    merge on the native path — a Catalyst hash aggregate with partial
+    aggregation, not an AggregateInPandas over raw blob rows. Both paths
+    must hash-match the direct aggregation oracle: the compaction rewrite
+    is thereby driver-checked end to end."""
     from ..functions.aggregate import merge_sketches_native
 
     _prep(spark)
-    store = _q52_store(spark, sf_dir)
-    stored = spark.read.parquet(store).where(
+
+    def rolled_stats(df, label):
+        rolled = merge_sketches_native(df, ["event_type"], "sketch")
+        st = rolled.select(
+            "event_type", fs.ddsketch_stats_full(F.col("sketch")).alias("st")
+        )
+        return st.select(
+            F.lit(label).alias("store"),
+            "event_type",
+            F.col("st.count").alias("count"),
+            F.col("st.p50").cast("float").alias("p50"),
+            F.col("st.p95").cast("float").alias("p95"),
+        )
+
+    day = spark.read.parquet(_q52_store(spark, sf_dir)).where(
         (F.col("day") >= _Q52_LO) & (F.col("day") <= _Q52_HI)
     )
-    rolled = merge_sketches_native(stored, ["event_type"], "sketch")
-    st = rolled.select(
-        "event_type", fs.ddsketch_stats_full(F.col("sketch")).alias("st")
+    week = spark.read.parquet(_q52_week_store(spark, sf_dir)).where(
+        F.col("week").cast("string").isin(*_Q52_WEEKS)
     )
-    return st.select(
-        "event_type",
-        F.col("st.count").alias("count"),
-        F.col("st.p50").cast("float").alias("p50"),
-        F.col("st.p95").cast("float").alias("p95"),
-    )
+    return rolled_stats(day, "day").unionAll(rolled_stats(week, "week"))
 
 
 # ---------------------------------------------------------------------------

@@ -98,3 +98,72 @@ def test_bnlj_only_where_broadcast_bounded(plans):
     assert hits <= ALLOWED_BNLJ, (
         f"nested-loop join on unlisted queries: {sorted(hits - ALLOWED_BNLJ)}"
     )
+
+
+def test_zorder_layout_prunes_scan(spark, sf_dir, tmp_path):
+    """The Z-order layout is only worth its write cost if a filtered scan
+    actually skips files: (1) the range filter on the SECOND ordering
+    column reaches the parquet scan as a pushed filter, and (2) footer
+    min/max stats exclude most z-ordered files for that filter, while the
+    plain leading-column sort excludes none — the pruning a 100 TB reader
+    relies on, asserted from the same statistics it would use."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.sources import zorder_write
+
+    # controlled independent uniforms (multiplicative-hash columns): every
+    # plain-sorted file spans value's full range, so pruning gains are
+    # attributable to the layout, not to data skew
+    ev = spark.range(100_000).selectExpr(
+        "CAST((id * 2654435761) % 1024 AS INT) AS user_id",
+        "CAST((id * 7919) % 1024 AS DOUBLE) AS value",
+    )
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "plain")
+    zorder_write(ev, zpath, ["user_id", "value"], bits=10, num_files=8)
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.mode("overwrite").parquet(spath)
+
+    # a 10%-of-range band: the z-key quantizes value linearly, so file
+    # boundaries are linear-range cuts — the band is excluded by every
+    # file covering other quarters of value space
+    lo, hi = 870.0, 972.0
+
+    # (1) the filter is pushed to the scan
+    scan = spark.read.parquet(zpath).where(
+        (F.col("value") >= lo) & (F.col("value") <= hi)
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(value" in plan, plan
+
+    # (2) footer stats prune most z-files, no plain files
+    def matching_files(path):
+        n_total, n_match = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    cc = md.row_group(rg).column(ci)
+                    if cc.path_in_schema == "value" and cc.statistics:
+                        st = cc.statistics
+                        fmin = st.min if fmin is None else min(fmin, st.min)
+                        fmax = st.max if fmax is None else max(fmax, st.max)
+            n_total += 1
+            if fmin is not None and not (fmax < lo or fmin > hi):
+                n_match += 1
+        return n_total, n_match
+
+    z_total, z_match = matching_files(zpath)
+    p_total, p_match = matching_files(spath)
+    assert z_total == 8 and p_total == 8, (z_total, p_total)
+    # a plain user_id sort cannot prune a value filter at all
+    assert p_match == p_total, (p_match, p_total)
+    # the z-layout excludes at least half the files for a ~10%-selectivity
+    # band on the second column
+    assert z_match <= z_total // 2, (z_match, z_total)

@@ -272,6 +272,8 @@ def test_partitioned_store_rollup_prunes_and_partial_aggs(spark, sf_dir):
     q = declared.STAGED_QUERIES["q52_partitioned_store_rollup"](spark, sf_dir)
     plan = checks.formatted_plan(q)
     assert "PartitionFilters" in plan and "day" in plan
+    # the compacted week store scans with its own partition filter
+    assert "week" in plan
     assert "AggregateInPandas" not in plan
     assert checks.has_partial_aggregation(q)
 
