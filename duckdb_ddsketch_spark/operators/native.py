@@ -683,7 +683,10 @@ def merge_struct_sketches(
     first = "coalesce(pos_idx, 0) = 0"
     level1 = (
         f"SELECT {kq_pre}bin_entry.sign AS sign, bin_entry.bin AS bin,"
-        " sum(bin_entry.cnt) AS cnt, first(gamma) AS gamma,"
+        # first(gamma, true): a NULL-struct row (invalid/NULL blob under
+        # NULL-skip semantics) must never donate its NULL gamma — without
+        # ignoreNulls the pick is evaluation-order-dependent
+        " sum(bin_entry.cnt) AS cnt, first(gamma, true) AS gamma,"
         " min(gamma) AS g_min, max(gamma) AS g_max,"
         " min(index_offset) AS o_min, max(index_offset) AS o_max,"
         f" sum(CASE WHEN {first} THEN zero_count END) AS zc,"
@@ -699,7 +702,7 @@ def merge_struct_sketches(
         f"SELECT {kq_pre}"
         f"map_from_entries(sort_array(collect_list(CASE WHEN sign = 1 THEN {entry} END))) AS pos,"
         f" map_from_entries(sort_array(collect_list(CASE WHEN sign = -1 THEN {entry} END))) AS neg,"
-        " first(gamma) AS gamma, min(g_min) AS g_min, max(g_max) AS g_max,"
+        " first(gamma, true) AS gamma, min(g_min) AS g_min, max(g_max) AS g_max,"
         " min(o_min) AS o_min, max(o_max) AS o_max,"
         " sum(zc) AS zero_count, sum(cn) AS count, sum(sm) AS sum,"
         " min(mn) AS min, max(mx) AS max"

@@ -215,24 +215,118 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q04 — ddsketch_merge (merged sketch == sketch of the value union)
+# q04 — ddsketch_merge (merged sketch == sketch of the value union), plus
+# chaos inputs: corrupt blobs, NULLs, empty sketches, and mixed-γ groups
+# fed through BOTH the scalar UDF surface and the native merge, with the
+# expected NULL semantics as literal oracle rows
 # ---------------------------------------------------------------------------
+
+
+def _q04_chaos_inputs():
+    """Deterministic chaos blobs: two mergeable sketches, a γ-mismatched
+    one, an empty one, and bytes that are not a sketch at all."""
+    from ..sketch import DDSketch
+
+    s1 = DDSketch(0.01).extend([1.0, 2.0, 3.0]).encode()
+    s2 = DDSketch(0.01).extend([10.0, 20.0]).encode()
+    s3 = DDSketch(0.02).extend([5.0]).encode()
+    emp = DDSketch(0.01).encode()
+    garbage = b"\xde\xad\xbe\xef\x00"
+    return s1, s2, s3, emp, garbage
+
+
+def _q04_chaos_expect() -> dict:
+    """Expected (count, min, max, sum, avg, p50) per chaos part, computed
+    from the kernel — the same semantics the SQL layer pins:
+
+    - scalar ``ddsketch_merge``: corrupt blob, NULL input, or γ mismatch
+      → NULL result, NULL extractors (lib.rs:191-194, 241-243);
+    - native grouped merge: NULL/invalid rows are SKIPPED (aggregate
+      NULL-skip, lib.rs:1024), γ-mismatched groups → NULL sketch;
+    - empty sketches merge to an empty sketch: count 0, all else NULL.
+    """
+    from ..sketch import DDSketch
+
+    s1, s2, _s3, _emp, _garbage = _q04_chaos_inputs()
+    m = DDSketch.decode(s1)
+    m.merge(DDSketch.decode(s2))
+    ok = DDSketch.decode(m.encode())  # wire round-trip like the query
+    one = DDSketch.decode(s1)
+
+    def stats(s):
+        return (
+            int(s.get_count()),
+            s.get_min(),
+            s.get_max(),
+            s.get_sum(),
+            s.get_avg(),
+            s.quantile(0.5),
+        )
+
+    null_row = (None,) * 6
+    empty_row = (0, None, None, None, None, None)
+    rows = {}
+    for path in ("scalar", "native"):
+        rows[f"chaos_{path}_ok"] = stats(ok)
+        rows[f"chaos_{path}_mixed_gamma"] = null_row
+        rows[f"chaos_{path}_empties"] = empty_row
+    rows["chaos_scalar_corrupt"] = null_row
+    rows["chaos_scalar_with_null"] = null_row
+    # the native aggregate skips the unusable row; the valid one survives
+    rows["chaos_native_corrupt"] = stats(one)
+    rows["chaos_native_with_null"] = stats(one)
+    return rows
+
+
+def _q04_chaos_values_sql() -> str:
+    def flit(v):
+        # string -> DOUBLE -> REAL: a bare decimal literal would parse as
+        # DECIMAL(16,15), whose REAL conversion rounds differently than
+        # the double the kernel computed
+        return (
+            "CAST(NULL AS REAL)"
+            if v is None
+            else f"CAST(CAST('{v!r}' AS DOUBLE) AS REAL)"
+        )
+
+    rows = []
+    for part, (c, mn, mx, sm, av, p50) in sorted(_q04_chaos_expect().items()):
+        cc = "CAST(NULL AS BIGINT)" if c is None else f"CAST({c} AS BIGINT)"
+        rows.append(
+            f"('{part}', {cc}, {flit(mn)}, {flit(mx)}, {flit(sm)},"
+            f" {flit(av)}, {flit(p50)})"
+        )
+    return ",\n        ".join(rows)
+
+
+_Q04_ORACLE_BASE = quantile_oracle_sql(
+    "lineitem",
+    {},
+    "l_quantity",
+    quantiles=(0.5,),
+    stats=("count", "min", "max", "sum", "avg"),
+    where="l_returnflag IN ('A', 'R')",
+)
 
 
 @_declare(
     "q04_merge_two_sketches",
-    quantile_oracle_sql(
-        "lineitem",
-        {},
-        "l_quantity",
-        quantiles=(0.5,),
-        stats=("count", "min", "max", "sum", "avg"),
-        where="l_returnflag IN ('A', 'R')",
-    ),
+    f"""
+    SELECT 'merged_ab' AS part, * FROM ({_Q04_ORACLE_BASE})
+    UNION ALL
+    SELECT * FROM (VALUES
+        {_q04_chaos_values_sql()}
+    ) AS t(part, count, min, max, sum, avg, p50)
+    """,
 )
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exercises every wire-path scalar extractor (count/min/max/sum/avg/
-    # quantile — lib.rs registration surface) over one merged blob
+    # quantile — lib.rs registration surface) over one merged blob, then
+    # the chaos matrix: corrupt/NULL/empty/mixed-γ inputs through the
+    # scalar surface AND the native merge, oracle rows are the literal
+    # expected NULL-semantics values
+    from ..functions.aggregate import merge_sketches_native
+
     _prep(spark)
     li = load_table(spark, sf_dir, "lineitem")
     a = li.where(F.col("l_returnflag") == "A").agg(
@@ -244,14 +338,57 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = a.crossJoin(r).select(
         fs.ddsketch_merge(F.col("sa"), F.col("sr")).alias("m")
     )
-    return merged.select(
-        fs.ddsketch_count(F.col("m")).alias("count"),
-        fs.ddsketch_min(F.col("m")).cast("float").alias("min"),
-        fs.ddsketch_max(F.col("m")).cast("float").alias("max"),
-        fs.ddsketch_sum(F.col("m")).cast("float").alias("sum"),
-        fs.ddsketch_avg(F.col("m")).cast("float").alias("avg"),
-        fs.ddsketch_quantile(F.col("m"), F.lit(0.5)).cast("float").alias("p50"),
+
+    def extract(df, col, label_col="part"):
+        m = F.col(col)
+        return df.select(
+            F.col(label_col).alias("part"),
+            fs.ddsketch_count(m).alias("count"),
+            fs.ddsketch_min(m).cast("float").alias("min"),
+            fs.ddsketch_max(m).cast("float").alias("max"),
+            fs.ddsketch_sum(m).cast("float").alias("sum"),
+            fs.ddsketch_avg(m).cast("float").alias("avg"),
+            fs.ddsketch_quantile(m, F.lit(0.5)).cast("float").alias("p50"),
+        )
+
+    base = extract(merged.withColumn("part", F.lit("merged_ab")), "m")
+
+    s1, s2, s3, emp, garbage = _q04_chaos_inputs()
+    pairs = spark.createDataFrame(
+        [
+            ("chaos_scalar_ok", s1, s2),
+            ("chaos_scalar_mixed_gamma", s1, s3),
+            ("chaos_scalar_corrupt", s1, garbage),
+            ("chaos_scalar_with_null", s1, None),
+            ("chaos_scalar_empties", emp, emp),
+        ],
+        "part string, a binary, b binary",
     )
+    scalar_part = extract(
+        pairs.select(
+            "part", fs.ddsketch_merge(F.col("a"), F.col("b")).alias("m")
+        ),
+        "m",
+    )
+    ndf = spark.createDataFrame(
+        [
+            ("chaos_native_ok", s1),
+            ("chaos_native_ok", s2),
+            ("chaos_native_mixed_gamma", s1),
+            ("chaos_native_mixed_gamma", s3),
+            ("chaos_native_corrupt", s1),
+            ("chaos_native_corrupt", garbage),
+            ("chaos_native_with_null", s1),
+            ("chaos_native_with_null", None),
+            ("chaos_native_empties", emp),
+            ("chaos_native_empties", emp),
+        ],
+        "part string, sketch binary",
+    )
+    native_part = extract(
+        merge_sketches_native(ndf, ["part"], "sketch"), "sketch"
+    )
+    return base.unionAll(scalar_part).unionAll(native_part)
 
 
 # ---------------------------------------------------------------------------

@@ -328,6 +328,26 @@ def test_merge_sketches_native_matches_simple_agg(spark):
         assert simple[k].quantile(0.5) == native_m[k].quantile(0.5)
 
 
+def test_merge_sketches_native_null_row_order_independent(spark):
+    """A NULL/invalid blob in a group must be SKIPPED (aggregate NULL-skip,
+    lib.rs:1024) regardless of where it lands in evaluation order — the
+    gamma pick uses first(gamma, true), so a NULL-struct row can never
+    donate a NULL gamma and null the whole group."""
+    from duckdb_ddsketch_spark.functions.aggregate import merge_sketches_native
+
+    valid = DDSketch(0.01).extend([1.0, 2.0, 3.0]).encode()
+    for rows in (
+        [("g", None), ("g", valid)],  # NULL first in the single partition
+        [("g", valid), ("g", None)],
+        [("g", b"\xde\xad\xbe\xef\x00"), ("g", valid)],  # corrupt first
+    ):
+        df = spark.createDataFrame(rows, "k string, sketch binary").coalesce(1)
+        out = merge_sketches_native(df, ["k"], "sketch").collect()
+        assert len(out) == 1
+        assert out[0].sketch is not None, rows
+        assert DDSketch.decode(bytes(out[0].sketch)).count == 3.0, rows
+
+
 def test_merge_sketches_native_plan_has_partial_agg(spark):
     """The wire-blob merge must NOT be an AggregateInPandas over raw rows:
     the aggregate runs in Catalyst with map-side partial aggregation and the
