@@ -42,6 +42,7 @@ __all__ = [
     "sample_frames",
     "fake_image_decoder",
     "real_image_decoder",
+    "default_image_decoder",
 ]
 
 # canonical media row: payload + typed metadata (mirrors common lakehouse
@@ -118,24 +119,89 @@ def fake_image_decoder(payload: bytes) -> dict:
     }
 
 
-def real_image_decoder(payload: bytes) -> dict:  # pragma: no cover
-    """Actual codec hook — not available in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, which are not installed; "
-        "pass decoder=fake_image_decoder for the deterministic test path"
-    )
+def _image_codec():
+    """Best available image codec module: ('pil', PIL.Image), ('cv2', cv2),
+    or None. Import is attempted once per process and cached."""
+    global _IMAGE_CODEC
+    if _IMAGE_CODEC is _UNSET:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _IMAGE_CODEC = ("pil", Image)
+        except ImportError:
+            try:
+                import cv2  # noqa: PLC0415
+
+                _IMAGE_CODEC = ("cv2", cv2)
+            except ImportError:
+                _IMAGE_CODEC = None
+    return _IMAGE_CODEC
+
+
+_UNSET = object()
+_IMAGE_CODEC = _UNSET
+
+
+def real_image_decoder(payload: bytes) -> dict:
+    """Actual image decode, capability-gated: uses PIL if installed, else
+    OpenCV, else raises. Output shape matches ``fake_image_decoder``
+    (width/height plus an 8-bin L1-normalized grayscale histogram as the
+    'embedding'), so the two decoders are drop-in interchangeable; the
+    oracle-gated driver path stays pinned to the deterministic fake."""
+    codec = _image_codec()
+    if codec is None:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv, which are not installed; "
+            "pass decoder=fake_image_decoder for the deterministic test path"
+        )
+    kind, mod = codec
+    if kind == "pil":
+        import io  # noqa: PLC0415
+
+        im = mod.open(io.BytesIO(payload))
+        width, height = im.size
+        hist256 = im.convert("L").histogram()
+        hist = [float(sum(hist256[i * 32 : (i + 1) * 32])) for i in range(8)]
+    else:  # cv2
+        import numpy as np  # noqa: PLC0415
+
+        img = mod.imdecode(
+            np.frombuffer(payload, dtype=np.uint8), mod.IMREAD_GRAYSCALE
+        )
+        if img is None:
+            raise ValueError("cv2 could not decode payload")
+        height, width = img.shape[:2]
+        counts, _edges = np.histogram(img, bins=8, range=(0, 256))
+        hist = [float(c) for c in counts]
+    s = sum(hist) or 1.0
+    return {
+        "width": int(width),
+        "height": int(height),
+        "feature": [h / s for h in hist],
+    }
+
+
+def default_image_decoder() -> Callable[[bytes], dict]:
+    """The decoder ``extract_features`` uses when none is passed: the real
+    codec when one is installed, the deterministic fake otherwise."""
+    return real_image_decoder if _image_codec() is not None else fake_image_decoder
 
 
 def extract_features(
     media: DataFrame,
-    decoder: Callable[[bytes], dict] = fake_image_decoder,
+    decoder: Optional[Callable[[bytes], dict]] = None,
     batch_size_hint: int = 256,
 ) -> DataFrame:
     """Decode + featurize payloads via mapInPandas (no shuffle).
 
     The decoder runs once per row inside Arrow-batched partitions; output
-    drops the payload so everything downstream is cheap to move.
+    drops the payload so everything downstream is cheap to move. With no
+    ``decoder`` the capability-gated default applies (real codec when
+    PIL/opencv is installed, deterministic fake otherwise); pass
+    ``fake_image_decoder`` explicitly for oracle-pinned results.
     """
+    if decoder is None:
+        decoder = default_image_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1898,7 +1898,11 @@ def q46(spark, sf_dir):
         "doc_id", "lang", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     media = multimodal.as_media(docs, "doc_id", "payload")
-    feats = multimodal.extract_features(media)
+    # oracle-pinned: always the deterministic fake, even when a real codec
+    # is installed (the payloads are UTF-8 text, not images)
+    feats = multimodal.extract_features(
+        media, decoder=multimodal.fake_image_decoder
+    )
     joined = feats.join(
         docs.select(F.col("doc_id").alias("media_id"), "lang"), "media_id"
     )

@@ -178,7 +178,9 @@ def test_multimodal_extract_features(spark):
     rows = [(i, bytes([i % 251] * (100 + i))) for i in range(20)]
     df = spark.createDataFrame(rows, "id long, payload binary")
     media = multimodal.as_media(df, "id", "payload")
-    feats = multimodal.extract_features(media).collect()
+    feats = multimodal.extract_features(
+        media, decoder=multimodal.fake_image_decoder
+    ).collect()
     assert len(feats) == 20
     by_id = {r.media_id: r for r in feats}
     assert by_id[0].n_bytes == 100
@@ -199,9 +201,35 @@ def test_multimodal_frame_sampling(spark):
     assert all(len(r.frame_payload) == 1024 for r in frames)
 
 
-def test_multimodal_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.real_image_decoder(b"\x89PNG")
+def test_multimodal_real_decoder_capability_gated():
+    """With a codec installed the real decoder decodes an actual image and
+    default_image_decoder selects it; without one it raises and the
+    default falls back to the deterministic fake."""
+    if multimodal._image_codec() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.real_image_decoder(b"\x89PNG")
+        assert multimodal.default_image_decoder() is multimodal.fake_image_decoder
+        return
+    assert multimodal.default_image_decoder() is multimodal.real_image_decoder
+    # 3x2 black PNG, generated with the installed codec so the test is
+    # self-contained
+    kind, mod = multimodal._image_codec()
+    import io
+
+    if kind == "pil":
+        buf = io.BytesIO()
+        mod.new("L", (3, 2)).save(buf, format="PNG")
+        payload = buf.getvalue()
+    else:
+        import numpy as np
+
+        ok, enc = mod.imencode(".png", np.zeros((2, 3), dtype=np.uint8))
+        assert ok
+        payload = enc.tobytes()
+    d = multimodal.real_image_decoder(payload)
+    assert (d["width"], d["height"]) == (3, 2)
+    assert len(d["feature"]) == 8
+    assert d["feature"][0] == pytest.approx(1.0)  # all-black histogram
 
 
 def test_duplicate_clusters_known_graph(spark):
