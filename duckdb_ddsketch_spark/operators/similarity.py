@@ -54,7 +54,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (never an error) when either norm is 0.
+
+    ``try_divide`` instead of ``/``: under ANSI mode a single zero
+    embedding in a 100 TB corpus would otherwise fail the whole job.
+    NULL compares false against any threshold, so degenerate vectors
+    simply never qualify as near-duplicates or neighbors.
+    """
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -86,8 +93,9 @@ def brute_force_topk(
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))).alias("cos"),
+        F.try_divide(dot(F.col("qvec"), F.col("nvec")), F.col("qnorm") * F.col("nnorm")).alias("cos"),
     )
+    scored = scored.where(F.col("cos").isNotNull())  # zero-norm rows drop out
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -122,7 +130,7 @@ def cosine_near_pairs(
         .select(
             "id_a",
             "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+            F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -208,7 +216,7 @@ def embedding_neardup_lsh(
         .select(
             "id_a",
             "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias(
                 "cos"
             ),
         )
@@ -264,14 +272,18 @@ def brute_force_topk_blas(
             if mat.size == 0:
                 continue
             norms = np.linalg.norm(mat, axis=1)
-            cos = (mat @ q_mat.T) / np.outer(norms, q_norm)  # (batch, nq)
+            denom = np.outer(norms, q_norm)  # (batch, nq)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0.0, (mat @ q_mat.T) / denom, -np.inf)
+            # zero-norm rows score -inf so they can never enter top-k —
+            # mirrors the Catalyst paths' try_divide -> NULL semantics
             # local top-k per query (exclude self-matches afterwards)
             take = min(k + 1, cos.shape[0])
             top = np.argpartition(-cos, take - 1, axis=0)[:take]  # (take, nq)
             res = []
             for j, qid in enumerate(q_ids):
                 for i in top[:, j]:
-                    if ids[i] != qid:
+                    if ids[i] != qid and np.isfinite(cos[i, j]):
                         res.append((qid, ids[i], cos[i, j]))
             yield pd.DataFrame(res, columns=["query_id", "neighbor_id", "cos"])
 
@@ -409,8 +421,8 @@ def ivf_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qvec"), F.col("nvec")) / (norm(F.col("qvec")) * F.col("nnorm"))).alias("cos"),
-    )
+        F.try_divide(dot(F.col("qvec"), F.col("nvec")), norm(F.col("qvec")) * F.col("nnorm")).alias("cos"),
+    ).where(F.col("cos").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -457,8 +469,8 @@ def lsh_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))).alias("cos"),
-    )
+        F.try_divide(dot(F.col("qvec"), F.col("nvec")), F.col("qnorm") * F.col("nnorm")).alias("cos"),
+    ).where(F.col("cos").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

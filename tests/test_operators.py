@@ -1177,3 +1177,38 @@ def test_materialize_sequences_orders_and_reconciles(spark):
     assert sorted((r.shard, r.seq_id, r.text) for r in again) == sorted(
         (r.shard, r.seq_id, r.text) for r in out
     )
+
+
+def test_zero_norm_vectors_never_fail_or_match(spark):
+    """A single zero embedding in a 100 TB corpus must not kill the job:
+    every cosine path uses try_divide (NULL, filtered) — under ANSI mode
+    a plain `/` raises DIVIDE_BY_ZERO (how the round-5 probe found this).
+    The BLAS path scores zero-norm rows -inf so they never enter top-k."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # degenerate: zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_near_pairs(df, 0.5).collect()
+    }
+    assert pairs == {(1, 2)}  # no crash; zero vector matches nothing
+
+    near = similarity.embedding_neardup_lsh(df, 0.5, planes=4, dims=3)
+    assert {(r.id_a, r.id_b) for r in near.collect()} <= {(1, 2)}
+
+    q = df.where(F.col("vec_id") == 1)
+    for out in (
+        similarity.brute_force_topk(df, q, k=3),
+        similarity.brute_force_topk_blas(df, q, k=3),
+    ):
+        got = {r.neighbor_id for r in out.collect()}
+        assert 3 not in got and 2 in got
+
+    # a zero-norm QUERY likewise returns no neighbors rather than raising
+    zq = df.where(F.col("vec_id") == 3)
+    assert similarity.brute_force_topk(df, zq, k=2).count() == 0
+    assert similarity.brute_force_topk_blas(df, zq, k=2).count() == 0
