@@ -84,6 +84,19 @@ ANN_PRIMES = (
 # whole-stage-codegen) vs the same list arithmetic in DuckDB.
 N_TEXT, N_TEXT_D = 15_000_000, 1_000_000
 
+# sessionization family: 60M events, 1M users (60 events/user spread over a
+# day — mean gap 1440s, so a 900s gap threshold genuinely splits sessions).
+# Spark drives relational.sessionize (lag + running-sum window, one shuffle
+# on the key); DuckDB runs the identical window SQL.
+SESS_USERS, SESS_GAP_S = 1_000_000, 900
+SESS_TS = "(id * 2654435761) % 86400"
+
+# sequence-packing family: 15M docs into 8192-token training sequences,
+# 256 shards (the per-shard window is the documented scale shape — one
+# global window would serialize). Spark drives sampling.pack_manifest.
+N_PACK, PACK_SHARDS, PACK_BUDGET = 15_000_000, 256, 8192
+PACK_TOK = "(id * 40503) % 1951 + 50"
+
 # k-means family: 60M 4-dim vectors of exactly-representable dyadic
 # rationals ((id*p) % 1024) / 64 — identical doubles in both engines, so
 # the Python-driven DuckDB mirror reproduces the Spark operator's centroid
@@ -438,6 +451,48 @@ def _duckdb_family_sqls() -> dict:
     FROM per
     """
 
+    # sessionization: identical lag + running-sum window over 60M events
+    sqls["sessionize_60m"] = f"""
+    WITH gen AS (
+        SELECT range AS id, range % {SESS_USERS} AS u,
+               ({SESS_TS.replace('id', 'range')}) AS ts
+        FROM range({N_60M})
+    ),
+    flagged AS (
+        SELECT u,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > {SESS_GAP_S}
+                    THEN 1 ELSE 0 END AS ns
+        FROM gen WINDOW w AS (PARTITION BY u ORDER BY ts ASC, id ASC)
+    ),
+    per AS (SELECT u, SUM(ns) AS n_sessions FROM flagged GROUP BY u)
+    SELECT COUNT(*) AS n_users, SUM(n_sessions) AS n_sessions FROM per
+    """
+
+    # sequence packing: identical cumulative-window pack over 15M docs
+    sqls["pack_manifest_15m"] = f"""
+    WITH gen AS (
+        SELECT range AS doc_id, range % {PACK_SHARDS} AS shard,
+               ({PACK_TOK.replace('id', 'range')}) AS tokens
+        FROM range({N_PACK})
+    ),
+    packed AS (
+        SELECT shard, tokens,
+               CAST(FLOOR(COALESCE(SUM(tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {PACK_BUDGET}) AS BIGINT) AS seq_id
+        FROM gen
+    ),
+    man AS (
+        SELECT shard, seq_id, COUNT(*) AS n_docs, SUM(tokens) AS token_sum
+        FROM packed GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_seqs, SUM(n_docs) AS docs,
+           SUM(token_sum) AS toks, MAX(token_sum) AS max_tok
+    FROM man
+    """
+
     # k-means: Python-driven mirror of clustering.kmeans_summary — the Spark
     # operator collects k*dims centroid sums between Lloyd iterations, so
     # the honest DuckDB mirror is the same loop with literal centroids
@@ -709,6 +764,51 @@ def run_spark_families(spark, result: dict) -> None:
         ).collect()
 
     fam["text_metrics_15m"] = _timed(text_metrics)
+
+    def sessionize_60m():
+        df = gen(
+            N_60M,
+            [
+                ("id", "id"),
+                ("user", f"id % {SESS_USERS}"),
+                ("ts", f"timestamp_seconds({SESS_TS})"),
+            ],
+        )
+        sess = relational.sessionize(
+            df, ["user"], ts="ts", gap_seconds=SESS_GAP_S, tiebreak="id"
+        )
+        per_user = sess.groupBy("user").agg(
+            (F.max("session_idx") + 1).alias("ns")
+        )
+        per_user.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("ns").alias("n_sessions"),
+        ).collect()
+
+    fam["sessionize_60m"] = _timed(sessionize_60m)
+
+    def pack_15m():
+        from duckdb_ddsketch_spark.operators import sampling
+
+        df = gen(
+            N_PACK,
+            [
+                ("doc_id", "id"),
+                ("shard", f"id % {PACK_SHARDS}"),
+                ("tokens", PACK_TOK),
+            ],
+        )
+        man = sampling.pack_manifest(
+            df, "tokens", PACK_BUDGET, keys=["shard"], order_col="doc_id"
+        )
+        man.agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_docs").alias("docs"),
+            F.sum("token_sum").alias("toks"),
+            F.max("token_sum").alias("max_tok"),
+        ).collect()
+
+    fam["pack_manifest_15m"] = _timed(pack_15m)
 
     def kmeans_60m():
         from duckdb_ddsketch_spark.operators import clustering

@@ -32,6 +32,7 @@ __all__ = [
     "hyperplane_code",
     "lsh_topk",
     "embedding_neardup_lsh",
+    "semantic_dedup",
 ]
 
 
@@ -478,4 +479,94 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    k: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    max_cell: int = 100_000,
+    subplanes: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    with the deterministic k-means (`clustering.kmeans_centroids`), then
+    drop every document that has a SAME-CELL neighbor with a smaller id at
+    cosine >= ``threshold`` (the standard keep-one-representative policy,
+    published as SemDeDup; Abbas et al. 2023, arXiv:2303.09540).
+
+    Returns the input's id column + ``cluster_id`` + ``is_kept``. The
+    dominance rule is non-iterative on purpose — "keep the min id of every
+    near-dup pair" needs no connected components, one anti-join decides
+    each row, and the result is deterministic and oracle-checkable.
+
+    Scale shape (100 TB): assignment is map-only (centroids are literal
+    expressions); candidate pairs form ONLY inside one k-means cell via an
+    equi-join on ``cluster_id``, the IVF analogue of the LSH bucketing in
+    :func:`embedding_neardup_lsh`. A degenerate cell larger than
+    ``max_cell`` is sub-bucketed with ``subplanes`` sign-LSH planes before
+    pairing (recall inside such cells drops to the LSH collision rate —
+    documented approximation; cells below the cap are exact within-cell).
+    Cross-cell near-dups are missed by construction, exactly SemDeDup's
+    published trade-off.
+    """
+    from . import clustering
+
+    if centroids is None:
+        centroids = clustering.kmeans_centroids(df, vec_col, id_col, k, iters)
+    dims = _resolve_dims(df, vec_col, None)
+    assigned = clustering.kmeans_assign(df, centroids, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col("cluster_id"),
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__cn"))
+    coded = (
+        assigned.join(F.broadcast(sizes), "cluster_id")
+        .withColumn(
+            "subcode",
+            F.when(
+                F.col("__cn") > max_cell,
+                hyperplane_code(F.col("vec"), planes=subplanes, dims=dims),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .drop("__cn")
+    )
+    a = coded.select(
+        F.col("cluster_id"), F.col("subcode"),
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        norm(F.col("vec")).alias("na"),
+    )
+    b = coded.select(
+        F.col("cluster_id"), F.col("subcode"),
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        norm(F.col("vec")).alias("nb"),
+    )
+    dominated = (
+        a.join(
+            b,
+            (a["cluster_id"] == b["cluster_id"])
+            & (a["subcode"] == b["subcode"])
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(
+            F.try_divide(
+                dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias("__dom"))
+        .distinct()
+    )
+    return (
+        coded.join(dominated, coded["id"] == dominated["__dom"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster_id"),
+            F.col("__dom").isNull().alias("is_kept"),
+        )
     )

@@ -340,20 +340,28 @@ FROM ({O['q22_minhash_lsh_neardups']}) b""",
         ),
     )
 
-    # q40: k-means cluster summary JOIN diversity sample manifest (same
-    # deterministic clustering feeds both members)
+    # q40: k-means cluster summary JOIN diversity sample manifest JOIN
+    # semantic-dedup keep accounting (the same deterministic clustering
+    # feeds all three members — SemDeDup is the round-5 addition)
     def q40_kmeans(spark, sf_dir) -> DataFrame:
         km = Q["q73_kmeans_clusters"](spark, sf_dir)
         div = Q["q76_diversity_sample"](spark, sf_dir)
-        return km.join(div, "cluster_id")
+        sem = Q["q88_semantic_dedup"](spark, sf_dir).select(
+            "cluster_id",
+            F.col("n_kept").alias("sem_kept"),
+            F.col("dropped_id_sum").alias("sem_dropped_sum"),
+        )
+        return km.join(div, "cluster_id").join(sem, "cluster_id")
 
     add(
         "q40_kmeans_diversity_sample",
         q40_kmeans,
         f"""SELECT a.cluster_id, a.n_vecs, a.c0, a.c1, a.mean_label,
-       b.n_sampled, b.vec_id_sum, b.n_labels, b.min_vec_id
+       b.n_sampled, b.vec_id_sum, b.n_labels, b.min_vec_id,
+       c.n_kept AS sem_kept, c.dropped_id_sum AS sem_dropped_sum
 FROM ({O['q73_kmeans_clusters']}) a
-JOIN ({O['q76_diversity_sample']}) b USING (cluster_id)""",
+JOIN ({O['q76_diversity_sample']}) b USING (cluster_id)
+JOIN ({O['q88_semantic_dedup']}) c USING (cluster_id)""",
     )
 
     # -- approximate query processing sketches ------------------------------

@@ -4138,6 +4138,63 @@ def q87(spark, sf_dir):
     return per.selectExpr(*cols)
 
 
+# ---------------------------------------------------------------------------
+# q88 — semantic dedup (SemDeDup, Abbas et al. 2023): k-means cells bucket
+# the embedding space, then every vector with a smaller-id same-cell
+# neighbor at cos >= threshold is dropped. Per-cluster keep accounting.
+# Threshold 0.45 deliberately reuses q24's gate-proven cosine boundary.
+# ---------------------------------------------------------------------------
+
+_Q88_THR = 0.45
+
+
+def _q88_oracle() -> str:
+    return f"""{_q73_ctes()},
+    pairs AS (
+        SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM final a JOIN final b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= {_Q88_THR}
+    ),
+    dom AS (SELECT DISTINCT id_b FROM pairs),
+    flagged AS (
+        SELECT f.cid, f.vec_id, (d.id_b IS NULL) AS is_kept
+        FROM final f LEFT JOIN dom d ON f.vec_id = d.id_b
+    )
+    SELECT CAST(cid AS INT) AS cluster_id,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(COALESCE(SUM(CASE WHEN NOT is_kept THEN vec_id END), 0)
+               AS BIGINT) AS dropped_id_sum
+    FROM flagged GROUP BY cid"""
+
+
+@_declare("q88_semantic_dedup", _q88_oracle())
+def q88(spark, sf_dir):
+    """similarity.semantic_dedup over the embeddings table with the q73
+    deterministic k-means cells (same k/iters, so the oracle reuses the
+    shared literal-centroid CTE chain), summarized per cluster."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    out = similarity.semantic_dedup(
+        emb, threshold=_Q88_THR, k=_Q73_K, iters=_Q73_ITERS
+    )
+    return out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_kept"), F.col("vec_id"))), F.lit(0)
+        ).alias("dropped_id_sum"),
+    ).select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "n_vecs", "n_kept", "dropped_id_sum",
+    )
+
+
+
 # ===========================================================================
 # Final registry: the driver grades at most 50 queries, so the staged
 # per-operator declarations above are curated into exactly 50 slots

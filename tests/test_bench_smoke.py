@@ -30,6 +30,8 @@ def bench_small(tmp_path_factory):
             "N_ANN_Q",
             "N_TEXT",
             "N_TEXT_D",
+            "N_PACK",
+            "SESS_USERS",
             "STREAM_SRC",
         )
     }
@@ -40,6 +42,8 @@ def bench_small(tmp_path_factory):
     bench.N_BITMAP_USERS = 5_000
     bench.N_ANN_CORPUS, bench.N_ANN_Q = 5_000, 8
     bench.N_TEXT, bench.N_TEXT_D = 20_000, 500
+    bench.N_PACK = 20_000
+    bench.SESS_USERS = 1_000
     bench.STREAM_SRC = str(tmp_path_factory.mktemp("bench_stream"))
     yield bench
     for k, v in saved.items():
@@ -59,6 +63,8 @@ def test_all_spark_families_execute(spark, bench_small):
         "bitmap_retention",
         "ann_brute_2m_x128",
         "text_metrics_15m",
+        "sessionize_60m",
+        "pack_manifest_15m",
         "kmeans_60m",
         "streaming_windows",
         "streaming_windows_full_recompute",
@@ -85,3 +91,54 @@ def test_headline_oracles_resolve(bench_small):
     for name in bench_small.HEADLINE:
         assert name in declared.STAGED_QUERIES
         assert name in declared.STAGED_ORACLES
+
+
+def test_sessionize_and_pack_mirrors_agree(spark, bench_small):
+    """The two window-family mirrors must compute the SAME summary values
+    as the Spark operators at small N — a mirror that merely executes can
+    still silently measure a different workload (the round-4 strlen/length
+    lesson)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import relational, sampling
+
+    b = bench_small
+    con = duckdb.connect()
+    try:
+        mirrors = b._duckdb_family_sqls()
+
+        # sessionize
+        df = spark.range(b.N_60M).selectExpr(
+            "id",
+            f"id % {b.SESS_USERS} AS user",
+            f"timestamp_seconds({b.SESS_TS}) AS ts",
+        )
+        sess = relational.sessionize(
+            df, ["user"], ts="ts", gap_seconds=b.SESS_GAP_S, tiebreak="id"
+        )
+        srow = (
+            sess.groupBy("user")
+            .agg((F.max("session_idx") + 1).alias("ns"))
+            .agg(F.count(F.lit(1)), F.sum("ns"))
+            .collect()[0]
+        )
+        drow = con.execute(mirrors["sessionize_60m"]).fetchall()[0]
+        assert (int(srow[0]), int(srow[1])) == (int(drow[0]), int(drow[1]))
+
+        # pack manifest
+        docs = spark.range(b.N_PACK).selectExpr(
+            "id AS doc_id",
+            f"id % {b.PACK_SHARDS} AS shard",
+            f"{b.PACK_TOK.replace('id', 'doc_id')} AS tokens",
+        )
+        man = sampling.pack_manifest(
+            docs, "tokens", b.PACK_BUDGET, keys=["shard"], order_col="doc_id"
+        )
+        srow = man.agg(
+            F.count(F.lit(1)), F.sum("n_docs"), F.sum("token_sum"),
+            F.max("token_sum"),
+        ).collect()[0]
+        drow = con.execute(mirrors["pack_manifest_15m"]).fetchall()[0]
+        assert tuple(int(x) for x in srow) == tuple(int(x) for x in drow)
+    finally:
+        con.close()

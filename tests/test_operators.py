@@ -1212,3 +1212,57 @@ def test_zero_norm_vectors_never_fail_or_match(spark):
     zq = df.where(F.col("vec_id") == 3)
     assert similarity.brute_force_topk(df, zq, k=2).count() == 0
     assert similarity.brute_force_topk_blas(df, zq, k=2).count() == 0
+
+
+def test_semantic_dedup_keep_policy(spark):
+    """SemDeDup dominance: within a k-means cell, a vector is dropped iff
+    a smaller-id same-cell neighbor sits at cos >= threshold; near-dups in
+    DIFFERENT cells are both kept (the published trade-off)."""
+    # seeds are the k smallest ids (deterministic init), so ids 1 and 2
+    # anchor the two cells and the near-dups arrive at higher ids
+    rows = [
+        (1, [1.0, 0.0, 0.0]),      # seed, x-cell -> kept
+        (2, [0.0, 1.0, 0.0]),      # seed, y-cell -> kept
+        (3, [0.999, 0.01, 0.0]),   # near-dup of 1, same cell -> dropped
+        (4, [0.0, 0.98, 0.05]),    # near-dup of 2, same cell -> dropped
+        (5, [-1.0, 0.0, 0.0]),     # no near neighbor -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(df, threshold=0.95, k=2, iters=2)
+    kept = {r.vec_id: r.is_kept for r in out.collect()}
+    assert kept[1] and kept[2] and kept[5]
+    assert not kept[3] and not kept[4]
+    # deterministic: same inputs, same flags
+    kept2 = {
+        r.vec_id: r.is_kept
+        for r in similarity.semantic_dedup(
+            df, threshold=0.95, k=2, iters=2
+        ).collect()
+    }
+    assert kept == kept2
+
+
+def test_semantic_dedup_oversized_cell_subbuckets(spark):
+    """With max_cell forced to 1, every cell is 'oversized' so pairing is
+    LSH-sub-bucketed: still no crash, output covers every row exactly
+    once, and any dropped row has a genuine smaller-id near neighbor."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, [v * 1.001 for v in base]))  # exact-direction dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(
+        df, threshold=0.999, k=4, iters=1, max_cell=1, subplanes=4
+    )
+    got = out.collect()
+    assert len(got) == len(rows)
+    kept = {r.vec_id: r.is_kept for r in got}
+    # scaled copies have cos == 1 with their base; when the pair lands in
+    # one sub-bucket the odd id must drop — and every even id must survive
+    # (nothing has a smaller-id neighbor at cos >= .999 except the copies)
+    assert all(kept[2 * i] for i in range(40))
+    assert any(not kept[2 * i + 1] for i in range(40))
