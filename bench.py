@@ -801,12 +801,22 @@ def run_spark_families(spark, result: dict) -> None:
         man = sampling.pack_manifest(
             df, "tokens", PACK_BUDGET, keys=["shard"], order_col="doc_id"
         )
-        man.agg(
-            F.count(F.lit(1)).alias("n_seqs"),
-            F.sum("n_docs").alias("docs"),
-            F.sum("token_sum").alias("toks"),
-            F.max("token_sum").alias("max_tok"),
-        ).collect()
+        # the window's sort cost scales with ROWS per reducer, not bytes:
+        # AQE's 64MB advisory folds the 15M-row shuffle into ~5 tasks and
+        # serializes the sort (4.6s -> 1.7s measured; same lesson as the
+        # full-recompute aggregate, see SCALING.md)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            man.agg(
+                F.count(F.lit(1)).alias("n_seqs"),
+                F.sum("n_docs").alias("docs"),
+                F.sum("token_sum").alias("toks"),
+                F.max("token_sum").alias("max_tok"),
+            ).collect()
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
 
     fam["pack_manifest_15m"] = _timed(pack_15m)
 
@@ -874,13 +884,20 @@ def run_spark_families(spark, result: dict) -> None:
         # the final aggregate into ~5 reducer tasks, but aggregate work
         # scales with GROUPS, not bytes — keep all reducers for this stage
         # (3.7s -> 1.4s measured; profiled round 5, see SCALING.md).
+        # The 16 staged files also under-parallelize the 32-core map stage
+        # at the default 128MB split: 4MB splits give every core a scan +
+        # partial-agg task (1.55s -> 1.42s, the measured floor).
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024)
+        )
         try:
             _full_recompute_agg(df, v, gamma)
         finally:
             spark.conf.set(
                 "spark.sql.adaptive.coalescePartitions.enabled", "true"
             )
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     def _full_recompute_agg(df, v, gamma):
         from duckdb_ddsketch_spark.operators.native import value_to_bin_expr
