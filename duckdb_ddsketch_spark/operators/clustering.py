@@ -46,10 +46,16 @@ def _dist_sql(vec_sql: str, cvals: Sequence[float]) -> str:
 
     Expanded element arithmetic, not an ``aggregate(zip_with(...))`` fold:
     higher-order functions are interpreted per element while the expanded
-    sum whole-stage-codegens (~20% off the 60M assignment pass). The
+    sum whole-stage-codegens (3.1x on the 60M assignment pass). The
     ``+`` chain is left-associative, so summation order — and therefore
     every double — is identical to the fold's and to the DuckDB mirror's
     list_aggregate sum (pinned by the driver gate).
+
+    Caveat (measured, SCALING.md "vector-arithmetic shape findings"):
+    the expansion indexes ``vec_sql`` per element, and projection
+    collapse inlines a DERIVED embedding expression into every index —
+    feed k-means a stored/scanned column (or checkpoint the projection
+    first) if the embedding is computed by an expensive expression.
     """
     terms = [
         f"(CAST({vec_sql}[{d}] AS DOUBLE) - {v!r}D)"
