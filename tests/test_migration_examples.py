@@ -161,3 +161,59 @@ def test_ingest_paths_ranked_example(spark, fixtures):
     for k in nat:
         assert nat[k][0] == wire[k][0]
         assert abs(nat[k][1] - wire[k][1]) <= 1e-9 * max(1.0, abs(nat[k][1]))
+
+
+def test_reference_readme_stats_agg_verbatim(spark, fixtures):
+    """The reference README's ddsketch_stats_agg examples, pasted verbatim
+    (README.md:266-291 of the reference): the single registered name —
+    round-5 session macro — including the outer field-access form with
+    every documented struct field."""
+    out = {
+        r["service"]: r
+        for r in spark.sql(
+            """
+            SELECT
+                service,
+                ddsketch_stats_agg(latency_sketch) as stats
+            FROM hourly_latency_sketches
+            GROUP BY service
+            """
+        ).collect()
+    }
+    assert set(out) == {"api-gateway", "web"}
+
+    rows = spark.sql(
+        """
+        SELECT
+            service,
+            stats.count,
+            stats.sum,
+            stats.avg,
+            stats.min,
+            stats.max,
+            stats.p50,
+            stats.p95,
+            stats.p99
+        FROM (
+            SELECT service, ddsketch_stats_agg(latency_sketch) as stats
+            FROM hourly_latency_sketches
+            GROUP BY service
+        )
+        """
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["count"] == 60
+        # values 1..20 (+hour): bin-math stats stay near the exact range
+        assert 0.9 <= r["min"] <= 1.2
+        assert 20 <= r["max"] <= 23.5
+        assert r["p50"] < r["p95"] < r["p99"] <= r["max"] * 1.01
+        assert abs(r["avg"] - r["sum"] / r["count"]) < 1e-9
+    # the full documented field list is present on the struct
+    schema = spark.sql(
+        "SELECT ddsketch_stats_agg(latency_sketch) AS stats"
+        " FROM hourly_latency_sketches"
+    ).schema["stats"].dataType.fieldNames()
+    for f in ("sketch", "count", "sum", "avg", "min", "max",
+              "p25", "p50", "p75", "p90", "p95", "p99"):
+        assert f in schema, f
