@@ -217,3 +217,24 @@ def test_reference_readme_stats_agg_verbatim(spark, fixtures):
     for f in ("sketch", "count", "sum", "avg", "min", "max",
               "p25", "p50", "p75", "p90", "p95", "p99"):
         assert f in schema, f
+
+
+def test_reference_readme_folding_verbatim(spark, fixtures):
+    """Reference README 'Folding Sketches Across Rows' example verbatim
+    (README.md:172-186): scalar functions nested over ddsketch_agg in
+    plain SQL."""
+    rows = spark.sql(
+        """
+        SELECT
+            service,
+            ddsketch_count(ddsketch_agg(latency_sketch)) as total_count,
+            ddsketch_quantile(ddsketch_agg(latency_sketch), 0.95) as p95
+        FROM hourly_latency_sketches
+        WHERE service = 'api-gateway'
+        GROUP BY service
+        """
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["total_count"] == 60.0
+    # 3 hours x values 1..20 (+hour): p95 sits near the top of the range
+    assert 18.0 <= rows[0]["p95"] <= 23.5
