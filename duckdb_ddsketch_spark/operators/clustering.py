@@ -162,7 +162,16 @@ def kmeans_assign(
     centroids: List[Tuple[int, List[float]]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Map-only: input rows + ``cluster_id`` of the nearest centroid."""
+    """Map-only: input rows + ``cluster_id`` of the nearest centroid.
+
+    An empty centroid list (k-means over an empty table) assigns nothing
+    and returns an empty frame with the output schema — mirroring the
+    SQL oracle's graceful zero rows instead of building a malformed
+    ``array_min(array())`` expression."""
+    if not centroids:
+        return df.where(F.lit(False)).selectExpr(
+            "*", "CAST(NULL AS INT) AS cluster_id"
+        )
     return df.where(F.col(vec_col).isNotNull()).selectExpr(
         "*", f"{_assign_expr(vec_col, centroids)} AS cluster_id"
     )

@@ -518,6 +518,13 @@ def semantic_dedup(
 
     if centroids is None:
         centroids = clustering.kmeans_centroids(df, vec_col, id_col, k, iters)
+    if not centroids:
+        # empty corpus: zero rows with the output schema, like the oracle
+        return df.where(F.lit(False)).select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(True).alias("is_kept"),
+        )
     dims = _resolve_dims(df, vec_col, None)
     assigned = clustering.kmeans_assign(df, centroids, vec_col).select(
         F.col(id_col).alias("id"),

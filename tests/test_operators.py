@@ -1266,3 +1266,21 @@ def test_semantic_dedup_oversized_cell_subbuckets(spark):
     # (nothing has a smaller-id neighbor at cos >= .999 except the copies)
     assert all(kept[2 * i] for i in range(40))
     assert any(not kept[2 * i + 1] for i in range(40))
+
+
+def test_kmeans_and_semantic_dedup_empty_input(spark):
+    """An empty table flows through k-means assignment and semantic_dedup
+    as zero rows (the oracle's behavior) instead of building a malformed
+    array_min(array()) expression or a TypeError — the q86 lesson applied
+    to the clustering family."""
+    from duckdb_ddsketch_spark.operators import clustering
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert clustering.kmeans_centroids(empty, "embedding", "vec_id", k=3) == []
+    assigned = clustering.kmeans_assign(empty, [], "embedding")
+    assert assigned.columns == ["vec_id", "embedding", "cluster_id"]
+    assert assigned.count() == 0
+    assert clustering.kmeans_summary(empty, "embedding", "vec_id", k=3).count() == 0
+    out = similarity.semantic_dedup(empty, threshold=0.9, k=3)
+    assert out.columns == ["vec_id", "cluster_id", "is_kept"]
+    assert out.count() == 0
