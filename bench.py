@@ -801,22 +801,15 @@ def run_spark_families(spark, result: dict) -> None:
         man = sampling.pack_manifest(
             df, "tokens", PACK_BUDGET, keys=["shard"], order_col="doc_id"
         )
-        # the window's sort cost scales with ROWS per reducer, not bytes:
-        # AQE's 64MB advisory folds the 15M-row shuffle into ~5 tasks and
-        # serializes the sort (4.6s -> 1.7s measured; same lesson as the
-        # full-recompute aggregate, see SCALING.md)
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        try:
-            man.agg(
-                F.count(F.lit(1)).alias("n_seqs"),
-                F.sum("n_docs").alias("docs"),
-                F.sum("token_sum").alias("toks"),
-                F.max("token_sum").alias("max_tok"),
-            ).collect()
-        finally:
-            spark.conf.set(
-                "spark.sql.adaptive.coalescePartitions.enabled", "true"
-            )
+        # window sort cost scales with ROWS per reducer, not bytes — the
+        # session-wide 8MB advisory (see main()) keeps the 15M-row
+        # shuffle parallel (4.6s with the 64MB default -> 1.4s)
+        man.agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_docs").alias("docs"),
+            F.sum("token_sum").alias("toks"),
+            F.max("token_sum").alias("max_tok"),
+        ).collect()
 
     fam["pack_manifest_15m"] = _timed(pack_15m)
 
@@ -887,16 +880,14 @@ def run_spark_families(spark, result: dict) -> None:
         # The 16 staged files also under-parallelize the 32-core map stage
         # at the default 128MB split: 4MB splits give every core a scan +
         # partial-agg task (1.55s -> 1.42s, the measured floor).
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # (the reduce side stays parallel via the session-wide 8MB
+        # advisory — see main(); only the input split needs local help)
         spark.conf.set(
             "spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024)
         )
         try:
             _full_recompute_agg(df, v, gamma)
         finally:
-            spark.conf.set(
-                "spark.sql.adaptive.coalescePartitions.enabled", "true"
-            )
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     def _full_recompute_agg(df, v, gamma):
@@ -948,6 +939,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # 8MB advisory: AQE still merges near-empty reducers but stops
+        # serializing group- and sort-heavy stages (bitmap 6.2->4.9s,
+        # pack 4.6->1.4s, full-recompute 3.7->1.5s measured; aggregate
+        # and window cost scales with rows/groups per task, not bytes)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -54,13 +54,21 @@ def _prep(spark: SparkSession) -> None:
     # UDF stage (default 10k rows is conservative for numeric payloads).
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     # Coalesce post-shuffle partitions to the advisory size instead of
-    # preserving one-per-core parallelism. At cluster scale the 64MB advisory
+    # preserving one-per-core parallelism. At cluster scale the advisory
     # target still yields thousands of reduce partitions; on small inputs it
     # collapses near-empty reduce tasks (measured ~0.2s/exchange saved at
     # sf0.1 — Spark's own docs recommend false when shuffle sizes are known).
+    # The advisory itself drops 64MB -> 8MB: aggregate and window work
+    # scales with ROWS/GROUPS per reduce task, not bytes, and the byte-based
+    # default serialized every group-heavy stage whose shuffle compresses
+    # well (bitmap retention 6.2->4.9s, sequence packing 4.6->1.4s,
+    # 5.86M-group recompute 3.7->1.5s at 60M rows — SCALING.md).
     try:
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"
         )
     except Exception:
         pass  # non-configurable session (e.g. Connect with locked confs)
