@@ -201,6 +201,20 @@ def _timed(fn) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _timed_family(fn, rerun_under: float = 20.0) -> float:
+    """Family timing with bounded variance control: one full run, and a
+    second run (min taken) only when the first is cheap (< rerun_under
+    seconds). Sub-10s families measured +/-2x swings across one long
+    bench session (JVM/page-cache state from preceding families); the
+    conditional second run bounds the added wall to ~a minute while the
+    expensive families — already >> the noise floor — stay single-shot.
+    Applied SYMMETRICALLY to the Spark and DuckDB sides."""
+    t = _timed(fn)
+    if t < rerun_under:
+        t = min(t, _timed(fn))
+    return t
+
+
 def _best3(fn) -> float:
     """Best-of-3 (min): both engines get the same treatment, and min is the
     variance-proof statistic for sub-second queries on a shared machine —
@@ -278,14 +292,14 @@ def run_duckdb(result: dict) -> None:
         fam = {}
         for name, sql in _duckdb_family_sqls().items():
             if callable(sql):
-                fam[name] = _timed(lambda f=sql: f(con))
+                fam[name] = _timed_family(lambda f=sql: f(con))
             else:
                 if name == "streaming_windows_full_recompute":
                     # steady-state policy (mirrored on the Spark side):
                     # this one-shot query is warmed once so the recorded
                     # number measures the aggregation, not first-touch
                     con.execute(sql).fetchall()
-                fam[name] = _timed(lambda s=sql: con.execute(s).fetchall())
+                fam[name] = _timed_family(lambda s=sql: con.execute(s).fetchall())
         result["duckdb_families_60m_sec"] = fam
     con.close()
 
@@ -664,7 +678,7 @@ def run_spark_families(spark, result: dict) -> None:
         df = gen(N_60M, [("grp", "id % 25"), ("u", HLL_USERS)])
         approx.hll_distinct(df, ["grp"], "u", p=8).collect()
 
-    fam["hll_distinct"] = _timed(hll)
+    fam["hll_distinct"] = _timed_family(hll)
 
     def asof():
         left = gen(N_ASOF_L, [("u", "id % 100000"), ("ts", "id * 7")])
@@ -678,7 +692,7 @@ def run_spark_families(spark, result: dict) -> None:
             F.sum(F.col("ts") - F.col("ts_r")).alias("lag_sum"),
         ).collect()
 
-    fam["asof_join"] = _timed(asof)
+    fam["asof_join"] = _timed_family(asof)
 
     def heavy():
         df = gen(
@@ -693,7 +707,7 @@ def run_spark_families(spark, result: dict) -> None:
             F.col("rank") <= 10
         ).collect()
 
-    fam["heavy_hitters"] = _timed(heavy)
+    fam["heavy_hitters"] = _timed_family(heavy)
 
     def dedup_60m():
         df = gen(
@@ -705,7 +719,7 @@ def run_spark_families(spark, result: dict) -> None:
         )
         dedup.exact_dedup_summary(df, ["src"], text="text", id_col="id").collect()
 
-    fam["exact_dedup"] = _timed(dedup_60m)
+    fam["exact_dedup"] = _timed_family(dedup_60m)
 
     def minhash():
         d = f"id % {MINHASH_D}"
@@ -713,7 +727,7 @@ def run_spark_families(spark, result: dict) -> None:
         docs = gen(N_MINHASH, [("id", "id"), ("text", text)], partitions=32)
         dedup.lsh_candidate_pairs(docs, text="text", id_col="id").count()
 
-    fam["minhash_lsh_600k"] = _timed(minhash)
+    fam["minhash_lsh_600k"] = _timed_family(minhash)
 
     def bitmap_retention():
         from duckdb_ddsketch_spark.operators import bitmap
@@ -728,7 +742,7 @@ def run_spark_families(spark, result: dict) -> None:
         bm = bitmap.activity_bitmap(df, "user", "day")
         bitmap.retention_report(bm, 62, offsets=(7,)).collect()
 
-    fam["bitmap_retention"] = _timed(bitmap_retention)
+    fam["bitmap_retention"] = _timed_family(bitmap_retention)
 
     def ann_brute():
         from duckdb_ddsketch_spark.operators import similarity
@@ -743,7 +757,7 @@ def run_spark_families(spark, result: dict) -> None:
             corpus, queries, k=ANN_K, max_query_rows=N_ANN_Q
         ).collect()
 
-    fam["ann_brute_2m_x128"] = _timed(ann_brute)
+    fam["ann_brute_2m_x128"] = _timed_family(ann_brute)
 
     def text_metrics():
         from duckdb_ddsketch_spark.operators import text as text_ops
@@ -763,7 +777,7 @@ def run_spark_families(spark, result: dict) -> None:
             F.avg("avg_token_len").alias("avg_tok_len"),
         ).collect()
 
-    fam["text_metrics_15m"] = _timed(text_metrics)
+    fam["text_metrics_15m"] = _timed_family(text_metrics)
 
     def sessionize_60m():
         df = gen(
@@ -785,7 +799,7 @@ def run_spark_families(spark, result: dict) -> None:
             F.sum("ns").alias("n_sessions"),
         ).collect()
 
-    fam["sessionize_60m"] = _timed(sessionize_60m)
+    fam["sessionize_60m"] = _timed_family(sessionize_60m)
 
     def pack_15m():
         from duckdb_ddsketch_spark.operators import sampling
@@ -811,7 +825,7 @@ def run_spark_families(spark, result: dict) -> None:
             F.max("token_sum").alias("max_tok"),
         ).collect()
 
-    fam["pack_manifest_15m"] = _timed(pack_15m)
+    fam["pack_manifest_15m"] = _timed_family(pack_15m)
 
     def kmeans_60m():
         from duckdb_ddsketch_spark.operators import clustering
@@ -824,7 +838,7 @@ def run_spark_families(spark, result: dict) -> None:
             df, "embedding", "vec_id", k=KM_K, iters=KM_ITERS
         ).collect()
 
-    fam["kmeans_60m"] = _timed(kmeans_60m)
+    fam["kmeans_60m"] = _timed_family(kmeans_60m)
 
     def _run_streaming(glob_filter=None):
         import shutil
@@ -915,11 +929,11 @@ def run_spark_families(spark, result: dict) -> None:
     # its one-time JIT would otherwise be billed to this family alone —
     # the headline section applies the same steady-state policy.
     _run_streaming(glob_filter="part-00.parquet")
-    fam["streaming_windows"] = _timed(streaming_windows)
+    fam["streaming_windows"] = _timed_family(streaming_windows)
     # steady-state policy (mirrored on the DuckDB side): warm once so the
     # recorded number measures the aggregation, not batch-plan JIT
     streaming_full_recompute()
-    fam["streaming_windows_full_recompute"] = _timed(streaming_full_recompute)
+    fam["streaming_windows_full_recompute"] = _timed_family(streaming_full_recompute)
 
     result["spark_families_60m_sec"] = fam
 

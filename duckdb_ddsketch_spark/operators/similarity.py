@@ -513,6 +513,15 @@ def semantic_dedup(
     documented approximation; cells below the cap are exact within-cell).
     Cross-cell near-dups are missed by construction, exactly SemDeDup's
     published trade-off.
+
+    Shape note (measured, round 5): unlike :func:`embedding_neardup_lsh`
+    — whose candidates are few after `max_bucket` + distinct, so vectors
+    join back per-id AFTER pair formation — this operator carries the
+    vectors THROUGH the cell-bucketed self-join. When candidate pairs
+    outnumber corpus rows (coarse cells), the join-back shape costs two
+    extra pair-sized shuffles and measured 1.3-2x slower; carrying the
+    payload verifies at pair formation with no further join. Pick the
+    shape by expected candidates:corpus ratio.
     """
     from . import clustering
 
