@@ -1284,3 +1284,76 @@ def test_kmeans_and_semantic_dedup_empty_input(spark):
     out = similarity.semantic_dedup(empty, threshold=0.9, k=3)
     assert out.columns == ["vec_id", "cluster_id", "is_kept"]
     assert out.count() == 0
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_semantic_dedup_policy_exhaustive(spark, seed):
+    """Randomized exhaustive contract check: a row is dropped IFF a
+    smaller-id same-(cell, sub-bucket) neighbor sits at cos >= threshold.
+    The expected set is recomputed in pure Python from the operator's own
+    bucketing primitives (centroids + assignment + hyperplane codes are
+    tested separately), so this pins the join/dominance/anti-join logic —
+    including the forced sub-bucket path — against an independent oracle."""
+    import math
+    import random
+
+    from duckdb_ddsketch_spark.operators import clustering
+
+    rng = random.Random(seed)
+    dims, thr, k, max_cell, subplanes = 8, 0.8, 4, 30, 3
+    rows = []
+    for i in range(150):
+        base = [rng.uniform(-1, 1) for _ in range(dims)]
+        rows.append((2 * i, base))
+        if i % 3 == 0:  # planted near-dup at a higher id
+            rows.append(
+                (2 * i + 1, [v + rng.uniform(-0.05, 0.05) for v in base])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    centroids = clustering.kmeans_centroids(df, "embedding", "vec_id", k, 1)
+    assigned = clustering.kmeans_assign(df, centroids, "embedding")
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in assigned.groupBy("cluster_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    coded = assigned.withColumn(
+        "subcode",
+        similarity.hyperplane_code(F.col("embedding"), planes=subplanes, dims=dims),
+    ).collect()
+    info = {
+        r.vec_id: (
+            r.cluster_id,
+            r.subcode if sizes[r.cluster_id] > max_cell else 0,
+            [float(x) for x in r.embedding],
+        )
+        for r in coded
+    }
+    assert any(sizes[c] > max_cell for c in sizes), "sub-bucket path unused"
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(b * b for b in v))
+        return d / (nu * nv) if nu > 0 and nv > 0 else None
+
+    expected_dropped = set()
+    ids = sorted(info)
+    for j, b in enumerate(ids):
+        cb, sb, vb = info[b]
+        for a in ids[:j]:
+            ca, sa, va = info[a]
+            if ca == cb and sa == sb:
+                c = cos(va, vb)
+                if c is not None and c >= thr:
+                    expected_dropped.add(b)
+                    break
+
+    out = similarity.semantic_dedup(
+        df, threshold=thr, k=k, iters=1,
+        max_cell=max_cell, subplanes=subplanes,
+    )
+    got_dropped = {r.vec_id for r in out.collect() if not r.is_kept}
+    assert got_dropped == expected_dropped
