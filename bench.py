@@ -97,6 +97,18 @@ SESS_TS = "(id * 2654435761) % 86400"
 N_PACK, PACK_SHARDS, PACK_BUDGET = 15_000_000, 256, 8192
 PACK_TOK = "(id * 40503) % 1951 + 50"
 
+# funnel family: 3-step ordered conversion funnel over 60M events, 2M
+# users (30 events each, pseudo-random times, 5 event types). Spark
+# drives analytics.funnel (per-step min-after-gate, all joins keyed on
+# the user column); DuckDB runs the identical chained min/gate SQL.
+# user modulus must be COPRIME with the 5 event types: with 2M users
+# (2M % 5 == 0) every user's ids share one residue mod 5, so each user
+# only ever emits ONE event type and the funnel is degenerate (the same
+# modular-aliasing trap the neardup probe generator hit)
+FUNNEL_USERS = 1_999_999
+FUNNEL_TS = "(id * 2654435761) % 1000000"
+FUNNEL_ET = "(id * 7919) % 5"
+
 # k-means family: 60M 4-dim vectors of exactly-representable dyadic
 # rationals ((id*p) % 1024) / 64 — identical doubles in both engines, so
 # the Python-driven DuckDB mirror reproduces the Spark operator's centroid
@@ -507,6 +519,31 @@ def _duckdb_family_sqls() -> dict:
     FROM man
     """
 
+    # funnel: identical chained min-after-gate steps over 60M events
+    sqls["funnel_60m"] = f"""
+    WITH gen AS (
+        SELECT range % {FUNNEL_USERS} AS u,
+               ({FUNNEL_TS.replace('id', 'range')}) AS ts,
+               ({FUNNEL_ET.replace('id', 'range')}) AS e
+        FROM range({N_60M})
+    ),
+    s1 AS (SELECT u, MIN(ts) AS step_1 FROM gen WHERE e = 0 GROUP BY u),
+    s2 AS (
+        SELECT g.u, MIN(g.ts) AS step_2
+        FROM gen g JOIN s1 ON g.u = s1.u
+        WHERE g.e = 1 AND g.ts > s1.step_1 GROUP BY g.u
+    ),
+    s3 AS (
+        SELECT g.u, MIN(g.ts) AS step_3
+        FROM gen g JOIN s2 ON g.u = s2.u
+        WHERE g.e = 2 AND g.ts > s2.step_2 GROUP BY g.u
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n1,
+           (SELECT COUNT(*) FROM s2) AS n2,
+           (SELECT COUNT(*) FROM s3) AS n3,
+           (SELECT CAST(SUM(step_3) AS BIGINT) FROM s3) AS t3_sum
+    """
+
     # k-means: Python-driven mirror of clustering.kmeans_summary — the Spark
     # operator collects k*dims centroid sums between Lloyd iterations, so
     # the honest DuckDB mirror is the same loop with literal centroids
@@ -826,6 +863,30 @@ def run_spark_families(spark, result: dict) -> None:
         ).collect()
 
     fam["pack_manifest_15m"] = _timed_family(pack_15m)
+
+    def funnel_60m():
+        from duckdb_ddsketch_spark.operators import analytics
+
+        df = gen(
+            N_60M,
+            [
+                ("user", f"id % {FUNNEL_USERS}"),
+                ("ts", FUNNEL_TS),
+                ("e", FUNNEL_ET),
+            ],
+        )
+        cur = analytics.funnel(
+            df, "user", "ts",
+            [F.col("e") == 0, F.col("e") == 1, F.col("e") == 2],
+        )
+        cur.agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.count("step_2").alias("n2"),
+            F.count("step_3").alias("n3"),
+            F.sum("step_3").alias("t3_sum"),
+        ).collect()
+
+    fam["funnel_60m"] = _timed_family(funnel_60m)
 
     def kmeans_60m():
         from duckdb_ddsketch_spark.operators import clustering

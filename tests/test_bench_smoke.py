@@ -32,6 +32,7 @@ def bench_small(tmp_path_factory):
             "N_TEXT_D",
             "N_PACK",
             "SESS_USERS",
+            "FUNNEL_USERS",
             "STREAM_SRC",
         )
     }
@@ -44,6 +45,7 @@ def bench_small(tmp_path_factory):
     bench.N_TEXT, bench.N_TEXT_D = 20_000, 500
     bench.N_PACK = 20_000
     bench.SESS_USERS = 1_000
+    bench.FUNNEL_USERS = 1_999  # coprime with 5 event types, like the real value
     bench.STREAM_SRC = str(tmp_path_factory.mktemp("bench_stream"))
     yield bench
     for k, v in saved.items():
@@ -65,6 +67,7 @@ def test_all_spark_families_execute(spark, bench_small):
         "text_metrics_15m",
         "sessionize_60m",
         "pack_manifest_15m",
+        "funnel_60m",
         "kmeans_60m",
         "streaming_windows",
         "streaming_windows_full_recompute",
@@ -140,5 +143,25 @@ def test_sessionize_and_pack_mirrors_agree(spark, bench_small):
         ).collect()[0]
         drow = con.execute(mirrors["pack_manifest_15m"]).fetchall()[0]
         assert tuple(int(x) for x in srow) == tuple(int(x) for x in drow)
+
+        # funnel
+        from duckdb_ddsketch_spark.operators import analytics
+
+        ev = spark.range(b.N_60M).selectExpr(
+            f"id % {b.FUNNEL_USERS} AS user",
+            f"{b.FUNNEL_TS} AS ts",
+            f"{b.FUNNEL_ET} AS e",
+        )
+        cur = analytics.funnel(
+            ev, "user", "ts",
+            [F.col("e") == 0, F.col("e") == 1, F.col("e") == 2],
+        )
+        srow = cur.agg(
+            F.count(F.lit(1)), F.count("step_2"), F.count("step_3"),
+            F.sum("step_3"),
+        ).collect()[0]
+        drow = con.execute(mirrors["funnel_60m"]).fetchall()[0]
+        norm = lambda row: tuple(int(x) if x is not None else 0 for x in row)
+        assert norm(srow) == norm(drow)
     finally:
         con.close()
