@@ -66,7 +66,19 @@ def _dist_sql(vec_sql: str, cvals: Sequence[float]) -> str:
 
 
 def _assign_expr(vec_col: str, centroids: List[Tuple[int, List[float]]]) -> str:
-    """SQL text: cluster id of the nearest centroid (ties -> smaller id)."""
+    """SQL text: cluster id of the nearest centroid (ties -> smaller id).
+
+    The fast ``vec[d]`` indexing raises under ANSI mode on a short
+    array. `kmeans_assign` filters NULL/wrong-width rows, which covers
+    every self-contained plan — but Catalyst can push a downstream
+    join's derived ``isnotnull(cluster_id)`` predicate below that filter
+    and evaluate this expression on raw rows. Consumers that JOIN on the
+    assignment over possibly-ragged data must materialize first
+    (``localCheckpoint`` — what `semantic_dedup` does); guarding the
+    expression itself was measured and rejected: an IF() wrapper forces
+    interpreted evaluation (14 -> 267 s at 60M), per-element get() costs
+    2x (14 -> 28 s).
+    """
     entries = ", ".join(
         f"struct({_dist_sql(f'`{vec_col}`', cvals)} AS d, {cid} AS cid)"
         for cid, cvals in centroids
@@ -95,6 +107,13 @@ def kmeans_centroids(
     reach the driver.
     """
     df = df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    # Malformed-width rows (empty or ragged arrays) are excluded like
+    # NULLs: the expanded distance/update arithmetic indexes elements
+    # directly, and under ANSI mode `vec[d]` on a short array would fail
+    # the job for one bad row. The reference width is the first row's.
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is not None and first["d"] is not None:
+        df = df.where(F.size(F.col(vec_col)) == int(first["d"]))
     # Seed: quantized embeddings of the k smallest ids, rank = cluster id.
     seeds = (
         df.select(id_col, vec_col)
@@ -124,6 +143,9 @@ def kmeans_centroids(
             # and indexing a transform()'d column re-derives the whole
             # array per dim under projection collapse, O(dims^2)).
             # Order-independent integer sums, partial-aggregated, k rows out.
+            # plain [] indexing is safe HERE: this plan is self-contained
+            # (no joins, so no derived predicates can reorder ahead of
+            # the explicit size filter applied above)
             qd = [
                 f"CAST(floor(CAST(`{vec_col}`[{d}] AS DOUBLE)"
                 f" * {_SCALE!r}D) AS BIGINT)"
@@ -167,12 +189,17 @@ def kmeans_assign(
     An empty centroid list (k-means over an empty table) assigns nothing
     and returns an empty frame with the output schema — mirroring the
     SQL oracle's graceful zero rows instead of building a malformed
-    ``array_min(array())`` expression."""
+    ``array_min(array())`` expression. NULL and wrong-width embeddings
+    are excluded (the distance arithmetic indexes elements directly —
+    under ANSI one short array would otherwise fail the whole job)."""
     if not centroids:
         return df.where(F.lit(False)).selectExpr(
             "*", "CAST(NULL AS INT) AS cluster_id"
         )
-    return df.where(F.col(vec_col).isNotNull()).selectExpr(
+    dims = len(centroids[0][1])
+    return df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dims)
+    ).selectExpr(
         "*", f"{_assign_expr(vec_col, centroids)} AS cluster_id"
     )
 
@@ -194,8 +221,8 @@ def kmeans_summary(
     assigned = kmeans_assign(df, centroids, vec_col)
     aggs = [
         F.count("*").alias("n_vecs"),
-        F.sum(F.expr(f"{_quantize_expr(vec_col)}[0]")).alias("_q0"),
-        F.sum(F.expr(f"{_quantize_expr(vec_col)}[1]")).alias("_q1"),
+        F.sum(F.expr(f"try_element_at({_quantize_expr(vec_col)}, 1)")).alias("_q0"),
+        F.sum(F.expr(f"try_element_at({_quantize_expr(vec_col)}, 2)")).alias("_q1"),
     ]
     if label_col is not None:
         aggs.append(F.sum(F.col(label_col).cast("long")).alias("_lsum"))

@@ -266,8 +266,19 @@ def brute_force_topk_blas(
         "query_id long, neighbor_id long, cos double"
     )
 
+    width = q_mat.shape[1] if q_mat.ndim == 2 else 0
+
     def score(batches):
         for pdf in batches:
+            # drop NULL / wrong-width corpus rows BEFORE stacking: a
+            # single malformed embedding otherwise makes the batch array
+            # ragged and fails np.linalg.norm — one bad row must never
+            # fail a 100 TB job (mirrors the Catalyst paths, where such
+            # rows produce NULL cos and fall out of top-k)
+            ok = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == width
+            )
+            pdf = pdf[ok]
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             if mat.size == 0:
@@ -540,6 +551,13 @@ def semantic_dedup(
         F.col(vec_col).alias("vec"),
         F.col("cluster_id"),
     )
+    # the checkpoint is load-bearing twice over: (1) the assignment is
+    # computed once, not re-derived for the size aggregate and both join
+    # sides; (2) it is a hard optimizer barrier — the self-join below
+    # derives an isnotnull(cluster_id) predicate that Catalyst would
+    # otherwise push beneath kmeans_assign's width filter and evaluate
+    # the ANSI-fragile vec[d] arithmetic on raw (possibly ragged) rows
+    assigned = assigned.localCheckpoint(eager=False)
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__cn"))
     coded = (
         assigned.join(F.broadcast(sizes), "cluster_id")

@@ -1357,3 +1357,35 @@ def test_semantic_dedup_policy_exhaustive(spark, seed):
     )
     got_dropped = {r.vec_id for r in out.collect() if not r.is_kept}
     assert got_dropped == expected_dropped
+
+
+def test_similarity_null_and_empty_embeddings_tolerated(spark):
+    """NULL embeddings and zero-length arrays flow through every
+    similarity path as non-matches — never an error, never a bogus
+    neighbor (the 100 TB rule: one malformed row must not fail the job)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, None),           # NULL embedding
+        (4, []),             # zero-length array
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = {(r.id_a, r.id_b) for r in similarity.cosine_near_pairs(df, 0.5).collect()}
+    assert pairs == {(1, 2)}
+
+    near = similarity.embedding_neardup_lsh(df, 0.5, planes=4, dims=3)
+    assert {(r.id_a, r.id_b) for r in near.collect()} <= {(1, 2)}
+
+    q = df.where(F.col("vec_id") == 1)
+    got = {r.neighbor_id for r in similarity.brute_force_topk(df, q, k=4).collect()}
+    assert got == {2}
+    got = {r.neighbor_id for r in similarity.brute_force_topk_blas(df, q, k=4).collect()}
+    assert 3 not in got and 4 not in got
+
+    # k=1: one cell, so the near-dup pair is subject to dominance; the
+    # NULL and empty-array rows are excluded from clustering entirely
+    out = similarity.semantic_dedup(df, threshold=0.5, k=1, iters=1)
+    kept = {r.vec_id: r.is_kept for r in out.collect()}
+    assert set(kept) == {1, 2}
+    assert kept[1] and not kept[2]
