@@ -110,10 +110,21 @@ def kmeans_centroids(
     # Malformed-width rows (empty or ragged arrays) are excluded like
     # NULLs: the expanded distance/update arithmetic indexes elements
     # directly, and under ANSI mode `vec[d]` on a short array would fail
-    # the job for one bad row. The reference width is the first row's.
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is not None and first["d"] is not None:
-        df = df.where(F.size(F.col(vec_col)) == int(first["d"]))
+    # the job for one bad row. The reference width is the MODAL width of
+    # the k smallest-id rows (ties -> smaller width): deterministic across
+    # partitionings/runs, and one ragged or atypical row among the probes
+    # cannot discard the whole corpus (a bare first() probe could — it is
+    # partition-order-dependent and anchored to one arbitrary row).
+    probe = (
+        df.select(F.col(id_col), F.size(F.col(vec_col)).alias("d"))
+        .orderBy(F.col(id_col).asc())
+        .limit(max(k, 1))
+        .collect()
+    )
+    widths = [int(r["d"]) for r in probe if r["d"] is not None and r["d"] > 0]
+    if widths:
+        width = max(set(widths), key=lambda w: (widths.count(w), -w))
+        df = df.where(F.size(F.col(vec_col)) == width)
     # Seed: quantized embeddings of the k smallest ids, rank = cluster id.
     seeds = (
         df.select(id_col, vec_col)

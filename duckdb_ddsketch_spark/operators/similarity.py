@@ -346,13 +346,24 @@ def _resolve_dims(df: DataFrame, vec_col: str, dims) -> int:
     A ``dims`` that disagrees with the data would make every hyperplane
     projection NULL (``zip_with`` pads with NULLs), silently collapsing
     all vectors into code 0 — so mismatch is an error, never a degrade.
+
+    The probe filters to non-NULL vectors first (a NULL embedding in the
+    probed row must not fail the job — callers already exclude NULL rows
+    from the computation itself). The probed row is otherwise arbitrary;
+    on a RAGGED corpus pass ``dims`` explicitly (the mismatch check then
+    raises deterministically instead of depending on partition order).
     """
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     actual = None if row is None else row["d"]
     if dims is None:
         if actual is None:
             raise ValueError(
-                f"cannot derive dims: '{vec_col}' has no rows; pass dims="
+                f"cannot derive dims: '{vec_col}' has no non-NULL rows; "
+                f"pass dims="
             )
         return int(actual)
     if actual is not None and int(actual) != int(dims):
@@ -503,6 +514,7 @@ def semantic_dedup(
     centroids=None,
     max_cell: int = 100_000,
     subplanes: int = 6,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space
     with the deterministic k-means (`clustering.kmeans_centroids`), then
@@ -533,6 +545,12 @@ def semantic_dedup(
     extra pair-sized shuffles and measured 1.3-2x slower; carrying the
     payload verifies at pair formation with no further join. Pick the
     shape by expected candidates:corpus ratio.
+
+    ``checkpoint``: "local" (default) materializes the assignment with
+    ``localCheckpoint`` — fastest, but blocks live only on executors and
+    lineage is truncated, so one executor loss fails the job; pass
+    "reliable" on cluster-scale runs (requires ``sc.setCheckpointDir``
+    on durable storage) to survive executor loss.
     """
     from . import clustering
 
@@ -556,8 +574,20 @@ def semantic_dedup(
     # sides; (2) it is a hard optimizer barrier — the self-join below
     # derives an isnotnull(cluster_id) predicate that Catalyst would
     # otherwise push beneath kmeans_assign's width filter and evaluate
-    # the ANSI-fragile vec[d] arithmetic on raw (possibly ragged) rows
-    assigned = assigned.localCheckpoint(eager=False)
+    # the ANSI-fragile vec[d] arithmetic on raw (possibly ragged) rows.
+    # Fault-tolerance trade-off: localCheckpoint blocks live only on
+    # executors with lineage truncated, so one executor loss makes the
+    # job unrecoverable — fine on a single box / short jobs; cluster-scale
+    # runs should pass checkpoint="reliable" (requires
+    # sc.setCheckpointDir on durable storage) to survive executor loss.
+    if checkpoint == "reliable":
+        assigned = assigned.checkpoint(eager=False)
+    elif checkpoint == "local":
+        assigned = assigned.localCheckpoint(eager=False)
+    else:
+        raise ValueError(
+            f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
+        )
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__cn"))
     coded = (
         assigned.join(F.broadcast(sizes), "cluster_id")

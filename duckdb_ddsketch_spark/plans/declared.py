@@ -4187,8 +4187,14 @@ def q88(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
     )
+    # max_cell is explicitly unbounded: the DuckDB oracle computes exact
+    # all-pairs within every cell, so the Spark side must never silently
+    # sub-bucket (dropping cross-sub-bucket pairs) just because a cell
+    # outgrew the default cap at a larger scale factor — parity must not
+    # depend on data scale.
     out = similarity.semantic_dedup(
-        emb, threshold=_Q88_THR, k=_Q73_K, iters=_Q73_ITERS
+        emb, threshold=_Q88_THR, k=_Q73_K, iters=_Q73_ITERS,
+        max_cell=1 << 62,
     )
     return out.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
