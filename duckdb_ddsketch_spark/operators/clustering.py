@@ -40,6 +40,41 @@ __all__ = ["kmeans_centroids", "kmeans_assign", "kmeans_summary"]
 # decimal digits, and 100T rows * 2^20 still fits in int64 per dimension.
 _SCALE = 1048576.0
 
+# k*dims envelope for the flat-expansion distance SQL. Measured (round 6,
+# 2 Lloyd iters + assign, local[32]; SCALING.md "k-means width sweep"):
+#
+#   k*dims    expand      blas     winner
+#   8x4=32    4.3s/10M    17.4s    expand (4x)   <- the 60M family shape
+#   16x4=64   2.6s/10M    10.1s    expand (4x)
+#   8x8=64    4.4s/10M    11.6s    expand (2.6x)
+#   8x16=128  29.3s/10M   11.0s    blas   (2.7x) <- codegen cliff crossed
+#   16x8=128  41.5s/10M    9.6s    blas   (4.3x)
+#   64x4=256  33.1s/2M     3.1s    blas   (10x)
+#   64x256    n/a (64KB)  22.4s/2M blas
+#
+# The cliff between 64 and 128 terms is whole-stage codegen bailing to
+# interpreted evaluation as the generated distance method outgrows the
+# JIT-friendly size — wall jumps 7-15x, exactly the regression the
+# expansion exists to avoid. Above the budget, "auto" routes through the
+# Arrow+numpy BLAS mapInPandas shape (distance matrix per batch; map-only,
+# the corpus never shuffles), which is flat in k*dims until real FLOPs
+# dominate (64x256 at 2M rows: 22 s). The bit-identical-at-any-width
+# escape hatch is method="fold" (same left-to-right summation as the
+# expansion, interpreted per element); the oracle-gated declared queries
+# pin method="expand" because their data is gate-sized and their DuckDB
+# oracles mirror that exact summation.
+_EXPAND_TERM_BUDGET = 64
+
+
+def _choose_method(k: int, dims: int, method: str = "auto") -> str:
+    if method != "auto":
+        if method not in ("expand", "fold", "blas"):
+            raise ValueError(
+                f"method must be auto|expand|fold|blas, got {method!r}"
+            )
+        return method
+    return "expand" if k * dims <= _EXPAND_TERM_BUDGET else "blas"
+
 
 def _dist_sql(vec_sql: str, cvals: Sequence[float]) -> str:
     """Squared-L2 from ``vec_sql`` (array<float>) to a literal centroid.
@@ -65,7 +100,26 @@ def _dist_sql(vec_sql: str, cvals: Sequence[float]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _assign_expr(vec_col: str, centroids: List[Tuple[int, List[float]]]) -> str:
+def _dist_fold_sql(vec_sql: str, cvals: Sequence[float]) -> str:
+    """Squared-L2 as an ``aggregate(zip_with(...))`` fold — bit-identical
+    to :func:`_dist_sql` by construction (same left-to-right summation of
+    the same doubles), but O(1) generated-code size at any width. Each
+    lambda step is interpreted, so this is the exactness fallback above
+    the codegen budget, not the fast path (see ``_EXPAND_TERM_BUDGET``).
+    """
+    lits = ", ".join(f"{v!r}D" for v in cvals)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({lits}),"
+        f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        f" CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+
+
+def _assign_expr(
+    vec_col: str,
+    centroids: List[Tuple[int, List[float]]],
+    method: str = "expand",
+) -> str:
     """SQL text: cluster id of the nearest centroid (ties -> smaller id).
 
     The fast ``vec[d]`` indexing raises under ANSI mode on a short
@@ -79,11 +133,122 @@ def _assign_expr(vec_col: str, centroids: List[Tuple[int, List[float]]]) -> str:
     interpreted evaluation (14 -> 267 s at 60M), per-element get() costs
     2x (14 -> 28 s).
     """
+    dist = _dist_sql if method == "expand" else _dist_fold_sql
     entries = ", ".join(
-        f"struct({_dist_sql(f'`{vec_col}`', cvals)} AS d, {cid} AS cid)"
+        f"struct({dist(f'`{vec_col}`', cvals)} AS d, {cid} AS cid)"
         for cid, cvals in centroids
     )
     return f"array_min(array({entries})).cid"
+
+
+def _assign_blas(
+    df: DataFrame,
+    centroids: List[Tuple[int, List[float]]],
+    vec_col: str,
+) -> DataFrame:
+    """Wide-dims assignment: Arrow-batched numpy distance matrix.
+
+    Map-only like the SQL expansion — centroids are closed over and
+    shipped to every task (k*dims doubles); each batch computes
+    ``|x|^2 - 2 x·C^T + |c|^2`` and argmins (ties -> first = smallest
+    cid; the centroid list is cid-sorted). Deterministic per
+    machine/numpy build; distances differ from the SQL fold only in
+    float summation order, so assignment can flip on exact-tie ulps —
+    method="fold" is the bit-identical-at-any-width route.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
+    cmat = [list(c) for _, c in centroids]
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("cluster_id", IntegerType(), True)]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        C = np.asarray(cmat, dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out["cluster_id"] = np.array([], dtype=np.int32)
+                yield out
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            out["cluster_id"] = cids[np.argmin(d, axis=1)]
+            yield out
+
+    return df.mapInPandas(fn, schema=schema)
+
+
+def _iterate_blas(
+    df: DataFrame,
+    centroids: List[Tuple[int, List[float]]],
+    vec_col: str,
+) -> List[Tuple[int, List[float]]]:
+    """One Lloyd update through the BLAS shape: assignment and the
+    quantized per-cluster sums accumulate INSIDE the partition iterator
+    (one emitted row per (partition, cluster)), so the shuffle carries
+    <= partitions * k rows of int64 arrays — the same bound as the SQL
+    update path. Quantization is ``floor(x * 2^20)`` on the identical
+    doubles, so given the same assignment the update is bit-identical
+    to the SQL path (integer sums are order-independent).
+    """
+    import numpy as np
+
+    cids = [cid for cid, _ in centroids]
+    cmat = [list(c) for _, c in centroids]
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+        k, nd = C.shape
+        n_acc = np.zeros(k, dtype=np.int64)
+        s_acc = np.zeros((k, nd), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            idx = np.argmin(d, axis=1)
+            np.add.at(s_acc, idx, np.floor(X * _SCALE).astype(np.int64))
+            np.add.at(n_acc, idx, 1)
+        nz = np.flatnonzero(n_acc)
+        yield pd.DataFrame(
+            {
+                "cid": [int(cids[i]) for i in nz],
+                "n": n_acc[nz],
+                "s": [s_acc[i].tolist() for i in nz],
+            }
+        )
+
+    part = df.select(vec_col).mapInPandas(fn, "cid int, n long, s array<long>")
+    ncnt = part.groupBy("cid").agg(F.sum("n").alias("n"))
+    dsum = (
+        part.select("cid", F.posexplode("s").alias("d", "q"))
+        .groupBy("cid", "d")
+        .agg(F.sum("q").alias("sq"))
+    )
+    rows = (
+        dsum.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "sq"))).alias("e"))
+        .join(ncnt, "cid")
+        .collect()
+    )
+    return [
+        (
+            int(r["cid"]),
+            [float(x["sq"]) / (float(r["n"]) * _SCALE) for x in r["e"]],
+        )
+        for r in sorted(rows, key=lambda r: r["cid"])
+    ]
 
 
 def _quantize_expr(vec_col: str) -> str:
@@ -99,12 +264,20 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     k: int = 10,
     iters: int = 2,
+    method: str = "auto",
 ) -> List[Tuple[int, List[float]]]:
     """Run ``iters`` Lloyd iterations; return [(cluster_id, centroid)].
 
     Clusters that receive no points simply drop out (no respawn heuristic —
     deterministic and easy to mirror in SQL). Only ``k * dims`` scalars ever
     reach the driver.
+
+    ``method``: "auto" (default) uses the codegen'd flat-expansion
+    distances while ``k * dims <= _EXPAND_TERM_BUDGET`` and the
+    Arrow+numpy BLAS shape above it (wide embeddings would blow Janino's
+    64KB generated-method limit and fall back to interpreted eval);
+    "expand" / "fold" / "blas" force a path — "fold" is bit-identical to
+    "expand" at any width (same summation order, interpreted).
     """
     df = df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
     # Malformed-width rows (empty or ragged arrays) are excluded like
@@ -147,7 +320,11 @@ def kmeans_centroids(
         df = df.persist()
     try:
         ndims = len(centroids[0][1])
+        m = _choose_method(k, ndims, method)
         for _ in range(iters):
+            if m == "blas":
+                centroids = _iterate_blas(df, centroids, vec_col)
+                continue
             # per-dim BIGINT sums as one wide aggregate: each element is
             # quantized straight from the source array (O(dims) per row —
             # a posexplode would shuffle rows x dims into the aggregate,
@@ -163,7 +340,7 @@ def kmeans_centroids(
                 for d in range(ndims)
             ]
             assigned = df.selectExpr(
-                f"{_assign_expr(vec_col, centroids)} AS cid",
+                f"{_assign_expr(vec_col, centroids, m)} AS cid",
                 *[f"{q} AS q{d}" for d, q in enumerate(qd)],
             )
             sums = (
@@ -194,6 +371,7 @@ def kmeans_assign(
     df: DataFrame,
     centroids: List[Tuple[int, List[float]]],
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Map-only: input rows + ``cluster_id`` of the nearest centroid.
 
@@ -208,10 +386,14 @@ def kmeans_assign(
             "*", "CAST(NULL AS INT) AS cluster_id"
         )
     dims = len(centroids[0][1])
-    return df.where(
+    valid = df.where(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dims)
-    ).selectExpr(
-        "*", f"{_assign_expr(vec_col, centroids)} AS cluster_id"
+    )
+    m = _choose_method(len(centroids), dims, method)
+    if m == "blas":
+        return _assign_blas(valid, centroids, vec_col)
+    return valid.selectExpr(
+        "*", f"{_assign_expr(vec_col, centroids, m)} AS cluster_id"
     )
 
 
@@ -222,14 +404,15 @@ def kmeans_summary(
     k: int = 10,
     iters: int = 2,
     label_col: Optional[str] = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Cluster -> (n_vecs, c0, c1[, mean_label]) after ``iters`` updates.
 
     The reported centroid components and mean label are pure functions of
     order-independent integer sums, so the output is exactly reproducible.
     """
-    centroids = kmeans_centroids(df, vec_col, id_col, k, iters)
-    assigned = kmeans_assign(df, centroids, vec_col)
+    centroids = kmeans_centroids(df, vec_col, id_col, k, iters, method)
+    assigned = kmeans_assign(df, centroids, vec_col, method)
     aggs = [
         F.count("*").alias("n_vecs"),
         F.sum(F.expr(f"try_element_at({_quantize_expr(vec_col)}, 1)")).alias("_q0"),

@@ -515,6 +515,7 @@ def semantic_dedup(
     max_cell: int = 100_000,
     subplanes: int = 6,
     checkpoint: str = "local",
+    method: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space
     with the deterministic k-means (`clustering.kmeans_centroids`), then
@@ -551,11 +552,19 @@ def semantic_dedup(
     lineage is truncated, so one executor loss fails the job; pass
     "reliable" on cluster-scale runs (requires ``sc.setCheckpointDir``
     on durable storage) to survive executor loss.
+
+    ``method`` picks the k-means distance evaluation (forwarded to
+    `clustering.kmeans_centroids`/`kmeans_assign`): "auto" uses codegen'd
+    expansion inside the ``k*dims`` envelope and the Arrow+numpy BLAS
+    shape above it; "fold"/"expand" are the cross-engine-exact routes
+    the oracle-gated callers pin.
     """
     from . import clustering
 
     if centroids is None:
-        centroids = clustering.kmeans_centroids(df, vec_col, id_col, k, iters)
+        centroids = clustering.kmeans_centroids(
+            df, vec_col, id_col, k, iters, method
+        )
     if not centroids:
         # empty corpus: zero rows with the output schema, like the oracle
         return df.where(F.lit(False)).select(
@@ -564,7 +573,7 @@ def semantic_dedup(
             F.lit(True).alias("is_kept"),
         )
     dims = _resolve_dims(df, vec_col, None)
-    assigned = clustering.kmeans_assign(df, centroids, vec_col).select(
+    assigned = clustering.kmeans_assign(df, centroids, vec_col, method).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.col("cluster_id"),

@@ -3390,9 +3390,14 @@ def q73(spark, sf_dir):
 
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    # method="expand" pinned: the DuckDB oracle mirrors the expanded
+    # left-to-right distance sums exactly; auto would route k*dims=640
+    # (k=10 x 64-dim embeddings) to the BLAS shape, whose distance
+    # summation order differs in ulps. Gate-sized data, so the
+    # interpreted-expansion cost is irrelevant here.
     return clustering.kmeans_summary(
         emb, "embedding", "vec_id", k=_Q73_K, iters=_Q73_ITERS,
-        label_col="label",
+        label_col="label", method="expand",
     )
 
 
@@ -3492,10 +3497,12 @@ def q76(spark, sf_dir):
 
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    # method="expand" pinned for oracle exactness (see q73)
     cents = clustering.kmeans_centroids(
-        emb, "embedding", "vec_id", k=_Q73_K, iters=_Q73_ITERS
+        emb, "embedding", "vec_id", k=_Q73_K, iters=_Q73_ITERS,
+        method="expand",
     )
-    assigned = clustering.kmeans_assign(emb, cents)
+    assigned = clustering.kmeans_assign(emb, cents, method="expand")
     picked = sampling.stratified_hash_topn(
         assigned, ["cluster_id"], _Q76_N, "vec_id"
     )
@@ -4194,7 +4201,7 @@ def q88(spark, sf_dir):
     # depend on data scale.
     out = similarity.semantic_dedup(
         emb, threshold=_Q88_THR, k=_Q73_K, iters=_Q73_ITERS,
-        max_cell=1 << 62,
+        max_cell=1 << 62, method="expand",
     )
     return out.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),

@@ -687,6 +687,85 @@ def test_kmeans_assignment_is_map_only(spark):
     assert checks.python_eval_nodes(q) == []
 
 
+def test_kmeans_method_selector_envelope():
+    from duckdb_ddsketch_spark.operators.clustering import (
+        _EXPAND_TERM_BUDGET,
+        _choose_method,
+    )
+
+    # the codegen envelope: flat expansion only while k*dims fits the
+    # generated-method budget (measured cliff between 64 and 128 terms);
+    # wider shapes auto-route to BLAS
+    assert _EXPAND_TERM_BUDGET == 64  # measured boundary — see clustering.py
+    assert _choose_method(8, 4) == "expand"  # the 60M family shape
+    assert _choose_method(8, 8) == "expand"  # 64 terms: last expand shape
+    assert _choose_method(8, 16) == "blas"  # 128 terms: over the cliff
+    assert _choose_method(16, 8) == "blas"
+    assert _choose_method(10, 64) == "blas"  # q73's shape under auto
+    assert _choose_method(64, 256) == "blas"
+    assert _choose_method(64, 768) == "blas"
+    # explicit overrides always win
+    assert _choose_method(64, 768, "fold") == "fold"
+    assert _choose_method(2, 2, "blas") == "blas"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _choose_method(2, 2, "bogus")
+
+
+def test_kmeans_methods_agree(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import clustering
+
+    df = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.sin(F.col("id").cast("double") * (0.31 + 0.07 * d))
+                    + (F.col("id") % 3).cast("double") * 2.0
+                ).cast("float")
+                for d in range(6)
+            ]
+        ).alias("embedding"),
+    )
+    runs = {
+        m: clustering.kmeans_summary(df, k=3, iters=2, method=m).collect()
+        for m in ("expand", "fold", "blas")
+    }
+    key = lambda r: r.cluster_id
+    # fold is bit-identical to expand by construction; blas agrees here
+    # because no distance ties sit at the ulp boundary on this data
+    assert sorted(runs["expand"], key=key) == sorted(runs["fold"], key=key)
+    assert sorted(runs["expand"], key=key) == sorted(runs["blas"], key=key)
+
+
+def test_kmeans_blas_assign_matches_sql_and_keeps_schema(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import clustering
+
+    df = spark.range(80).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.col("id").cast("float"), (F.col("id") % 7).cast("float")
+        ).alias("embedding"),
+        F.lit("payload").alias("extra"),
+    )
+    cents = [(0, [0.0, 3.0]), (2, [40.0, 3.0]), (5, [79.0, 3.0])]
+    sql_rows = {
+        r.vec_id: r.cluster_id
+        for r in clustering.kmeans_assign(df, cents, method="expand").collect()
+    }
+    blas = clustering.kmeans_assign(df, cents, method="blas")
+    assert blas.columns == ["vec_id", "embedding", "extra", "cluster_id"]
+    blas_rows = {r.vec_id: r.cluster_id for r in blas.collect()}
+    assert blas_rows == sql_rows
+    # non-contiguous cids survive the argmin index mapping
+    assert set(blas_rows.values()) <= {0, 2, 5}
+
+
 def test_hash_shard_deterministic_uniform_and_map_only(spark):
     from pyspark.sql import functions as F
 
