@@ -137,15 +137,37 @@ def cosine_near_pairs(
     )
 
 
+def _auto_planes(n: int, target_occupancy: float = 2.0) -> int:
+    """The plane-count scaling law: ``ceil(log2(n / target_occupancy))``,
+    clamped to [4, 30].
+
+    Candidate pairs per code table are the quadratic term
+    ``~n^2 / 2^planes``; holding EXPECTED bucket occupancy
+    (``n / 2^planes``) constant as the corpus grows keeps the verify
+    stage linear-ish in n — the round-5 probe measured 4x corpus = 2.76x
+    wall at fixed planes vs 1.78x with occupancy held (+2 planes at 4x),
+    and this law reproduces exactly those probe plane counts (16 at
+    100k, 18 at 400k). Real buckets are skewed (clustered corpora
+    collapse onto popular codes — ``max_bucket`` caps the degenerate
+    ones), so the target is an expected-uniform anchor, not a promise.
+    """
+    import math
+
+    if n <= 1:
+        return 4
+    return max(4, min(30, math.ceil(math.log2(n / target_occupancy))))
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 8,
+    planes=None,
     dims=None,
     tables: int = 4,
     max_bucket: int = 2000,
+    target_occupancy: float = 2.0,
 ) -> DataFrame:
     """Corpus-scale embedding near-duplicate pairs — the bucketed twin of
     :func:`cosine_near_pairs` (which is the exact O(n^2) verification
@@ -171,8 +193,17 @@ def embedding_neardup_lsh(
     a mismatch raises instead of silently bucketing everything together).
     Output ⊆ ``cosine_near_pairs(df, threshold)`` with recall < 1
     (documented approximate operator).
+
+    ``planes`` defaults to the corpus-size scaling law
+    :func:`_auto_planes` (``ceil(log2(n / target_occupancy))``) — the
+    quadratic candidate term returns at scale if the plane count stays
+    fixed, so the default grows with log2(n) at the cost of one count()
+    job; pass ``planes`` explicitly to skip the count or tune recall
+    (fewer planes = bigger buckets = higher recall, more candidates).
     """
     dims = _resolve_dims(df, vec_col, dims)
+    if planes is None:
+        planes = _auto_planes(df.count(), target_occupancy)
     ids = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
@@ -513,7 +544,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids=None,
     max_cell: int = 100_000,
-    subplanes: int = 6,
+    subplanes=None,
     checkpoint: str = "local",
     method: str = "auto",
 ) -> DataFrame:
@@ -535,6 +566,10 @@ def semantic_dedup(
     ``max_cell`` is sub-bucketed with ``subplanes`` sign-LSH planes before
     pairing (recall inside such cells drops to the LSH collision rate —
     documented approximation; cells below the cap are exact within-cell).
+    ``subplanes`` defaults to the scaling law
+    ``ceil(log2(max_cell_size / max_cell)) + 2`` (clamped to [1, 30];
+    0 when no cell exceeds the cap) so the within-cell quadratic term
+    does not return as the corpus grows — explicit values are honored.
     Cross-cell near-dups are missed by construction, exactly SemDeDup's
     published trade-off.
 
@@ -598,6 +633,23 @@ def semantic_dedup(
             f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
         )
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__cn"))
+    if subplanes is None:
+        # the sub-bucket scaling law (round-5 probe: the quadratic
+        # within-cell pairing term returns at 4x corpus when subplanes
+        # stays fixed): enough planes to split the LARGEST oversized cell
+        # back to ~max_cell, +2 margin because sign-LSH splits correlated
+        # same-cell vectors unevenly (~4x more sub-buckets than a uniform
+        # split would need). One k-row aggregate over the checkpointed
+        # assignment; pass subplanes explicitly to skip it.
+        import math
+
+        row = sizes.agg(F.max("__cn").alias("m")).first()
+        max_cn = int(row["m"]) if row is not None and row["m"] is not None else 0
+        subplanes = (
+            max(1, min(30, math.ceil(math.log2(max_cn / max_cell)) + 2))
+            if max_cn > max_cell
+            else 0
+        )
     coded = (
         assigned.join(F.broadcast(sizes), "cluster_id")
         .withColumn(

@@ -4201,7 +4201,7 @@ def q88(spark, sf_dir):
     # depend on data scale.
     out = similarity.semantic_dedup(
         emb, threshold=_Q88_THR, k=_Q73_K, iters=_Q73_ITERS,
-        max_cell=1 << 62, method="expand",
+        max_cell=1 << 62, subplanes=0, method="expand",
     )
     return out.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),

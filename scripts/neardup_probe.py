@@ -141,6 +141,11 @@ def main():
     wall_4x_fixed, pairs_4x_fixed = run(4 * N_SCALE, 16)
     # +2 planes = 4x buckets: expected occupancy (n / 2^planes) held constant
     wall_4x_scaled, pairs_4x_scaled = run(4 * N_SCALE, 18)
+    # planes=None: the round-6 _auto_planes default must reproduce the
+    # occupancy-held law by itself (16 at ~110k rows, 18 at ~440k — the
+    # corpus carries +10% planted dups) at the cost of one count() job
+    wall_1x_auto, pairs_1x_auto = run(N_SCALE, None)
+    wall_4x_auto, pairs_4x_auto = run(4 * N_SCALE, None)
 
     print(json.dumps({
         "probe": "embedding_neardup_lsh",
@@ -156,6 +161,11 @@ def main():
             "pairs_4x_scaled_planes": pairs_4x_scaled,
             "ratio_fixed": round(wall_4x_fixed / wall_1x, 2),
             "ratio_scaled": round(wall_4x_scaled / wall_1x, 2),
+            "wall_1x_auto_sec": wall_1x_auto,
+            "pairs_1x_auto": pairs_1x_auto,
+            "wall_4x_auto_sec": wall_4x_auto,
+            "pairs_4x_auto": pairs_4x_auto,
+            "ratio_auto": round(wall_4x_auto / wall_1x_auto, 2),
         },
     }))
     spark.stop()

@@ -75,16 +75,18 @@ def main():
         # localCheckpoint also truncates lineage like a real scanned table)
         return base.unionAll(dups).localCheckpoint()
 
-    def run(n):
+    def run(n, subplanes=8):
         df = corpus(n)
         t0 = time.time()
         # a uniform synthetic corpus has no cluster structure, so every
         # k-means cell exceeds max_cell and the sign-LSH sub-bucketing —
         # the mechanism that keeps degenerate cells off O(n^2) — carries
         # the whole pairing load; subplanes is the log2(n) scaling knob
+        # (subplanes=None exercises the round-6 auto law:
+        # ceil(log2(max_cell_size / max_cell)) + 2)
         out = similarity.semantic_dedup(
             df, threshold=THRESHOLD, k=K, iters=2,
-            max_cell=400, subplanes=8,
+            max_cell=400, subplanes=subplanes,
         )
         agg = out.agg(
             F.count(F.lit(1)).alias("rows"),
@@ -97,6 +99,8 @@ def main():
     run(N_1X // 4)  # warm-up
     w1, rows1, drop1 = run(N_1X)
     w4, rows4, drop4 = run(4 * N_1X)
+    wa1, _, dropa1 = run(N_1X, subplanes=None)
+    wa4, _, dropa4 = run(4 * N_1X, subplanes=None)
 
     print(json.dumps({
         "probe": "semantic_dedup",
@@ -106,6 +110,9 @@ def main():
         "wall_ratio": round(w4 / w1, 2),
         "dropped_rate_1x": round(drop1 / rows1, 4),
         "dropped_rate_4x": round(drop4 / rows4, 4),
+        "wall_1x_auto_sec": wa1, "wall_4x_auto_sec": wa4,
+        "wall_ratio_auto": round(wa4 / wa1, 2),
+        "dropped_1x_auto": dropa1, "dropped_4x_auto": dropa4,
     }))
     spark.stop()
 

@@ -1144,6 +1144,89 @@ def test_embedding_neardup_lsh_subset_and_recall(spark):
     assert capped.count() == 0
 
 
+def test_lsh_auto_plane_law():
+    from duckdb_ddsketch_spark.operators.similarity import _auto_planes
+
+    # the law: ceil(log2(n / target_occupancy)), clamp [4, 30] — pinned
+    # to the round-5 probe's occupancy-held plane counts
+    assert _auto_planes(100_000) == 16
+    assert _auto_planes(400_000) == 18  # 4x corpus -> +2 planes
+    assert _auto_planes(1_600_000) == 20
+    assert _auto_planes(0) == 4
+    assert _auto_planes(1) == 4
+    assert _auto_planes(10) == 4  # floor
+    assert _auto_planes(10**12) == 30  # ceiling
+    assert _auto_planes(100_000, target_occupancy=8.0) == 14
+
+
+def test_neardup_lsh_default_planes_and_semantic_subplanes(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import similarity
+
+    df = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.sin(F.col("id").cast("double")).cast("float"),
+            F.cos(F.col("id").cast("double")).cast("float"),
+            (F.col("id") % 5).cast("float"),
+        ).alias("embedding"),
+    )
+    # planes=None derives from the corpus count (60 -> ceil(log2(30)) = 5)
+    # and must agree with the same explicit setting
+    from duckdb_ddsketch_spark.operators.similarity import _auto_planes
+
+    assert _auto_planes(60) == 5
+    auto = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_lsh(df, 0.9).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_lsh(df, 0.9, planes=5).collect()
+    }
+    assert auto == explicit
+
+    # subplanes=None: no oversized cell -> 0 (bit-identical to exact
+    # within-cell pairing); a tiny max_cell forces the computed law
+    base = {
+        tuple(r)
+        for r in similarity.semantic_dedup(df, 0.9, k=2, iters=1).collect()
+    }
+    explicit0 = {
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            df, 0.9, k=2, iters=1, subplanes=0
+        ).collect()
+    }
+    assert base == explicit0
+    # max_cell=8 with ~30-row cells -> ceil(log2(cell/8)) + 2 planes;
+    # computed default must equal the explicitly-passed equivalent
+    import math
+
+    cell_sizes = (
+        similarity.semantic_dedup(df, 0.9, k=2, iters=1)
+        .groupBy("cluster_id")
+        .count()
+        .collect()
+    )
+    max_cn = max(r["count"] for r in cell_sizes)
+    want = max(1, min(30, math.ceil(math.log2(max_cn / 8)) + 2))
+    got_auto = {
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            df, 0.9, k=2, iters=1, max_cell=8
+        ).collect()
+    }
+    got_explicit = {
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            df, 0.9, k=2, iters=1, max_cell=8, subplanes=want
+        ).collect()
+    }
+    assert got_auto == got_explicit
+
+
 def test_priority_sample_weighted_exact_n(spark):
     """Efraimidis-Spirakis priority sampling with md5 keys: exactly n per
     stratum, deterministic under repartitioning, heavier weights win more
