@@ -59,7 +59,43 @@ def build_final(
     ren("q10_nested_column_merge", "q15_nested_column_merge")
     ren("q11_filtered_service_rollup", "q16_filtered_service_rollup")
     ren("q12_sql_surface_cte", "q17_sql_surface_cte")
-    ren("q13_weighted_quantiles", "q18_weighted_quantiles")
+    # q13: weighted quantiles ∪ one-pass multi-metric quantiles — both are
+    # lineitem sketch-quantile variants, part-tagged onto
+    # (part, k1, metric, n, p_lo, p_hi). Round 6 promotes
+    # native.sketch_quantile_agg_multi (staged q89) from pytest-only to a
+    # driver-gated row.
+    def q13_weighted_multi(spark, sf_dir) -> DataFrame:
+        weighted = Q["q18_weighted_quantiles"](spark, sf_dir).select(
+            F.lit("weighted").alias("part"),
+            F.col("l_linestatus").alias("k1"),
+            F.lit("l_extendedprice").alias("metric"),
+            F.col("count").cast("long").alias("n"),
+            F.col("p50").cast("float").alias("p_lo"),
+            F.col("p90").cast("float").alias("p_hi"),
+        )
+        multi = Q["q89_multi_metric_quantiles"](spark, sf_dir).select(
+            F.lit("multi").alias("part"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("metric"),
+            F.col("count").cast("long").alias("n"),
+            F.col("p50").cast("float").alias("p_lo"),
+            F.col("p95").cast("float").alias("p_hi"),
+        )
+        return weighted.unionByName(multi)
+
+    add(
+        "q13_weighted_quantiles",
+        q13_weighted_multi,
+        f"""SELECT 'weighted' AS part, l_linestatus AS k1,
+       'l_extendedprice' AS metric, CAST(count AS BIGINT) AS n,
+       CAST(p50 AS REAL) AS p_lo, CAST(p90 AS REAL) AS p_hi
+FROM ({O['q18_weighted_quantiles']}) w
+UNION ALL
+SELECT 'multi' AS part, l_returnflag AS k1, metric,
+       CAST(count AS BIGINT) AS n,
+       CAST(p50 AS REAL) AS p_lo, CAST(p95 AS REAL) AS p_hi
+FROM ({O['q89_multi_metric_quantiles']}) m""",
+    )
     ren("q14_scalable_merge_rollup", "q35_scalable_merge_rollup")
 
     # q15: sketch distribution extraction — CDF thresholds + histogram bins
@@ -830,11 +866,22 @@ FROM ({O['q47_multimodal_frames']}) m""",
             F.lit(0).cast("long").alias("v5"),
             F.lit(0).cast("long").alias("v6"),
         )
+        # integer-weight priority sample (staged q90): rank-only output so
+        # the E-S race keys hash-match exactly — round 6 promotion of the
+        # last pytest-only sampling operator to a driver row
+        prio = Q["q90_priority_sample_int"](spark, sf_dir).select(
+            F.lit("prio").alias("part"),
+            F.col("lang").alias("k1"),
+            F.col("doc_id").cast("long").alias("k2"),
+            F.col("w").cast("long").alias("v1"),
+            *[F.lit(0).cast("long").alias(f"v{i}") for i in range(2, 7)],
+        )
         return (
             shards.unionByName(strat)
             .unionByName(hash10)
             .unionByName(pack)
             .unionByName(mix)
+            .unionByName(prio)
         )
 
     _zeros = ", ".join(f"CAST(0 AS BIGINT) AS v{i}" for i in range(3, 7))
@@ -904,7 +951,13 @@ WHERE ({" + ".join(
 )})
   < CAST(FLOOR(CAST((length(source) % 3) + 1 AS DOUBLE) * 0.2 * 4294967296)
          AS BIGINT)
-GROUP BY source""",
+GROUP BY source
+UNION ALL
+SELECT 'prio' AS part, lang AS k1, CAST(doc_id AS BIGINT) AS k2,
+       CAST(w AS BIGINT) AS v1, {", ".join(
+           f"CAST(0 AS BIGINT) AS v{i}" for i in range(2, 7)
+       )}
+FROM ({O['q90_priority_sample_int']}) pr""",
     )
 
     assert len(final_q) == 50, len(final_q)

@@ -4216,6 +4216,109 @@ def q88(spark, sf_dir):
 
 
 
+# ---------------------------------------------------------------------------
+# q89 — one-pass multi-metric quantiles (native.sketch_quantile_agg_multi):
+# three lineitem metrics unpivoted by stack() so one scan + one shuffle pair
+# covers all of them. The oracle is the equivalent UNION ALL of per-metric
+# quantile oracles with a literal metric tag (unpivot == union of columns).
+# Promoted to a driver row in round 6 (was pytest-only, COVERAGE one-pass
+# multi-metric row).
+# ---------------------------------------------------------------------------
+
+_Q89_METRICS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _q89_oracle() -> str:
+    parts = [
+        quantile_oracle_sql(
+            "lineitem",
+            {"l_returnflag": "l_returnflag", "metric": f"'{m}'"},
+            m,
+            quantiles=(0.5, 0.95),
+            stats=("count",),
+        )
+        for m in _Q89_METRICS
+    ]
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+@_declare("q89_multi_metric_quantiles", _q89_oracle())
+def q89(spark, sf_dir):
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    out = native.sketch_quantile_agg_multi(
+        li, ["l_returnflag"], list(_Q89_METRICS), quantiles=(0.5, 0.95)
+    )
+    return out.select(
+        "l_returnflag",
+        "metric",
+        "count",
+        F.col("p50").cast("float").alias("p50"),
+        F.col("p95").cast("float").alias("p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 — Efraimidis-Spirakis priority sampling on an INTEGER weight domain:
+# the continuous ln(u)/w race keys made the operator drift-sensitive for a
+# float-weight oracle (documented round 4); with integer weights and a
+# rank-only output the selection hash-matches exactly — the oracle mirrors
+# the md5/52-bit uniform and the race arithmetic term by term. Promoted to
+# a driver row in round 6 (was pytest-only).
+# ---------------------------------------------------------------------------
+
+_Q90_N = 5
+
+# 13-hex-digit md5 prefix as an exact integer (DuckDB lacks conv(); the
+# positional-digit sum stays < 2^52, exact in BIGINT and in DOUBLE)
+_Q90_HEX = "md5('|' || CAST(doc_id AS VARCHAR))"
+_Q90_H = "(" + " + ".join(
+    f"CAST(strpos('0123456789abcdef', substr({_Q90_HEX}, {1 + i}, 1)) - 1"
+    f" AS BIGINT) * {16 ** (13 - 1 - i)}"
+    for i in range(13)
+) + ")"
+
+
+def _q90_oracle() -> str:
+    return f"""
+    WITH scored AS (
+        SELECT lang, doc_id,
+               (CAST(n_chars AS BIGINT) % 7 + 1) AS w,
+               ln((CAST({_Q90_H} AS DOUBLE) + 0.5) / 4503599627370496.0)
+                   / CAST((CAST(n_chars AS BIGINT) % 7 + 1) AS DOUBLE) AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id, w,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY k DESC, doc_id ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS w
+    FROM ranked WHERE rn <= {_Q90_N}
+    """
+
+
+@_declare("q90_priority_sample_int", _q90_oracle())
+def q90(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.col("n_chars").cast("long") % 7 + 1)
+    out = sampling.priority_sample(
+        docs.select("lang", "doc_id", "n_chars"),
+        _Q90_N,
+        w,
+        "doc_id",
+        strata=["lang"],
+    )
+    return out.select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("n_chars").cast("long") % 7 + 1).alias("w"),
+    )
+
+
 # ===========================================================================
 # Final registry: the driver grades at most 50 queries, so the staged
 # per-operator declarations above are curated into exactly 50 slots
