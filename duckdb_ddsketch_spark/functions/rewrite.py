@@ -91,19 +91,45 @@ def _matching_paren(sql: str, open_idx: int) -> int:
     return -1
 
 
-def rewrite_stats_agg(sql: str) -> str:
-    """Rewrite every top-level-code occurrence of
-    ``ddsketch_stats_agg(<args>)`` to
-    ``ddsketch_stats_full(ddsketch_agg(<args>))``. Leaves the query
-    untouched when the name does not appear outside strings/comments."""
+_DISTINCT_RE = re.compile(r"^\s*DISTINCT\b", re.IGNORECASE)
+_FILTER_RE = re.compile(r"\s*FILTER\s*", re.IGNORECASE)
+_WHERE_RE = re.compile(r"^\s*WHERE\b(.*)$", re.IGNORECASE | re.DOTALL)
+
+
+def _parse_filter_clause(sql: str, pos: int):
+    """If ``sql[pos:]`` starts with ``FILTER (WHERE <cond>)`` (whitespace
+    tolerated), return (cond, end_index_after_close_paren); else None."""
+    m = _FILTER_RE.match(sql, pos)
+    if not m or m.end() >= len(sql) or sql[m.end()] != "(":
+        return None
+    close = _matching_paren(sql, m.end())
+    if close == -1:
+        return None
+    w = _WHERE_RE.match(sql[m.end() + 1 : close])
+    if not w:
+        return None
+    return w.group(1).strip(), close + 1
+
+
+def _rewrite_agg_calls(sql: str, name: str, template) -> str:
+    """Rewrite standalone ``<name>(<args>)[ FILTER (WHERE cond)]`` calls.
+
+    ``template(inner) -> str`` builds the replacement call body; a
+    trailing ``FILTER (WHERE cond)`` folds into the aggregate input as
+    ``CASE WHEN cond THEN <inner> END`` — exact because ``ddsketch_agg``
+    skips NULL inputs (the reference's aggregates do too, lib.rs:191-194).
+    ``DISTINCT`` inside the call raises a clear error naming the function
+    (Spark pandas UDAFs cannot dedup; the host engine the reference rides
+    in accepts it, so a migrating query must dedup in a subquery)."""
     skip_spans = [(s, e) for s, e, _ in _scan_token_spans(sql)]
 
     def in_skip(idx: int) -> bool:
         return any(s <= idx < e for s, e in skip_spans)
 
     out = sql
+    pat = re.compile(re.escape(name), re.IGNORECASE)
     # right-to-left so earlier indices stay valid after each splice
-    for m in reversed(list(_NAME.finditer(sql))):
+    for m in reversed(list(pat.finditer(sql))):
         if in_skip(m.start()):
             continue
         # must be a standalone identifier (not e.g. my_ddsketch_stats_agg2)
@@ -121,12 +147,49 @@ def rewrite_stats_agg(sql: str) -> str:
         if close == -1:
             continue
         inner = sql[k + 1 : close]
-        out = (
-            out[: m.start()]
-            + f"ddsketch_stats_full(ddsketch_agg({inner}))"
-            + out[close + 1 :]
-        )
+        if _DISTINCT_RE.match(inner):
+            raise ValueError(
+                f"{name}(DISTINCT ...) is not supported: Spark pandas"
+                " UDAFs cannot deduplicate their input. Deduplicate in a"
+                " subquery instead, e.g."
+                f" {name}(s) over (SELECT DISTINCT s FROM ...)."
+            )
+        filt = _parse_filter_clause(sql, close + 1)
+        end = close + 1
+        had_filter = filt is not None
+        if had_filter:
+            cond, end = filt
+            inner = f"CASE WHEN {cond} THEN {inner} END"
+        repl = template(inner, had_filter)
+        if repl is None:
+            continue
+        out = out[: m.start()] + repl + out[end:]
     return out
+
+
+def rewrite_stats_agg(sql: str) -> str:
+    """Rewrite every top-level-code occurrence of
+    ``ddsketch_stats_agg(<args>)`` to
+    ``ddsketch_stats_full(ddsketch_agg(<args>))``, folding a trailing
+    ``FILTER (WHERE ...)`` clause into the aggregate input (Spark pandas
+    UDAFs reject the clause; the reference's host engine accepts it on
+    any aggregate). ``ddsketch_agg(...) FILTER (WHERE ...)`` gets the
+    same fold. ``DISTINCT`` raises a clear error for both names. Leaves
+    the query untouched when neither name appears outside
+    strings/comments."""
+    out = _rewrite_agg_calls(
+        sql,
+        "ddsketch_stats_agg",
+        lambda inner, _f: f"ddsketch_stats_full(ddsketch_agg({inner}))",
+    )
+    # plain ddsketch_agg parses natively; only FILTER/DISTINCT intervene
+    return _rewrite_agg_calls(
+        out,
+        "ddsketch_agg",
+        lambda inner, had_filter: (
+            f"ddsketch_agg({inner})" if had_filter else None
+        ),
+    )
 
 
 def install_sql_rewrite(spark) -> None:
@@ -139,8 +202,12 @@ def install_sql_rewrite(spark) -> None:
     original = spark.sql
 
     def sql(query, *args, **kwargs):
-        if isinstance(query, str) and "ddsketch_stats_agg" in query.lower():
-            query = rewrite_stats_agg(query)
+        if isinstance(query, str):
+            q = query.lower()
+            # "ddsketch_agg" is NOT a substring of "ddsketch_stats_agg",
+            # so both names need the cheap pre-check
+            if "ddsketch_stats_agg" in q or "ddsketch_agg" in q:
+                query = rewrite_stats_agg(query)
         return original(query, *args, **kwargs)
 
     spark.sql = sql

@@ -238,3 +238,87 @@ def test_reference_readme_folding_verbatim(spark, fixtures):
     assert rows[0]["total_count"] == 60.0
     # 3 hours x values 1..20 (+hour): p95 sits near the top of the range
     assert 18.0 <= rows[0]["p95"] <= 23.5
+
+
+def test_stats_agg_filter_clause(spark, fixtures):
+    """``... FILTER (WHERE cond)`` — the reference's host engine accepts
+    the clause on any aggregate; Spark pandas UDAFs reject it, so the
+    session macro folds it into the aggregate input as CASE WHEN (exact:
+    ddsketch_agg skips NULL inputs). Both ddsketch_stats_agg and
+    ddsketch_agg take the fold; results must equal the WHERE form."""
+    filtered = spark.sql(
+        """
+        SELECT service,
+               ddsketch_stats_agg(latency_sketch)
+                   FILTER (WHERE hour < 2) AS stats,
+               ddsketch_count(
+                   ddsketch_agg(latency_sketch) FILTER (WHERE hour < 2)
+               ) AS cnt
+        FROM hourly_latency_sketches
+        GROUP BY service
+        """
+    ).collect()
+    plain = spark.sql(
+        """
+        SELECT service,
+               ddsketch_stats_agg(latency_sketch) AS stats,
+               ddsketch_count(ddsketch_agg(latency_sketch)) AS cnt
+        FROM hourly_latency_sketches
+        WHERE hour < 2
+        GROUP BY service
+        """
+    ).collect()
+    f = {r["service"]: r for r in filtered}
+    p = {r["service"]: r for r in plain}
+    assert set(f) == set(p) == {"api-gateway", "web"}
+    for svc in f:
+        assert f[svc]["cnt"] == p[svc]["cnt"] == 40.0
+        assert f[svc]["stats"]["count"] == p[svc]["stats"]["count"]
+        assert f[svc]["stats"]["p95"] == p[svc]["stats"]["p95"]
+        assert f[svc]["stats"]["sketch"] == p[svc]["stats"]["sketch"]
+
+
+def test_stats_agg_filter_all_rows_filtered(spark, fixtures):
+    """A group whose every row fails the FILTER condition aggregates only
+    NULLs -> NULL sketch -> NULL count: exactly what the reference's host
+    engine returns for an aggregate over zero post-FILTER rows."""
+    rows = spark.sql(
+        """
+        SELECT service,
+               ddsketch_count(
+                   ddsketch_agg(latency_sketch) FILTER (WHERE hour > 99)
+               ) AS cnt
+        FROM hourly_latency_sketches
+        GROUP BY service
+        """
+    ).collect()
+    assert {r["cnt"] for r in rows} == {None}
+
+
+def test_stats_agg_distinct_raises_clearly(spark, fixtures):
+    """DISTINCT inside either aggregate raises a clear, function-named
+    error (Spark pandas UDAFs cannot dedup; without the macro the user
+    would see an opaque 'pythonudaf does not support DISTINCT')."""
+    for fn in ("ddsketch_stats_agg", "ddsketch_agg"):
+        with pytest.raises(ValueError, match=fn + r"\(DISTINCT"):
+            spark.sql(
+                f"SELECT {fn}(DISTINCT latency_sketch)"
+                " FROM hourly_latency_sketches"
+            )
+
+
+def test_rewrite_filter_string_and_comment_safety():
+    """The FILTER fold is string/comment-aware like the base rewrite."""
+    from duckdb_ddsketch_spark.functions.rewrite import rewrite_stats_agg
+
+    out = rewrite_stats_agg(
+        "SELECT ddsketch_agg(s) FILTER (WHERE note <> 'FILTER (') AS x,"
+        " ddsketch_stats_agg(s) /* FILTER comment */ AS y FROM t"
+    )
+    assert (
+        "ddsketch_agg(CASE WHEN note <> 'FILTER (' THEN s END) AS x" in out
+    )
+    assert "ddsketch_stats_full(ddsketch_agg(s)) /* FILTER comment */" in out
+    # a string literal mentioning the names is untouched
+    s = "SELECT 'use ddsketch_stats_agg(DISTINCT x) FILTER' AS doc FROM t"
+    assert rewrite_stats_agg(s) == s
