@@ -56,6 +56,28 @@ N_60M = 60_000_000
 
 FAMILIES = os.environ.get("SPARK_GRAFT_BENCH_FAMILIES", "1") != "0"
 
+# Round-over-round continuity contract: these keys appeared in the official
+# BENCH_r05.json `spark_families_60m_sec` and MUST keep their names —
+# renaming one silently breaks every cross-round comparison the judge and
+# refresh_docs.py make. New families may be ADDED freely
+# (test_bench_smoke.py pins superset-of-r5 + exact current registry).
+R5_FAMILY_NAMES = frozenset({
+    "hll_distinct",
+    "asof_join",
+    "heavy_hitters",
+    "exact_dedup",
+    "minhash_lsh_600k",
+    "bitmap_retention",
+    "ann_brute_2m_x128",
+    "text_metrics_15m",
+    "sessionize_60m",
+    "pack_manifest_15m",
+    "funnel_60m",
+    "kmeans_60m",
+    "streaming_windows",
+    "streaming_windows_full_recompute",
+})
+
 # deterministic generators (arithmetic only — identical rows in both engines)
 HLL_USERS = "(id * 2654435761) % 10000000"
 HEAVY_TOK = "(id * id + 17 * id) % 50021"

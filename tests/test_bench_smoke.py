@@ -52,26 +52,24 @@ def bench_small(tmp_path_factory):
         setattr(bench, k, v)
 
 
+def test_family_names_continuity_r5(bench_small):
+    """Round-over-round comparability pin (round-5 verdict item 8):
+    every family key from the official BENCH_r05 run must keep its name —
+    a rename would silently break cross-round BENCH_r{N} comparisons and
+    the refresh_docs.py doc tables. Adding NEW families is fine."""
+    assert len(bench_small.R5_FAMILY_NAMES) == 14
+    # the DuckDB mirror registry must also cover every r5 family
+    assert bench_small.R5_FAMILY_NAMES <= set(bench_small._duckdb_family_sqls())
+
+
 def test_all_spark_families_execute(spark, bench_small):
     result = {}
     bench_small.run_spark_families(spark, result)
     fam = result["spark_families_60m_sec"]
-    assert set(fam) == {
-        "hll_distinct",
-        "asof_join",
-        "heavy_hitters",
-        "exact_dedup",
-        "minhash_lsh_600k",
-        "bitmap_retention",
-        "ann_brute_2m_x128",
-        "text_metrics_15m",
-        "sessionize_60m",
-        "pack_manifest_15m",
-        "funnel_60m",
-        "kmeans_60m",
-        "streaming_windows",
-        "streaming_windows_full_recompute",
-    }
+    # superset-of-r5 is the continuity contract; exact equality with the
+    # current registry catches accidental drops of newer families too
+    assert bench_small.R5_FAMILY_NAMES <= set(fam)
+    assert set(fam) == bench_small.R5_FAMILY_NAMES
     assert all(t >= 0 for t in fam.values())
 
 
