@@ -984,6 +984,28 @@ def test_pack_sequences_budget_and_reconciliation(spark):
     assert got == dict(expect)
 
 
+def test_pack_sequences_integer_div_path(spark):
+    """Integral token columns route through exact integer DIV (the plan
+    must carry no double cast for seq_id); non-integral columns keep the
+    double floor. Both agree wherever doubles are exact."""
+    from duckdb_ddsketch_spark.operators import sampling
+
+    rows = [(d, 50 + d % 97) for d in range(300)]
+    di = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    dd = spark.createDataFrame(
+        [(d, float(t)) for d, t in rows], "doc_id long, n_tokens double"
+    )
+    pi = sampling.pack_sequences(di, "n_tokens", 500)
+    pd_ = sampling.pack_sequences(dd, "n_tokens", 500)
+    plan_i = pi._jdf.queryExecution().executedPlan().toString()
+    plan_d = pd_._jdf.queryExecution().executedPlan().toString()
+    assert " div " in plan_i and "FLOOR" not in plan_i
+    assert "FLOOR" in plan_d and " div " not in plan_d
+    a = sorted((r.doc_id, r.seq_id) for r in pi.collect())
+    b = sorted((r.doc_id, r.seq_id) for r in pd_.collect())
+    assert a == b
+
+
 def test_pack_sequences_repartition_invariant(spark):
     from duckdb_ddsketch_spark.operators import sampling
 
