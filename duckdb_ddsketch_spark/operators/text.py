@@ -33,6 +33,8 @@ __all__ = [
     "gopher_flags",
     "repetition_stats",
     "unigram_logfreq_stats",
+    "chunk_spans",
+    "chunk_text",
 ]
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -439,3 +441,81 @@ def unigram_logfreq_stats(
         .cast("long")
         .alias("n_low"),
     )
+
+
+def chunk_spans(
+    df: DataFrame,
+    n_tokens: str = "n_tokens",
+    size: int = 2048,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: one row per sliding-window chunk of a
+    document — ``(input cols…, chunk_id, start_token, end_token)`` — the
+    layout an LLM training/RAG pipeline hands its tokenizer-side writer.
+
+    Chunks start at multiples of ``stride = size - overlap``; a document
+    of ``n`` tokens yields ``1 + ceil((n - size) / stride)`` chunks when
+    ``n > size`` and exactly one otherwise, so every token is covered and
+    no chunk is fully contained in its predecessor. ``end_token`` is
+    exclusive and clamped to ``n`` (the final chunk may be short).
+
+    Scale shape: map-only ``sequence`` + ``explode`` — no shuffle, no
+    Python; the output is ~``n/stride`` rows per input row. Rows with a
+    NULL or non-positive token count emit ZERO chunks (one malformed row
+    must never fail the job). Per-document counts sit far below 2^53, so
+    the ceil-division is exact.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(f"overlap must be in [0, size), got {overlap}")
+    stride = size - overlap
+    n = F.col(n_tokens).cast("long")
+    extra = F.ceil((n - F.lit(size)).cast("double") / F.lit(float(stride))).cast(
+        "long"
+    )
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(F.lit(1) + extra)
+    out = df.where(n.isNotNull() & (n >= 1)).withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    )
+    start = F.col("chunk_id") * F.lit(stride)
+    return out.withColumn("start_token", start).withColumn(
+        "end_token", F.least(start + F.lit(size), F.col(n_tokens).cast("long"))
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 2048,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`chunk_spans` plus the materialized chunk text: tokenizes
+    ``text_col`` (whitespace, matching :func:`tokens`), emits one row per
+    chunk with ``chunk_id``/``start_token``/``end_token`` and
+    ``chunk_text`` = the chunk's tokens re-joined with single spaces.
+
+    Still map-only — tokenize, sequence/explode, ``slice`` +
+    ``concat_ws`` are all native expressions; the token array is built
+    once per row and sliced per chunk. Documents whose text is NULL drop
+    out (zero chunks), mirroring :func:`chunk_spans`.
+    """
+    toks_col = "__chunk_toks"
+    n_col = "__chunk_n_tokens"
+    with_toks = df.withColumn(toks_col, tokens(F.col(text_col))).withColumn(
+        n_col, F.size(F.col(toks_col))
+    )
+    spans = chunk_spans(
+        with_toks, n_tokens=n_col, size=size, overlap=overlap, id_col=id_col
+    )
+    chunk = F.concat_ws(
+        " ",
+        F.slice(
+            F.col(toks_col),
+            (F.col("start_token") + 1).cast("int"),
+            (F.col("end_token") - F.col("start_token")).cast("int"),
+        ),
+    )
+    return spans.withColumn("chunk_text", chunk).drop(toks_col, n_col)

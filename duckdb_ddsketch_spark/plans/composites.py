@@ -586,7 +586,32 @@ FROM ({O['q69_conversion_funnel']}) f""",
             F.lit(0.0).alias("c4"),
             F.lit(0.0).alias("c5"),
         )
-        return toks.unionByName(qual).unionByName(lm)
+        # context-window chunking (beyond-reference LLM-pipeline op): a
+        # deterministic 1/7 doc subset keeps the gate's row count bounded
+        # while every boundary/overlap/clamp case still appears
+        chunks = text_ops.chunk_text(
+            load_table(spark, sf_dir, "documents").where(
+                F.col("doc_id") % 7 == 0
+            ),
+            "text",
+            size=64,
+            overlap=16,
+        ).select(
+            F.lit("chunks").alias("part"),
+            F.concat_ws(
+                "#",
+                F.col("doc_id").cast("string"),
+                F.col("chunk_id").cast("string"),
+            ).alias("key"),
+            F.col("start_token").cast("double").alias("c1"),
+            F.col("end_token").cast("double").alias("c2"),
+            (F.col("end_token") - F.col("start_token"))
+            .cast("double")
+            .alias("c3"),
+            F.length("chunk_text").cast("double").alias("c4"),
+            F.lit(0.0).alias("c5"),
+        )
+        return toks.unionByName(qual).unionByName(lm).unionByName(chunks)
 
     add(
         "q45_text_metrics",
@@ -627,7 +652,31 @@ FROM (
                AS score
     FROM tok2 LEFT JOIN vocab v USING (w), tot
     GROUP BY doc_id, source
-) lmq GROUP BY source""",
+) lmq GROUP BY source
+UNION ALL
+SELECT 'chunks' AS part,
+       CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR) AS key,
+       CAST(st AS DOUBLE) AS c1, CAST(en AS DOUBLE) AS c2,
+       CAST(en - st AS DOUBLE) AS c3, CAST(clen AS DOUBLE) AS c4,
+       CAST(0.0 AS DOUBLE) AS c5
+FROM (
+    WITH d AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks,
+               len(string_split(trim(text), ' ')) AS n
+        FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+    ),
+    c AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, CASE WHEN n <= 64 THEN 1
+                   ELSE 1 + CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_id
+        FROM d WHERE n >= 1
+    )
+    SELECT doc_id, chunk_id, chunk_id * 48 AS st,
+           LEAST(chunk_id * 48 + 64, n) AS en,
+           length(array_to_string(list_slice(toks, chunk_id * 48 + 1,
+               LEAST(chunk_id * 48 + 64, n)), ' ')) AS clen
+    FROM c
+) ch""",
     )
 
     ren("q46_language_id", "q33_language_id")

@@ -1024,6 +1024,73 @@ def test_pack_sequences_repartition_invariant(spark):
     assert a == b
 
 
+def test_chunk_spans_against_python_oracle(spark):
+    """Sliding-window chunk boundaries match a direct python computation
+    across edge cases: n < size, n == size, n == size+1, exact multiple,
+    overlap, and NULL/zero counts emitting no chunks."""
+    from duckdb_ddsketch_spark.operators import text as text_ops
+
+    size, overlap = 8, 3
+    stride = size - overlap
+    counts = [1, 5, 8, 9, 13, 14, 40, None, 0]
+    rows = [(i, n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.start_token, r.end_token)
+        for r in text_ops.chunk_spans(
+            df, "n_tokens", size=size, overlap=overlap
+        ).collect()
+    )
+    expect = []
+    for i, n in enumerate(counts):
+        if not n:
+            continue
+        import math
+
+        nc = 1 if n <= size else 1 + math.ceil((n - size) / stride)
+        for c in range(nc):
+            expect.append((i, c, c * stride, min(c * stride + size, n)))
+    assert got == sorted(expect)
+    # every token covered; last chunk ends exactly at n
+    for i, n in enumerate(counts):
+        if not n:
+            continue
+        spans = [(s, e) for d, _, s, e in expect if d == i]
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 <= e1  # no gap
+            assert s2 > s1  # no chunk contained in its predecessor
+    import pytest
+
+    with pytest.raises(ValueError):
+        text_ops.chunk_spans(df, "n_tokens", size=4, overlap=4)
+    with pytest.raises(ValueError):
+        text_ops.chunk_spans(df, "n_tokens", size=0)
+
+
+def test_chunk_text_slices_tokens(spark):
+    from duckdb_ddsketch_spark.operators import text as text_ops
+
+    words = " ".join(f"w{i}" for i in range(11))
+    df = spark.createDataFrame(
+        [(1, words), (2, "solo"), (3, None)], "doc_id int, text string"
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in text_ops.chunk_text(df, "text", size=5, overlap=2).collect()
+    )
+    # doc 1: 11 tokens, stride 3 -> chunks at 0,3,6 (and 6+5=11 covers all)
+    assert out == [
+        (1, 0, "w0 w1 w2 w3 w4"),
+        (1, 1, "w3 w4 w5 w6 w7"),
+        (1, 2, "w6 w7 w8 w9 w10"),
+        (2, 0, "solo"),
+    ]
+    # helper columns must not leak into the output schema
+    cols = text_ops.chunk_text(df, "text", size=5, overlap=2).columns
+    assert not any(c.startswith("__chunk") for c in cols)
+
+
 def test_repetition_stats_counts_duplicate_segments(spark):
     rows = [
         (1, "s", "alpha beta. gamma delta. alpha beta"),   # 1 dup of 3 segs
