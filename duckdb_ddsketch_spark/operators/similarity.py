@@ -33,6 +33,10 @@ __all__ = [
     "lsh_topk",
     "embedding_neardup_lsh",
     "semantic_dedup",
+    "quantize_calibration",
+    "quantize_embeddings",
+    "dequantize_embeddings",
+    "quantized_topk",
 ]
 
 
@@ -694,4 +698,133 @@ def semantic_dedup(
             F.col("cluster_id"),
             F.col("__dom").isNull().alias("is_kept"),
         )
+    )
+
+
+def quantize_calibration(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> float:
+    """Symmetric scalar-quantization calibration: one bounded aggregate
+    over the corpus returns ``scale = max|x| / (2^(bits-1) - 1)`` — the
+    step size that maps the widest observed component onto the top code.
+
+    Scale shape: a partial-aggregated global max (one tiny shuffle row
+    per task) and a single driver scalar — the same bounded-collect
+    budget as a k-means centroid fetch. At 100 TB calibrate on a
+    deterministic sample (``df.where(col % m == 0)``) — the max is
+    rank-insensitive to sampling in practice and the quantizer clamps
+    outliers anyway. NULL embeddings are ignored; an empty/all-NULL
+    corpus raises ValueError (no scale is learnable).
+    """
+    if not 2 <= bits <= 16:
+        raise ValueError(f"bits must be in [2, 16], got {bits}")
+    qmax = (1 << (bits - 1)) - 1
+    row = df.where(F.col(vec_col).isNotNull()).agg(
+        F.max(F.array_max(F.transform(_dbl(F.col(vec_col)), F.abs))).alias("m")
+    ).first()
+    if row is None or row["m"] is None:
+        raise ValueError(f"no non-NULL '{vec_col}' rows to calibrate on")
+    return float(row["m"]) / qmax
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    scale: float,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    out_col: str = "qcodes",
+) -> DataFrame:
+    """Symmetric scalar quantization of an embedding column to integer
+    codes in ``[-(2^(bits-1)-1), 2^(bits-1)-1]``: ``code = clamp(
+    floor(x/scale + 0.5))`` — at 8 bits a 4x storage/shuffle-bandwidth
+    cut before ANN or near-dup search, the standard compression step a
+    100 TB vector pipeline applies before indexing.
+
+    ``scale`` is a LITERAL (from :func:`quantize_calibration` or a
+    config), so the transform is map-only whole-stage-codegen'd
+    arithmetic — no per-row min/max, no duplicated subexpressions, no
+    shuffle. Codes are exact integers: downstream integer math
+    (:func:`quantized_topk`) is bit-reproducible across engines, unlike
+    float scoring. NULL embeddings pass through as NULL codes.
+    """
+    if not 2 <= bits <= 16:
+        raise ValueError(f"bits must be in [2, 16], got {bits}")
+    if not scale > 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    qmax = (1 << (bits - 1)) - 1
+    codes = F.transform(
+        _dbl(F.col(vec_col)),
+        lambda x: F.greatest(
+            F.lit(-qmax),
+            F.least(
+                F.lit(qmax),
+                F.floor(x / F.lit(float(scale)) + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    return df.withColumn(out_col, codes)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    scale: float,
+    codes_col: str = "qcodes",
+    out_col: str = "embedding_deq",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x ≈ code * scale``.
+    Reconstruction error is bounded by ``scale/2`` per component (clamped
+    outliers excepted). Map-only."""
+    if not scale > 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(codes_col), lambda c: c.cast("double") * F.lit(float(scale))
+        ),
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "qcodes",
+) -> DataFrame:
+    """Top-k neighbors by INTEGER dot product over quantized codes:
+    (query_id, neighbor_id, qdot, rank), self-matches excluded, ties by
+    neighbor id. Symmetric quantization preserves dot-product ordering up
+    to the (positive) factor ``scale^2``, so ranks approximate the float
+    ranking while every score is an exact BIGINT — bit-reproducible
+    across engines and runs, immune to summation-order float drift.
+
+    Same scale shape as :func:`brute_force_topk`: queries broadcast, the
+    corpus scanned once and never shuffled until the tiny per-query
+    top-k window. NULL code rows drop out.
+    """
+    q = queries.where(F.col(codes_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(codes_col).alias("qa")
+    )
+    c = corpus.where(F.col(codes_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("qb")
+    )
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("qa"), F.col("qb"), lambda x, y: (x * y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", qdot.alias("qdot"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rank")
     )

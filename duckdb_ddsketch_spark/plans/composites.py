@@ -345,7 +345,115 @@ FROM ({O['q22_minhash_lsh_neardups']}) b""",
     ren("q37_contamination_check", "q49_contamination_check")
 
     # -- similarity search --------------------------------------------------
-    ren("q38_embedding_near_pairs", "q24_embedding_near_pairs")
+    # q38: exact cosine near-pairs + int8 scalar quantization audit + top-k
+    # over quantized codes (round 6). The quantization parts are
+    # float-drift-immune by construction: codes and dot products are exact
+    # integers, the calibration scale is one IEEE division both engines
+    # perform identically, and the reconstruction error is float32-rounded.
+    def q38_embedding(spark, sf_dir) -> DataFrame:
+        from ..operators import similarity as sim
+        from ..sources import load_table
+
+        pairs = Q["q24_embedding_near_pairs"](spark, sf_dir).select(
+            F.lit("pairs").alias("part"),
+            F.col("id_a").cast("long").alias("k1"),
+            F.col("id_b").cast("long").alias("k2"),
+            F.col("cos").cast("float").alias("v"),
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        scale = sim.quantize_calibration(emb, bits=8)
+        qc = sim.quantize_embeddings(emb, scale, bits=8)
+        code = lambda x: F.greatest(  # noqa: E731 — shared sub-expr
+            F.lit(-127),
+            F.least(
+                F.lit(127), F.floor(x / F.lit(scale) + F.lit(0.5)).cast("int")
+            ),
+        )
+        maxerr = F.array_max(
+            F.transform(
+                sim._dbl(F.col("embedding")),
+                lambda x: F.abs(x - code(x).cast("double") * F.lit(scale)),
+            )
+        )
+        quant = qc.select(
+            F.lit("quant").alias("part"),
+            F.col("vec_id").cast("long").alias("k1"),
+            F.aggregate(
+                F.col("qcodes"),
+                F.lit(0).cast("long"),
+                lambda a, c: a + c.cast("long"),
+            ).alias("k2"),
+            maxerr.cast("float").alias("v"),
+        )
+        topk = sim.quantized_topk(
+            qc, qc.where(F.col("vec_id") % 50 == 0), k=3
+        ).select(
+            F.lit("qtopk").alias("part"),
+            F.col("query_id").cast("long").alias("k1"),
+            F.col("neighbor_id").cast("long").alias("k2"),
+            # qdot <= 127^2 * dims — exact in float32 far beyond any
+            # realistic embedding width (2^24 / 127^2 ≈ 1040 dims)
+            F.col("qdot").cast("float").alias("v"),
+        )
+        return pairs.unionByName(quant).unionByName(topk)
+
+    _Q_CODES = (
+        "list_transform(embedding, x -> GREATEST(-127, LEAST(127, "
+        "CAST(floor(CAST(x AS DOUBLE) / sc.s + 0.5) AS BIGINT))))"
+    )
+    add(
+        "q38_embedding_near_pairs",
+        q38_embedding,
+        f"""SELECT 'pairs' AS part, CAST(id_a AS BIGINT) AS k1,
+       CAST(id_b AS BIGINT) AS k2, CAST(cos AS REAL) AS v
+FROM ({O['q24_embedding_near_pairs']}) p
+UNION ALL
+SELECT 'quant' AS part, CAST(vec_id AS BIGINT) AS k1,
+       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS k2,
+       CAST(maxerr AS REAL) AS v
+FROM (
+    WITH sc AS (
+        SELECT max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) / 127 AS s
+        FROM embeddings
+    )
+    SELECT vec_id, {_Q_CODES} AS codes,
+           list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - CAST(GREATEST(-127, LEAST(127,
+                              CAST(floor(CAST(x AS DOUBLE) / sc.s + 0.5)
+                                   AS BIGINT))) AS DOUBLE) * sc.s))) AS maxerr
+    FROM embeddings, sc
+) qa
+UNION ALL
+SELECT 'qtopk' AS part, CAST(query_id AS BIGINT) AS k1,
+       CAST(neighbor_id AS BIGINT) AS k2, CAST(qdot AS REAL) AS v
+FROM (
+    WITH sc AS (
+        SELECT max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) / 127 AS s
+        FROM embeddings
+    ),
+    qc AS (
+        SELECT vec_id,
+               list_transform({_Q_CODES}, c -> CAST(c AS DOUBLE)) AS codes
+        FROM embeddings, sc
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_dot_product(q.codes, c.codes) AS BIGINT) AS qdot
+        FROM qc q JOIN qc c ON c.vec_id != q.vec_id
+        WHERE q.vec_id % 50 = 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+        ) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, qdot FROM ranked WHERE rn <= 3
+) tk""",
+    )
 
     # q39: ANN top-k three ways — brute-force (verification), LSH-bucketed
     # and IVF (scale paths), algo-tagged on a shared schema

@@ -1024,6 +1024,74 @@ def test_pack_sequences_repartition_invariant(spark):
     assert a == b
 
 
+def test_quantize_roundtrip_against_python_oracle(spark):
+    """Symmetric int8 quantization: calibration scale, clamped codes, and
+    the scale/2 reconstruction bound all match direct python arithmetic;
+    NULL embeddings pass through as NULL codes."""
+    import math
+
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    vecs = [
+        (0, [1.0, -2.5, 0.0, 3.75]),
+        (1, [-5.0, 0.25, 2.0, -0.125]),
+        (2, [0.5, 0.5, 0.5, 0.5]),
+        (3, None),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    scale = sim.quantize_calibration(df, bits=8)
+    assert scale == 5.0 / 127
+    qc = sim.quantize_embeddings(df, scale, bits=8)
+    deq = sim.dequantize_embeddings(qc, scale)
+    rows = {r.vec_id: r for r in deq.collect()}
+    for vid, v in vecs:
+        if v is None:
+            assert rows[vid].qcodes is None
+            continue
+        exp = [
+            max(-127, min(127, math.floor(x / scale + 0.5))) for x in v
+        ]
+        assert list(rows[vid].qcodes) == exp
+        for x, d in zip(v, rows[vid].embedding_deq):
+            assert abs(x - d) <= scale / 2 + 1e-12
+    import pytest
+
+    with pytest.raises(ValueError):
+        sim.quantize_embeddings(df, 0.0)
+    with pytest.raises(ValueError):
+        sim.quantize_calibration(
+            df.where(F.col("embedding").isNull()), bits=8
+        )
+
+
+def test_quantized_topk_integer_ranking(spark):
+    """quantized_topk ranks by exact integer dot product with neighbor-id
+    tie-break, excludes self, and drops NULL-code rows."""
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),
+        (2, [0.0, 3.0]),
+        (3, [1.0, 1.0]),
+        (4, None),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    scale = sim.quantize_calibration(df, bits=8)
+    qc = sim.quantize_embeddings(df, scale, bits=8)
+    out = sim.quantized_topk(qc, qc.where(F.col("vec_id") == 0), k=2)
+    got = [(r.neighbor_id, r.qdot, r.rank) for r in
+           sorted(out.collect(), key=lambda r: r.rank)]
+    codes = {r.vec_id: r.qcodes for r in qc.collect() if r.qcodes}
+    dots = sorted(
+        ((sum(a * b for a, b in zip(codes[0], codes[n])), n) for n in codes
+         if n != 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert got == [(n, d, i + 1) for i, (d, n) in enumerate(dots[:2])]
+    assert all(isinstance(r.qdot, int) for r in out.collect())
+
+
 def test_chunk_spans_against_python_oracle(spark):
     """Sliding-window chunk boundaries match a direct python computation
     across edge cases: n < size, n == size, n == size+1, exact multiple,
