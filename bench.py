@@ -473,6 +473,38 @@ def _duckdb_family_sqls() -> dict:
             <= {ANN_K}
     """
 
+    # quantized ANN: identical int8 pipeline — one calibration max over the
+    # corpus, clamped affine codes per dim, exact BIGINT dot, windowed rank
+    _q_maxabs = ", ".join(f"MAX(ABS(x{d}))" for d in range(ndim))
+    _q_codes = ", ".join(
+        f"GREATEST(-127, LEAST(127,"
+        f" CAST(floor(x{d} / s + 0.5) AS BIGINT))) AS c{d}"
+        for d in range(ndim)
+    )
+    _q_dot = " + ".join(f"c.c{d} * q.c{d}" for d in range(ndim))
+    sqls["ann_quantized_2m_x128"] = f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT range AS id, {_ann_comps('range')} FROM range({N_ANN_CORPUS})
+    ),
+    sc AS MATERIALIZED (
+        SELECT GREATEST({_q_maxabs}) / 127 AS s FROM corpus
+    ),
+    codes AS MATERIALIZED (
+        SELECT id, {_q_codes} FROM corpus, sc
+    ),
+    qcodes AS MATERIALIZED (
+        SELECT * FROM codes WHERE id < {N_ANN_Q}
+    ),
+    scored AS (
+        SELECT q.id AS qid, c.id, ({_q_dot}) AS qdot
+        FROM codes c CROSS JOIN qcodes q
+        WHERE c.id <> q.id
+    )
+    SELECT qid, id, qdot FROM scored
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, id ASC)
+            <= {ANN_K}
+    """
+
     # text metrics: token/char accounting over 15M generated docs — the
     # same split/list_distinct/length arithmetic token_stats performs
     sqls["text_metrics_15m"] = f"""
@@ -817,6 +849,28 @@ def run_spark_families(spark, result: dict) -> None:
         ).collect()
 
     fam["ann_brute_2m_x128"] = _timed_family(ann_brute)
+
+    def ann_quantized():
+        # same corpus/query shape as ann_brute, through the int8 pipeline:
+        # calibrate (one global-max pass) -> quantize (map-only) -> exact
+        # integer-dot top-k; the DuckDB mirror performs the identical
+        # calibration + flat-arithmetic codes + windowed rank
+        from duckdb_ddsketch_spark.operators import similarity
+
+        vec = "array(" + ", ".join(
+            f"CAST(((id * {p}) % 1024) / 64.0 + 0.5 AS DOUBLE)"
+            for p in ANN_PRIMES
+        ) + ")"
+        corpus = gen(N_ANN_CORPUS, [("vec_id", "id"), ("embedding", vec)])
+        queries = gen(N_ANN_Q, [("vec_id", "id"), ("embedding", vec)])
+        scale = similarity.quantize_calibration(corpus, bits=8)
+        qc = similarity.quantize_embeddings(corpus, scale, bits=8)
+        qq = similarity.quantize_embeddings(queries, scale, bits=8)
+        similarity.quantized_topk_blas(
+            qc, qq, k=ANN_K, max_query_rows=N_ANN_Q
+        ).collect()
+
+    fam["ann_quantized_2m_x128"] = _timed_family(ann_quantized)
 
     def text_metrics():
         from duckdb_ddsketch_spark.operators import text as text_ops

@@ -69,7 +69,9 @@ def test_all_spark_families_execute(spark, bench_small):
     # superset-of-r5 is the continuity contract; exact equality with the
     # current registry catches accidental drops of newer families too
     assert bench_small.R5_FAMILY_NAMES <= set(fam)
-    assert set(fam) == bench_small.R5_FAMILY_NAMES
+    assert set(fam) == bench_small.R5_FAMILY_NAMES | {
+        "ann_quantized_2m_x128",  # round 6
+    }
     assert all(t >= 0 for t in fam.values())
 
 
@@ -161,5 +163,36 @@ def test_sessionize_and_pack_mirrors_agree(spark, bench_small):
         drow = con.execute(mirrors["funnel_60m"]).fetchall()[0]
         norm = lambda row: tuple(int(x) if x is not None else 0 for x in row)
         assert norm(srow) == norm(drow)
+
+        # quantized ANN: the full top-k row set is exact integers on both
+        # engines — compare it verbatim, no tolerance
+        from duckdb_ddsketch_spark.operators import similarity
+
+        vec = "array(" + ", ".join(
+            f"CAST(((id * {p}) % 1024) / 64.0 + 0.5 AS DOUBLE)"
+            for p in b.ANN_PRIMES
+        ) + ")"
+        corpus = spark.range(b.N_ANN_CORPUS).selectExpr(
+            "id AS vec_id", f"{vec} AS embedding"
+        )
+        qs = spark.range(b.N_ANN_Q).selectExpr(
+            "id AS vec_id", f"{vec} AS embedding"
+        )
+        scale = similarity.quantize_calibration(corpus, bits=8)
+        qc = similarity.quantize_embeddings(corpus, scale, bits=8)
+        qq = similarity.quantize_embeddings(qs, scale, bits=8)
+        srows = sorted(
+            (r.query_id, r.neighbor_id, r.qdot)
+            for r in similarity.quantized_topk_blas(
+                qc, qq, k=b.ANN_K, max_query_rows=b.N_ANN_Q
+            ).collect()
+        )
+        drows = sorted(
+            (int(a), int(c_), int(d))
+            for a, c_, d in con.execute(
+                mirrors["ann_quantized_2m_x128"]
+            ).fetchall()
+        )
+        assert srows == drows and len(srows) == b.N_ANN_Q * b.ANN_K
     finally:
         con.close()

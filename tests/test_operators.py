@@ -1092,6 +1092,30 @@ def test_quantized_topk_integer_ranking(spark):
     assert all(isinstance(r.qdot, int) for r in out.collect())
 
 
+def test_quantized_topk_blas_bit_identical_to_fold(spark):
+    """The BLAS form must return EXACTLY the fold form's rows — integer
+    dots make the equivalence exact, not ulp-close — including with a
+    NULL-codes row and a ragged-width row in the corpus."""
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    vecs = [
+        (i, [float(((i * p) % 17) - 8) for p in (3, 5, 7, 11, 13, 19)])
+        for i in range(60)
+    ] + [(60, None), (61, [1.0, 2.0])]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    scale = sim.quantize_calibration(df, bits=8)
+    qc = sim.quantize_embeddings(df, scale, bits=8)
+    queries = qc.where(F.col("vec_id") % 9 == 0)
+    a = sorted(map(tuple, sim.quantized_topk(qc, queries, k=4).collect()))
+    b = sorted(
+        map(tuple, sim.quantized_topk_blas(qc, queries, k=4).collect())
+    )
+    assert a == b and len(a) > 0
+    # ragged row 61 must never appear as a neighbor (width-filtered in
+    # blas; zip_with -> NULL-element dot in the fold)
+    assert not any(r[1] == 61 for r in a)
+
+
 def test_chunk_spans_against_python_oracle(spark):
     """Sliding-window chunk boundaries match a direct python computation
     across edge cases: n < size, n == size, n == size+1, exact multiple,
