@@ -35,6 +35,10 @@ FAMILY_DESC = {
         "ANN brute-force top-k (2 M×16-dim corpus × 128 queries,"
         " 256 M pairs)"
     ),
+    "ann_quantized_2m_x128": (
+        "quantized ANN (int8 calibrate→quantize→exact-integer top-k,"
+        " same 2 M×16-dim shape)"
+    ),
     "text_metrics_15m": (
         "text metrics (15 M docs, 120 M tokens: split/distinct/lengths)"
     ),
