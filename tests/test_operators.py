@@ -1116,6 +1116,73 @@ def test_quantized_topk_blas_bit_identical_to_fold(spark):
     assert not any(r[1] == 61 for r in a)
 
 
+def test_chunk_spans_grid_sweep(spark):
+    """Exhaustive boundary sweep: for several (size, overlap) shapes, every
+    token count n in [0, 3*size+2] matches the python oracle — one Spark
+    job per shape, the whole n-range as rows."""
+    import math
+
+    from duckdb_ddsketch_spark.operators import text as text_ops
+
+    for size, overlap in ((1, 0), (7, 0), (8, 3), (16, 15)):
+        stride = size - overlap
+        ns = list(range(0, 3 * size + 3))
+        df = spark.createDataFrame(
+            [(n, n) for n in ns], "doc_id int, n_tokens int"
+        )
+        got = sorted(
+            (r.doc_id, r.chunk_id, r.start_token, r.end_token)
+            for r in text_ops.chunk_spans(
+                df, "n_tokens", size=size, overlap=overlap
+            ).collect()
+        )
+        expect = sorted(
+            (n, c, c * stride, min(c * stride + size, n))
+            for n in ns
+            if n >= 1
+            for c in range(
+                1 if n <= size else 1 + math.ceil((n - size) / stride)
+            )
+        )
+        assert got == expect, f"size={size} overlap={overlap}"
+
+
+def test_quantize_grid_sweep(spark):
+    """Round-trip bound and clamping across bit widths on a deterministic
+    pseudo-random batch: codes match python exactly at bits 4/8/12, and
+    |x - deq| <= scale/2 wherever |x| <= max|x| (clamp region excepted
+    by construction since scale derives from the same batch)."""
+    import math
+
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    vals = [
+        [((i * p + j * 31) % 2029 - 1014) / 97.0 for j, p in
+         enumerate((13, 101, 977, 8191, 131))]
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "vec_id int, embedding array<double>",
+    )
+    m = max(abs(x) for v in vals for x in v)
+    for bits in (4, 8, 12):
+        qmax = (1 << (bits - 1)) - 1
+        scale = sim.quantize_calibration(df, bits=bits)
+        assert scale == m / qmax
+        deq = sim.dequantize_embeddings(
+            sim.quantize_embeddings(df, scale, bits=bits), scale
+        )
+        for r in deq.collect():
+            v = vals[r.vec_id]
+            exp = [
+                max(-qmax, min(qmax, math.floor(x / scale + 0.5))) for x in v
+            ]
+            assert list(r.qcodes) == exp, f"bits={bits} vec={r.vec_id}"
+            for x, d in zip(v, r.embedding_deq):
+                assert abs(x - d) <= scale / 2 + 1e-9, f"bits={bits}"
+
+
 def test_chunk_spans_against_python_oracle(spark):
     """Sliding-window chunk boundaries match a direct python computation
     across edge cases: n < size, n == size, n == size+1, exact multiple,
