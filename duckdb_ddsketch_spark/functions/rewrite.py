@@ -23,8 +23,6 @@ import re
 
 __all__ = ["rewrite_stats_agg", "install_sql_rewrite"]
 
-_NAME = re.compile(r"ddsketch_stats_agg", re.IGNORECASE)
-
 
 def _scan_token_spans(sql: str):
     """Yield (start, end, kind) spans for regions the rewriter must skip:
@@ -92,20 +90,46 @@ def _matching_paren(sql: str, open_idx: int) -> int:
 
 
 _DISTINCT_RE = re.compile(r"^\s*DISTINCT\b", re.IGNORECASE)
-_FILTER_RE = re.compile(r"\s*FILTER\s*", re.IGNORECASE)
 _WHERE_RE = re.compile(r"^\s*WHERE\b(.*)$", re.IGNORECASE | re.DOTALL)
+
+
+def _skip_ws_comments(sql: str, i: int) -> int:
+    """First index >= ``i`` that is neither whitespace nor inside a
+    line/block comment — so ``) /* note */ FILTER (...)`` parses like
+    ``) FILTER (...)``."""
+    n = len(sql)
+    while i < n:
+        if sql[i].isspace():
+            i += 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j == -1 else j + 1
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+        else:
+            break
+    return i
 
 
 def _parse_filter_clause(sql: str, pos: int):
     """If ``sql[pos:]`` starts with ``FILTER (WHERE <cond>)`` (whitespace
-    tolerated), return (cond, end_index_after_close_paren); else None."""
-    m = _FILTER_RE.match(sql, pos)
-    if not m or m.end() >= len(sql) or sql[m.end()] != "(":
+    and comments tolerated around the keyword), return
+    (cond, end_index_after_close_paren); else None. Comments between the
+    call and its FILTER clause are consumed by the fold."""
+    i = _skip_ws_comments(sql, pos)
+    if sql[i : i + 6].upper() != "FILTER":
         return None
-    close = _matching_paren(sql, m.end())
+    j = i + 6
+    if j < len(sql) and re.match(r"[A-Za-z0-9_]", sql[j]):
+        return None  # an identifier like FILTERED, not the keyword
+    j = _skip_ws_comments(sql, j)
+    if j >= len(sql) or sql[j] != "(":
+        return None
+    close = _matching_paren(sql, j)
     if close == -1:
         return None
-    w = _WHERE_RE.match(sql[m.end() + 1 : close])
+    w = _WHERE_RE.match(sql[j + 1 : close])
     if not w:
         return None
     return w.group(1).strip(), close + 1
@@ -159,7 +183,10 @@ def _rewrite_agg_calls(sql: str, name: str, template) -> str:
         had_filter = filt is not None
         if had_filter:
             cond, end = filt
-            inner = f"CASE WHEN {cond} THEN {inner} END"
+            # the newline before THEN terminates any trailing line comment
+            # in cond (strip() above removed the newline that did so in
+            # the original text); harmless otherwise
+            inner = f"CASE WHEN {cond}\n THEN {inner} END"
         repl = template(inner, had_filter)
         if repl is None:
             continue

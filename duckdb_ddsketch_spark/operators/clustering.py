@@ -159,6 +159,9 @@ def _assign_blas(
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    # cid-ascending order makes argmin's first-index tie-break match the
+    # expand/fold paths' array_min(struct(d, cid)) smallest-cid rule
+    centroids = sorted(centroids, key=lambda t: t[0])
     cids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
     cmat = [list(c) for _, c in centroids]
     schema = StructType(
@@ -200,6 +203,8 @@ def _iterate_blas(
     """
     import numpy as np
 
+    # same smallest-cid tie-break as _assign_blas
+    centroids = sorted(centroids, key=lambda t: t[0])
     cids = [cid for cid, _ in centroids]
     cmat = [list(c) for _, c in centroids]
 
@@ -230,18 +235,26 @@ def _iterate_blas(
         )
 
     part = df.select(vec_col).mapInPandas(fn, "cid int, n long, s array<long>")
+    # ncnt and dsum are two plan subtrees over `part` with different
+    # shuffles — without a cache the expensive distance/quantize pass runs
+    # TWICE per iteration; the cached rows are only partitions x k (int64
+    # arrays), so persisting costs ~nothing and halves the dominant stage
+    part = part.persist()
     ncnt = part.groupBy("cid").agg(F.sum("n").alias("n"))
     dsum = (
         part.select("cid", F.posexplode("s").alias("d", "q"))
         .groupBy("cid", "d")
         .agg(F.sum("q").alias("sq"))
     )
-    rows = (
-        dsum.groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("d", "sq"))).alias("e"))
-        .join(ncnt, "cid")
-        .collect()
-    )
+    try:
+        rows = (
+            dsum.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "sq"))).alias("e"))
+            .join(ncnt, "cid")
+            .collect()
+        )
+    finally:
+        part.unpersist()
     return [
         (
             int(r["cid"]),
@@ -288,16 +301,21 @@ def kmeans_centroids(
     # partitionings/runs, and one ragged or atypical row among the probes
     # cannot discard the whole corpus (a bare first() probe could — it is
     # partition-order-dependent and anchored to one arbitrary row).
+    # probe only positive-width rows: if the k smallest ids all carried
+    # empty arrays, an unfiltered probe would yield no widths, SKIP the
+    # width filter, and let malformed rows reach the vec[d] arithmetic
     probe = (
-        df.select(F.col(id_col), F.size(F.col(vec_col)).alias("d"))
+        df.where(F.size(F.col(vec_col)) > 0)
+        .select(F.col(id_col), F.size(F.col(vec_col)).alias("d"))
         .orderBy(F.col(id_col).asc())
         .limit(max(k, 1))
         .collect()
     )
     widths = [int(r["d"]) for r in probe if r["d"] is not None and r["d"] > 0]
-    if widths:
-        width = max(set(widths), key=lambda w: (widths.count(w), -w))
-        df = df.where(F.size(F.col(vec_col)) == width)
+    if not widths:
+        return []  # no row with a non-empty vector anywhere — no clusters
+    width = max(set(widths), key=lambda w: (widths.count(w), -w))
+    df = df.where(F.size(F.col(vec_col)) == width)
     # Seed: quantized embeddings of the k smallest ids, rank = cluster id.
     seeds = (
         df.select(id_col, vec_col)

@@ -327,10 +327,18 @@ def brute_force_topk_blas(
             # mirrors the Catalyst paths' try_divide -> NULL semantics
             # local top-k per query (exclude self-matches afterwards)
             take = min(k + 1, cos.shape[0])
-            top = np.argpartition(-cos, take - 1, axis=0)[:take]  # (take, nq)
+            part = np.argpartition(-cos, take - 1, axis=0)[:take]  # (take, nq)
             res = []
             for j, qid in enumerate(q_ids):
-                for i in top[:, j]:
+                # exact cos ties DO happen (duplicate vectors score the
+                # same float); argpartition keeps an arbitrary tied
+                # subset, so widen to every row at/above the k-th score
+                # and order (cos DESC, id ASC) — deterministic local
+                # top-k matching the final window regardless of batching
+                thresh = cos[part[:, j], j].min()
+                cand = np.nonzero(cos[:, j] >= thresh)[0]
+                order = np.lexsort((ids[cand], -cos[cand, j]))
+                for i in cand[order][:take]:
                     if ids[i] != qid and np.isfinite(cos[i, j]):
                         res.append((qid, ids[i], cos[i, j]))
             yield pd.DataFrame(res, columns=["query_id", "neighbor_id", "cos"])
@@ -749,6 +757,13 @@ def quantize_embeddings(
     shuffle. Codes are exact integers: downstream integer math
     (:func:`quantized_topk`) is bit-reproducible across engines, unlike
     float scoring. NULL embeddings pass through as NULL codes.
+
+    The clamp happens in the DOUBLE domain BEFORE floor/cast, so
+    out-of-range values (sample-based calibration, corrupt components)
+    clamp to the range edges instead of wrapping through the int cast or
+    failing the job under ANSI; non-finite components follow Spark's
+    comparison rules (±inf clamp to ±qmax, NaN — which compares greater
+    than everything — lands on +qmax).
     """
     if not 2 <= bits <= 16:
         raise ValueError(f"bits must be in [2, 16], got {bits}")
@@ -757,13 +772,15 @@ def quantize_embeddings(
     qmax = (1 << (bits - 1)) - 1
     codes = F.transform(
         _dbl(F.col(vec_col)),
-        lambda x: F.greatest(
-            F.lit(-qmax),
-            F.least(
-                F.lit(qmax),
-                F.floor(x / F.lit(float(scale)) + F.lit(0.5)).cast("int"),
-            ),
-        ),
+        lambda x: F.floor(
+            F.greatest(
+                F.lit(float(-qmax)),
+                F.least(
+                    F.lit(float(qmax)),
+                    x / F.lit(float(scale)) + F.lit(0.5),
+                ),
+            )
+        ).cast("int"),
     )
     return df.withColumn(out_col, codes)
 
@@ -887,10 +904,18 @@ def quantized_topk_blas(
                 continue
             dots = mat @ q_mat.T  # (batch, nq) — exact integers in f64
             take = min(k + 1, dots.shape[0])
-            top = np.argpartition(-dots, take - 1, axis=0)[:take]
+            part = np.argpartition(-dots, take - 1, axis=0)[:take]
             res = []
             for j, qid in enumerate(q_ids):
-                for i in top[:, j]:
+                # argpartition keeps an ARBITRARY subset of score-tied
+                # rows, and integer dots tie often — widen to every row
+                # at/above the k-th score, then order (qdot DESC, id ASC)
+                # so the local top-k is deterministic and matches the
+                # fold form's window ordering regardless of batching
+                thresh = dots[part[:, j], j].min()
+                cand = np.nonzero(dots[:, j] >= thresh)[0]
+                order = np.lexsort((ids[cand], -dots[cand, j]))
+                for i in cand[order][:take]:
                     if ids[i] != qid:
                         res.append((qid, ids[i], int(dots[i, j])))
             yield pd.DataFrame(

@@ -448,7 +448,6 @@ def chunk_spans(
     n_tokens: str = "n_tokens",
     size: int = 2048,
     overlap: int = 0,
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Context-window chunking: one row per sliding-window chunk of a
     document — ``(input cols…, chunk_id, start_token, end_token)`` — the
@@ -490,7 +489,6 @@ def chunk_text(
     text_col: str = "text",
     size: int = 2048,
     overlap: int = 0,
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """:func:`chunk_spans` plus the materialized chunk text: tokenizes
     ``text_col`` (whitespace, matching :func:`tokens`), emits one row per
@@ -507,9 +505,7 @@ def chunk_text(
     with_toks = df.withColumn(toks_col, tokens(F.col(text_col))).withColumn(
         n_col, F.size(F.col(toks_col))
     )
-    spans = chunk_spans(
-        with_toks, n_tokens=n_col, size=size, overlap=overlap, id_col=id_col
-    )
+    spans = chunk_spans(with_toks, n_tokens=n_col, size=size, overlap=overlap)
     chunk = F.concat_ws(
         " ",
         F.slice(

@@ -151,13 +151,33 @@ def main():
     results = {}
     for label, src in (("keys_25", src_1x), ("keys_250", src_10x)):
         for prov in ("hdfs", "rocksdb"):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", src, prov],
-                capture_output=True,
-                text=True,
-                timeout=900,
-                env={**os.environ, "SPARK_GRAFT_CPUS": str(CPUS)},
-            )
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--one",
+                        src,
+                        prov,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=900,
+                    env={**os.environ, "SPARK_GRAFT_CPUS": str(CPUS)},
+                )
+            except subprocess.TimeoutExpired as te:
+                # heap exhaustion often presents as a GC-thrash hang, not
+                # a fast OOM exit — a timed-out config is a REPORTED
+                # outcome too, and the remaining configs still run
+                tail = ((te.stderr or b"") + (te.stdout or b""))
+                if isinstance(tail, bytes):
+                    tail = tail.decode(errors="replace")
+                results[f"{label}_{prov}"] = {
+                    "timeout": True,
+                    "failed": True,
+                    "oom": "OutOfMemoryError" in tail,
+                }
+                continue
             line = next(
                 (
                     ln

@@ -313,12 +313,55 @@ def test_rewrite_filter_string_and_comment_safety():
 
     out = rewrite_stats_agg(
         "SELECT ddsketch_agg(s) FILTER (WHERE note <> 'FILTER (') AS x,"
-        " ddsketch_stats_agg(s) /* FILTER comment */ AS y FROM t"
+        " ddsketch_stats_agg(s) /* FILTER: just a comment */ AS y FROM t"
     )
     assert (
-        "ddsketch_agg(CASE WHEN note <> 'FILTER (' THEN s END) AS x" in out
+        "ddsketch_agg(CASE WHEN note <> 'FILTER ('\n THEN s END) AS x"
+        in out
     )
-    assert "ddsketch_stats_full(ddsketch_agg(s)) /* FILTER comment */" in out
+    assert (
+        "ddsketch_stats_full(ddsketch_agg(s)) /* FILTER: just a comment */"
+        in out
+    )
     # a string literal mentioning the names is untouched
     s = "SELECT 'use ddsketch_stats_agg(DISTINCT x) FILTER' AS doc FROM t"
     assert rewrite_stats_agg(s) == s
+
+
+def test_rewrite_filter_comment_edge_cases(spark, fixtures):
+    """Round-6 review regressions: (1) a line comment inside the FILTER
+    condition must not comment out the spliced THEN; (2) a comment
+    between the call and FILTER must not detach the clause; (3) an
+    identifier merely starting with FILTER is not the keyword."""
+    from duckdb_ddsketch_spark.functions.rewrite import rewrite_stats_agg
+
+    # (1) line comment inside cond: rewritten SQL must still parse and
+    # produce the filtered count
+    rows = spark.sql(
+        "SELECT service, ddsketch_count(\n"
+        "  ddsketch_agg(latency_sketch)"
+        " FILTER (WHERE service = 'api-gateway' -- keep api only\n"
+        "  )\n"
+        ") AS cnt FROM hourly_latency_sketches GROUP BY service"
+        " ORDER BY service"
+    ).collect()
+    assert any(r["cnt"] is not None for r in rows)
+
+    # the macro itself emits a newline-terminated splice
+    out = rewrite_stats_agg(
+        "SELECT ddsketch_agg(s) FILTER (WHERE c > 1 -- note\n) AS x FROM t"
+    )
+    assert "-- note\n THEN s END" in out.replace("-- note \n", "-- note\n")
+
+    # (2) block comment between ')' and FILTER: the clause still folds
+    out = rewrite_stats_agg(
+        "SELECT ddsketch_stats_agg(s) /* note */ FILTER (WHERE c) FROM t"
+    )
+    assert "FILTER" not in out.split("--")[0].replace(
+        "/* note */", ""
+    ) or "CASE WHEN" in out
+    assert "ddsketch_stats_full(ddsketch_agg(CASE WHEN c" in out
+
+    # (3) FILTERED identifier after the call is untouched
+    q = "SELECT ddsketch_agg(s), FILTERED (x) FROM t"
+    assert rewrite_stats_agg(q) == q

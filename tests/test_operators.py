@@ -1092,6 +1092,120 @@ def test_quantized_topk_integer_ranking(spark):
     assert all(isinstance(r.qdot, int) for r in out.collect())
 
 
+def test_quantized_topk_blas_tie_break_partition_invariant(spark):
+    """Round-6 review regression: with pervasive integer-dot ties
+    (duplicate vectors), the BLAS path's local top-k must order
+    (qdot DESC, id ASC) — plain argpartition keeps an arbitrary tied
+    subset and the output then depends on batch boundaries."""
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    # 40 distinct code classes, each duplicated 8 times -> every dot ties
+    vecs = [
+        (i, [float(((i % 40) * p) % 23 - 11) for p in (3, 5, 7, 11)])
+        for i in range(320)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    scale = sim.quantize_calibration(df, bits=8)
+    base = None
+    for nparts in (1, 3, 17):
+        qc = sim.quantize_embeddings(
+            df.repartition(nparts), scale, bits=8
+        )
+        queries = qc.where(F.col("vec_id") < 3)
+        got = sorted(
+            map(tuple, sim.quantized_topk_blas(qc, queries, k=5).collect())
+        )
+        fold = sorted(
+            map(tuple, sim.quantized_topk(qc, queries, k=5).collect())
+        )
+        assert got == fold, f"nparts={nparts}"
+        if base is None:
+            base = got
+        assert got == base, f"nparts={nparts} diverged"
+
+
+def test_brute_force_blas_tie_break_partition_invariant(spark):
+    """Duplicate vectors produce EXACT float cos ties too — the float
+    BLAS path needs the same deterministic (cos DESC, id ASC) local
+    ordering as the window that follows."""
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    vecs = [
+        (i, [float((i % 10) + 1), float((i % 10) * 2 + 1)])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 2)
+    base = None
+    for nparts in (1, 7):
+        out = sorted(
+            map(
+                tuple,
+                sim.brute_force_topk_blas(
+                    df.repartition(nparts), queries, k=4
+                ).collect(),
+            )
+        )
+        if base is None:
+            base = out
+        assert out == base, f"nparts={nparts} diverged"
+        # ties resolve to the smallest neighbor ids
+        fold = sorted(
+            map(tuple, sim.brute_force_topk(df, queries, k=4).collect())
+        )
+        assert [(r[0], r[1]) for r in out] == [(r[0], r[1]) for r in fold]
+
+
+def test_quantize_clamps_nonfinite_components(spark):
+    """Clamp happens in the double domain BEFORE the int cast: ±inf
+    clamps to ±qmax instead of wrapping through the cast or failing the
+    job under ANSI."""
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, float("inf"), float("-inf"), -2.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = sim.quantize_embeddings(df, scale=0.1, bits=8).collect()[0]
+    assert list(out.qcodes)[1] == 127 and list(out.qcodes)[2] == -127
+    assert list(out.qcodes)[0] == 10 and list(out.qcodes)[3] == -20
+
+
+def test_kmeans_handles_all_malformed_probe_rows(spark):
+    """Round-6 review regression: when the k smallest-id rows all carry
+    empty arrays, the width probe must still find the valid corpus
+    (previously it skipped the width filter entirely); an entirely
+    malformed corpus yields no clusters rather than an error."""
+    from duckdb_ddsketch_spark.operators import clustering
+
+    bad = [(i, []) for i in range(4)]
+    good = [(10 + i, [float(i % 3), float(i % 5)]) for i in range(30)]
+    df = spark.createDataFrame(
+        bad + good, "vec_id int, embedding array<double>"
+    )
+    cents = clustering.kmeans_centroids(df, k=3, iters=1)
+    assert len(cents) >= 1
+    assert all(len(c) == 2 for _, c in cents)
+    empty = spark.createDataFrame(bad, "vec_id int, embedding array<double>")
+    assert clustering.kmeans_centroids(empty, k=3, iters=1) == []
+
+
+def test_kmeans_assign_blas_tie_break_matches_expand(spark):
+    """Unsorted centroid input: BLAS argmin must still break exact
+    distance ties toward the SMALLEST cluster id like expand/fold."""
+    from duckdb_ddsketch_spark.operators import clustering
+
+    cents = [(5, [2.0, 0.0]), (0, [0.0, 0.0])]  # deliberately unsorted
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )  # equidistant from both centroids
+    for method in ("expand", "fold", "blas"):
+        got = clustering.kmeans_assign(
+            df, cents, method=method
+        ).collect()[0]
+        assert got.cluster_id == 0, method
+
+
 def test_quantized_topk_blas_bit_identical_to_fold(spark):
     """The BLAS form must return EXACTLY the fold form's rows — integer
     dots make the equivalence exact, not ulp-close — including with a
