@@ -114,7 +114,7 @@ def _skip_ws_comments(sql: str, i: int) -> int:
 
 def _parse_filter_clause(sql: str, pos: int):
     """If ``sql[pos:]`` starts with ``FILTER (WHERE <cond>)`` (whitespace
-    and comments tolerated around the keyword), return
+    and comments tolerated around each keyword), return
     (cond, end_index_after_close_paren); else None. Comments between the
     call and its FILTER clause are consumed by the fold."""
     i = _skip_ws_comments(sql, pos)
@@ -129,7 +129,9 @@ def _parse_filter_clause(sql: str, pos: int):
     close = _matching_paren(sql, j)
     if close == -1:
         return None
-    w = _WHERE_RE.match(sql[j + 1 : close])
+    # comments are legal between '(' and WHERE too
+    w_start = _skip_ws_comments(sql, j + 1)
+    w = _WHERE_RE.match(sql[w_start:close])
     if not w:
         return None
     return w.group(1).strip(), close + 1
@@ -144,53 +146,68 @@ def _rewrite_agg_calls(sql: str, name: str, template) -> str:
     skips NULL inputs (the reference's aggregates do too, lib.rs:191-194).
     ``DISTINCT`` inside the call raises a clear error naming the function
     (Spark pandas UDAFs cannot dedup; the host engine the reference rides
-    in accepts it, so a migrating query must dedup in a subquery)."""
-    skip_spans = [(s, e) for s, e, _ in _scan_token_spans(sql)]
+    in accepts it, so a migrating query must dedup in a subquery).
 
-    def in_skip(idx: int) -> bool:
-        return any(s <= idx < e for s, e in skip_spans)
-
+    Rewrites run one splice at a time, re-scanning the WHOLE output after
+    each: a rewritable call can sit INSIDE another call's FILTER
+    condition, so any batch splice plan computed on the original string
+    goes stale the moment one replacement changes the length. Each
+    actionable splice strictly reduces the count of foldable calls
+    (replacements carry neither the rewritten name nor a FILTER clause
+    on it), so the loop terminates."""
     out = sql
     pat = re.compile(re.escape(name), re.IGNORECASE)
-    # right-to-left so earlier indices stay valid after each splice
-    for m in reversed(list(pat.finditer(sql))):
-        if in_skip(m.start()):
-            continue
-        # must be a standalone identifier (not e.g. my_ddsketch_stats_agg2)
-        before = sql[m.start() - 1] if m.start() > 0 else " "
-        after = sql[m.end()] if m.end() < len(sql) else " "
-        if re.match(r"[A-Za-z0-9_]", before) or re.match(r"[A-Za-z0-9_]", after):
-            continue
-        # find the call's opening paren (whitespace allowed)
-        k = m.end()
-        while k < len(sql) and sql[k].isspace():
-            k += 1
-        if k >= len(sql) or sql[k] != "(":
-            continue
-        close = _matching_paren(sql, k)
-        if close == -1:
-            continue
-        inner = sql[k + 1 : close]
-        if _DISTINCT_RE.match(inner):
-            raise ValueError(
-                f"{name}(DISTINCT ...) is not supported: Spark pandas"
-                " UDAFs cannot deduplicate their input. Deduplicate in a"
-                " subquery instead, e.g."
-                f" {name}(s) over (SELECT DISTINCT s FROM ...)."
-            )
-        filt = _parse_filter_clause(sql, close + 1)
-        end = close + 1
-        had_filter = filt is not None
-        if had_filter:
-            cond, end = filt
-            # the newline before THEN terminates any trailing line comment
-            # in cond (strip() above removed the newline that did so in
-            # the original text); harmless otherwise
-            inner = f"CASE WHEN {cond}\n THEN {inner} END"
-        repl = template(inner, had_filter)
-        if repl is None:
-            continue
-        out = out[: m.start()] + repl + out[end:]
+    for _ in range(len(sql) + 1):  # hard bound; loop exits via break
+        skip_spans = [(s, e) for s, e, _ in _scan_token_spans(out)]
+
+        def in_skip(idx: int) -> bool:
+            return any(s <= idx < e for s, e in skip_spans)
+
+        spliced = False
+        for m in pat.finditer(out):
+            if in_skip(m.start()):
+                continue
+            # standalone identifier only (not my_ddsketch_stats_agg2)
+            before = out[m.start() - 1] if m.start() > 0 else " "
+            after = out[m.end()] if m.end() < len(out) else " "
+            if re.match(r"[A-Za-z0-9_]", before) or re.match(
+                r"[A-Za-z0-9_]", after
+            ):
+                continue
+            # find the call's opening paren (whitespace allowed)
+            k = m.end()
+            while k < len(out) and out[k].isspace():
+                k += 1
+            if k >= len(out) or out[k] != "(":
+                continue
+            close = _matching_paren(out, k)
+            if close == -1:
+                continue
+            inner = out[k + 1 : close]
+            if _DISTINCT_RE.match(inner):
+                raise ValueError(
+                    f"{name}(DISTINCT ...) is not supported: Spark pandas"
+                    " UDAFs cannot deduplicate their input. Deduplicate"
+                    " in a subquery instead, e.g."
+                    f" {name}(s) over (SELECT DISTINCT s FROM ...)."
+                )
+            filt = _parse_filter_clause(out, close + 1)
+            end = close + 1
+            had_filter = filt is not None
+            if had_filter:
+                cond, end = filt
+                # the newline before THEN terminates any trailing line
+                # comment in cond (strip() removed the newline that did
+                # so in the original text); harmless otherwise
+                inner = f"CASE WHEN {cond}\n THEN {inner} END"
+            repl = template(inner, had_filter)
+            if repl is None:
+                continue  # non-actionable (plain call) — keep scanning
+            out = out[: m.start()] + repl + out[end:]
+            spliced = True
+            break  # indices are stale now — re-scan the new string
+        if not spliced:
+            break
     return out
 
 

@@ -325,9 +325,14 @@ def brute_force_topk_blas(
                 cos = np.where(denom > 0.0, (mat @ q_mat.T) / denom, -np.inf)
             # zero-norm rows score -inf so they can never enter top-k —
             # mirrors the Catalyst paths' try_divide -> NULL semantics
-            # local top-k per query (exclude self-matches afterwards)
-            take = min(k + 1, cos.shape[0])
-            part = np.argpartition(-cos, take - 1, axis=0)[:take]  # (take, nq)
+            # local top-k per query (exclude self-matches afterwards).
+            # NaN scores (non-finite embedding components) mask to -inf
+            # FIRST: a NaN selected by argpartition would poison the
+            # tie-break threshold (cos >= NaN is all-False) and silently
+            # drop every finite candidate for that query
+            cosm = np.where(np.isnan(cos), -np.inf, cos)
+            take = min(k + 1, cosm.shape[0])
+            part = np.argpartition(-cosm, take - 1, axis=0)[:take]
             res = []
             for j, qid in enumerate(q_ids):
                 # exact cos ties DO happen (duplicate vectors score the
@@ -335,11 +340,11 @@ def brute_force_topk_blas(
                 # subset, so widen to every row at/above the k-th score
                 # and order (cos DESC, id ASC) — deterministic local
                 # top-k matching the final window regardless of batching
-                thresh = cos[part[:, j], j].min()
-                cand = np.nonzero(cos[:, j] >= thresh)[0]
-                order = np.lexsort((ids[cand], -cos[cand, j]))
+                thresh = cosm[part[:, j], j].min()
+                cand = np.nonzero(cosm[:, j] >= thresh)[0]
+                order = np.lexsort((ids[cand], -cosm[cand, j]))
                 for i in cand[order][:take]:
-                    if ids[i] != qid and np.isfinite(cos[i, j]):
+                    if ids[i] != qid and np.isfinite(cosm[i, j]):
                         res.append((qid, ids[i], cos[i, j]))
             yield pd.DataFrame(res, columns=["query_id", "neighbor_id", "cos"])
 

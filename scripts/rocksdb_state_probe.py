@@ -148,36 +148,55 @@ def main():
     bench._ensure_stream_src()
     src_10x = bench.STREAM_SRC
 
+    def _text(v) -> str:
+        if v is None:
+            return ""
+        return v.decode(errors="replace") if isinstance(v, bytes) else v
+
     results = {}
     for label, src in (("keys_25", src_1x), ("keys_250", src_10x)):
         for prov in ("hdfs", "rocksdb"):
+            # own session (= own process group): on timeout the GC-
+            # thrashing local-mode JVM is a GRANDCHILD — killing only the
+            # python child would leave an 8 GB heap wedged in the
+            # background, contaminating the next config's measurement
+            child = subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--one",
+                    src,
+                    prov,
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                start_new_session=True,
+                env={**os.environ, "SPARK_GRAFT_CPUS": str(CPUS)},
+            )
             try:
-                proc = subprocess.run(
-                    [
-                        sys.executable,
-                        os.path.abspath(__file__),
-                        "--one",
-                        src,
-                        prov,
-                    ],
-                    capture_output=True,
-                    text=True,
-                    timeout=900,
-                    env={**os.environ, "SPARK_GRAFT_CPUS": str(CPUS)},
-                )
+                stdout, stderr = child.communicate(timeout=900)
             except subprocess.TimeoutExpired as te:
                 # heap exhaustion often presents as a GC-thrash hang, not
                 # a fast OOM exit — a timed-out config is a REPORTED
                 # outcome too, and the remaining configs still run
-                tail = ((te.stderr or b"") + (te.stdout or b""))
-                if isinstance(tail, bytes):
-                    tail = tail.decode(errors="replace")
+                import signal
+
+                try:
+                    os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
+                child.wait()
+                tail = _text(te.stderr) + _text(te.stdout)
                 results[f"{label}_{prov}"] = {
                     "timeout": True,
                     "failed": True,
                     "oom": "OutOfMemoryError" in tail,
                 }
                 continue
+            proc = subprocess.CompletedProcess(
+                child.args, child.returncode, stdout, stderr
+            )
             line = next(
                 (
                     ln

@@ -365,3 +365,19 @@ def test_rewrite_filter_comment_edge_cases(spark, fixtures):
     # (3) FILTERED identifier after the call is untouched
     q = "SELECT ddsketch_agg(s), FILTERED (x) FROM t"
     assert rewrite_stats_agg(q) == q
+
+    # (4) a rewritable call NESTED inside another call's FILTER condition
+    # must splice cleanly (stale-coordinate batch splicing corrupted this)
+    out = rewrite_stats_agg(
+        "SELECT ddsketch_stats_agg(a) FILTER (WHERE b > "
+        "(SELECT ddsketch_stats_agg(c) FROM u)) FROM t"
+    )
+    assert out.count("ddsketch_stats_full(ddsketch_agg(") == 2
+    assert "FILTER" not in out and "gg(c)) FROM u)) FROM t)" not in out
+
+    # (5) comment between '(' and WHERE inside the FILTER parens
+    out = rewrite_stats_agg(
+        "SELECT ddsketch_stats_agg(s) FILTER (/* keep */ WHERE c) FROM t"
+    )
+    assert "FILTER" not in out
+    assert "ddsketch_stats_full(ddsketch_agg(CASE WHEN c" in out

@@ -1156,6 +1156,28 @@ def test_brute_force_blas_tie_break_partition_invariant(spark):
         assert [(r[0], r[1]) for r in out] == [(r[0], r[1]) for r in fold]
 
 
+def test_brute_force_blas_nan_row_does_not_poison_batch(spark):
+    """Round-6 review regression: a NaN-scoring corpus row (non-finite
+    component) selected by argpartition must not poison the tie-break
+    threshold — the finite neighbors still come back."""
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [float("inf"), 1.0]),  # dot=inf, denom=inf -> cos NaN
+        (2, [2.0, 0.0]),
+        (3, [3.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).coalesce(1)  # single small batch: take == n, NaN enters argpartition
+    out = sim.brute_force_topk_blas(
+        df, df.where(F.col("vec_id") == 0), k=3
+    ).collect()
+    got = {r.neighbor_id for r in out}
+    assert 2 in got and 3 in got and 1 not in got
+
+
 def test_quantize_clamps_nonfinite_components(spark):
     """Clamp happens in the double domain BEFORE the int cast: ±inf
     clamps to ±qmax instead of wrapping through the cast or failing the
