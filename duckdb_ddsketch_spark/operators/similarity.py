@@ -889,9 +889,11 @@ def quantized_topk_blas(
     if len(q_rows) > max_query_rows:
         raise ValueError(
             f"quantized_topk_blas collects the query set to the driver; got "
-            f"more than max_query_rows={max_query_rows} rows. Use the LSH/IVF "
-            "scale paths for large query sets, or raise max_query_rows "
-            "explicitly if the driver can hold the matrix."
+            f"more than max_query_rows={max_query_rows} rows. For large "
+            "query sets use quantized_topk (no driver collect) or "
+            "dequantize and route through the lsh_topk/ivf_topk scale "
+            "paths; or raise max_query_rows explicitly if the driver can "
+            "hold the matrix."
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
