@@ -184,7 +184,9 @@ def _rewrite_agg_calls(sql: str, name: str, template) -> str:
             if close == -1:
                 continue
             inner = out[k + 1 : close]
-            if _DISTINCT_RE.match(inner):
+            # skip leading comments so `(/* c */ DISTINCT x)` hits the
+            # clear error below, not the opaque Spark UDAF failure
+            if _DISTINCT_RE.match(inner[_skip_ws_comments(inner, 0) :]):
                 raise ValueError(
                     f"{name}(DISTINCT ...) is not supported: Spark pandas"
                     " UDAFs cannot deduplicate their input. Deduplicate"

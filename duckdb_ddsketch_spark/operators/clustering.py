@@ -199,7 +199,13 @@ def _iterate_blas(
     <= partitions * k rows of int64 arrays — the same bound as the SQL
     update path. Quantization is ``floor(x * 2^20)`` on the identical
     doubles, so given the same assignment the update is bit-identical
-    to the SQL path (integer sums are order-independent).
+    to the SQL path (integer sums are order-independent). Non-finite
+    components follow the SQL path's saturating CAST: NaN -> 0 and
+    +/-inf -> Long.MAX/MIN exactly; a *finite* component whose scaled
+    value exceeds the int64 range (|x| > ~8.8e12 at 2^20 scale) clamps
+    to the nearest float64 below the bound, within 1024 of the SQL
+    saturation point -- deterministic either way, and numpy's
+    undefined-astype (silent INT64_MIN) never fires.
     """
     import numpy as np
 
@@ -223,7 +229,7 @@ def _iterate_blas(
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
             idx = np.argmin(d, axis=1)
-            np.add.at(s_acc, idx, np.floor(X * _SCALE).astype(np.int64))
+            np.add.at(s_acc, idx, _quantize_i64(X))
             np.add.at(n_acc, idx, 1)
         nz = np.flatnonzero(n_acc)
         yield pd.DataFrame(
@@ -264,6 +270,25 @@ def _iterate_blas(
     ]
 
 
+def _quantize_i64(X):
+    """``floor(x * 2^20)`` -> int64 with Spark CAST semantics: NaN -> 0,
+    +/-inf -> Long.MAX/MIN; finite overflow clamps to the nearest
+    representable float64 inside the int64 range (numpy's astype on
+    out-of-range/non-finite floats is undefined -- INT64_MIN in
+    practice -- which would silently corrupt the centroid sums)."""
+    import numpy as np
+
+    q = np.floor(X * _SCALE)
+    i64 = np.iinfo(np.int64)
+    # nearest float64s strictly inside [INT64_MIN, INT64_MAX]
+    lo = float(np.nextafter(np.float64(i64.min), 0.0))
+    hi = float(np.nextafter(np.float64(2**63), 0.0))
+    out = np.clip(np.where(np.isnan(q), 0.0, q), lo, hi).astype(np.int64)
+    out[np.isposinf(q)] = i64.max
+    out[np.isneginf(q)] = i64.min
+    return out
+
+
 def _quantize_expr(vec_col: str) -> str:
     return (
         f"transform(`{vec_col}`,"
@@ -292,6 +317,9 @@ def kmeans_centroids(
     "expand" / "fold" / "blas" force a path — "fold" is bit-identical to
     "expand" at any width (same summation order, interpreted).
     """
+    if method != "auto" and method not in ("expand", "fold", "blas"):
+        # fail before the width-probe job, not after it
+        raise ValueError(f"method must be auto|expand|fold|blas, got {method!r}")
     df = df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
     # Malformed-width rows (empty or ragged arrays) are excluded like
     # NULLs: the expanded distance/update arithmetic indexes elements

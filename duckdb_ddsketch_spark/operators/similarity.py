@@ -208,7 +208,15 @@ def embedding_neardup_lsh(
     """
     dims = _resolve_dims(df, vec_col, dims)
     if planes is None:
-        planes = _auto_planes(df.count(), target_occupancy)
+        # count only rows that can reach a bucket (non-NULL, width-matched)
+        # — NULL/ragged rows never produce a code, and counting them would
+        # inflate the plane count (lower recall) on dirty corpora
+        planes = _auto_planes(
+            df.where(
+                F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dims)
+            ).count(),
+            target_occupancy,
+        )
     ids = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
@@ -282,6 +290,10 @@ def brute_force_topk_blas(
     The query side is collected to the driver and closed over, which is the
     point of this verification path — ``max_query_rows`` bounds that collect
     so an oversized query set fails fast instead of OOMing the driver.
+
+    ``id_col`` must be integral (ids are staged as an int64 vector and the
+    output schema is ``long``); string/decimal ids raise on the first
+    batch. The fold form :func:`brute_force_topk` accepts any id type.
     """
     import numpy as np
     import pandas as pd
@@ -614,6 +626,12 @@ def semantic_dedup(
     """
     from . import clustering
 
+    # fail fast on knob typos: checkpoint='durable' used to surface only
+    # AFTER the full clustering job had already run (ADVICE r6)
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
+        )
     if centroids is None:
         centroids = clustering.kmeans_centroids(
             df, vec_col, id_col, k, iters, method
@@ -644,12 +662,8 @@ def semantic_dedup(
     # sc.setCheckpointDir on durable storage) to survive executor loss.
     if checkpoint == "reliable":
         assigned = assigned.checkpoint(eager=False)
-    elif checkpoint == "local":
+    else:  # "local" — validated at entry
         assigned = assigned.localCheckpoint(eager=False)
-    else:
-        raise ValueError(
-            f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
-        )
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__cn"))
     if subplanes is None:
         # the sub-bucket scaling law (round-5 probe: the quadratic
@@ -876,6 +890,12 @@ def quantized_topk_blas(
     shuffles, |partitions|*|q|*k rows into the final window — but the
     Arrow transfer ships int codes, 4x smaller than float64 vectors.
     NULL / ragged code rows drop out per batch.
+
+    ``id_col`` must be integral (the BLAS batch stages ids as an int64
+    vector and the output schema is ``long``, like
+    :func:`brute_force_topk_blas`); string/decimal ids raise on the
+    first batch. The fold form :func:`quantized_topk` has no such
+    restriction — the bit-identical claim holds on the shared domain.
     """
     import numpy as np
     import pandas as pd

@@ -381,3 +381,20 @@ def test_rewrite_filter_comment_edge_cases(spark, fixtures):
     )
     assert "FILTER" not in out
     assert "ddsketch_stats_full(ddsketch_agg(CASE WHEN c" in out
+
+
+def test_rewrite_distinct_after_comment_still_raises():
+    """ADVICE r6: DISTINCT hidden behind a leading comment inside the
+    call must hit the same clear error as bare DISTINCT, not fall
+    through to the opaque Spark UDAF failure."""
+    from duckdb_ddsketch_spark.functions.rewrite import rewrite_stats_agg
+
+    for fn in ("ddsketch_stats_agg", "ddsketch_agg"):
+        for lead in ("/* c */ ", "-- c\n ", "/* a */ -- b\n "):
+            with pytest.raises(ValueError, match=fn + r"\(DISTINCT"):
+                rewrite_stats_agg(f"SELECT {fn}({lead}DISTINCT x) FROM t")
+    # the word DISTINCT merely INSIDE a comment is not the keyword
+    out = rewrite_stats_agg(
+        "SELECT ddsketch_stats_agg(/* DISTINCT? no */ s) FROM t"
+    )
+    assert "ddsketch_stats_full(ddsketch_agg(/* DISTINCT? no */ s))" in out

@@ -1935,3 +1935,90 @@ def test_similarity_null_and_empty_embeddings_tolerated(spark):
     kept = {r.vec_id: r.is_kept for r in out.collect()}
     assert set(kept) == {1, 2}
     assert kept[1] and not kept[2]
+
+
+def test_blas_kmeans_quantize_nonfinite_matches_sql_cast():
+    """ADVICE r6: the BLAS update's int64 quantization must follow the
+    SQL path's saturating CAST on non-finite components (NaN -> 0,
+    +/-inf -> Long.MAX/MIN) instead of numpy's undefined astype (silent
+    INT64_MIN) silently corrupting the centroid sums."""
+    import numpy as np
+
+    from duckdb_ddsketch_spark.operators.clustering import (
+        _SCALE,
+        _quantize_i64,
+    )
+
+    X = np.array([[np.nan, np.inf, -np.inf, 1.5, -2.25, 1e300, -1e300]])
+    q = _quantize_i64(X)[0]
+    i64 = np.iinfo(np.int64)
+    assert q[0] == 0                      # NaN -> 0, like CAST(NaN AS BIGINT)
+    assert q[1] == i64.max                # +inf saturates
+    assert q[2] == i64.min                # -inf saturates
+    assert q[3] == int(np.floor(1.5 * _SCALE))   # finite values exact
+    assert q[4] == int(np.floor(-2.25 * _SCALE))
+    # finite overflow clamps inside the int64 range (never wraps)
+    assert 0 < q[5] <= i64.max and i64.min <= q[6] < 0
+
+
+def test_semantic_dedup_validates_knobs_before_any_job():
+    """ADVICE r6: a checkpoint/method typo must fail BEFORE the
+    clustering job runs — proven by passing no DataFrame at all (entry
+    validation raises before the argument is ever touched)."""
+    with pytest.raises(ValueError, match="checkpoint"):
+        similarity.semantic_dedup(None, 0.9, checkpoint="durable")
+    from duckdb_ddsketch_spark.operators import clustering
+
+    with pytest.raises(ValueError, match="method"):
+        clustering.kmeans_centroids(None, method="blass")
+
+
+def test_lsh_auto_planes_counts_only_bucketable_rows(spark, monkeypatch):
+    """ADVICE r6: the auto-planes count must mirror the bucketing's own
+    filters — NULL-vector and wrong-width rows never produce a code, so
+    counting them inflates the plane count (lower recall) on dirty
+    corpora."""
+    seen = {}
+    orig = similarity._auto_planes
+
+    def spy(n, target_occupancy=2.0):
+        seen["n"] = n
+        return orig(n, target_occupancy)
+
+    monkeypatch.setattr(similarity, "_auto_planes", spy)
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, None),              # NULL: never bucketed
+        (4, [1.0, 0.0, 0.0]),   # ragged width: never bucketed
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    similarity.embedding_neardup_lsh(df, 0.8)
+    assert seen["n"] == 2
+
+
+def test_semantic_dedup_reliable_checkpoint_bit_identical(spark, tmp_path):
+    """checkpoint='reliable' (durable-storage lineage cut for cluster
+    runs) must produce bit-identical flags to the default local path."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.999, 0.01, 0.0]),
+        (4, [0.0, 0.98, 0.05]),
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    local = {
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            df, threshold=0.95, k=2, iters=2
+        ).collect()
+    }
+    reliable = {
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            df, threshold=0.95, k=2, iters=2, checkpoint="reliable"
+        ).collect()
+    }
+    assert reliable == local
