@@ -229,13 +229,29 @@ def _minhash_text_sql(d: str) -> str:
     return " || ' ' || ".join(parts)
 
 
-def _timed(fn) -> float:
+# Raw per-repetition times for every measured point, keyed
+# "spark:q01" / "duckdb:q01" / "spark_fam:ann_brute_2m_x128" /
+# "duckdb_fam:...". Emitted as `raw_runs_sec` in the JSON so a
+# round-over-round delta on the best-of point estimate can be read
+# against the run spread (noise vs regression) — the point tables
+# keep quoting best-of.
+_RAW_RUNS: dict = {}
+
+
+def _record(key, secs: float) -> None:
+    if key is not None:
+        _RAW_RUNS.setdefault(key, []).append(round(secs, 3))
+
+
+def _timed(fn, key=None) -> float:
     t0 = time.perf_counter()
     fn()
-    return round(time.perf_counter() - t0, 3)
+    dt = time.perf_counter() - t0
+    _record(key, dt)
+    return round(dt, 3)
 
 
-def _timed_family(fn, rerun_under: float = 20.0) -> float:
+def _timed_family(fn, rerun_under: float = 20.0, key=None) -> float:
     """Family timing with bounded variance control: one full run, and a
     second run (min taken) only when the first is cheap (< rerun_under
     seconds). Sub-10s families measured +/-2x swings across one long
@@ -243,13 +259,13 @@ def _timed_family(fn, rerun_under: float = 20.0) -> float:
     conditional second run bounds the added wall to ~a minute while the
     expensive families — already >> the noise floor — stay single-shot.
     Applied SYMMETRICALLY to the Spark and DuckDB sides."""
-    t = _timed(fn)
+    t = _timed(fn, key=key)
     if t < rerun_under:
-        t = min(t, _timed(fn))
+        t = min(t, _timed(fn, key=key))
     return t
 
 
-def _best3(fn) -> float:
+def _best3(fn, key=None) -> float:
     """Best-of-3 (min): both engines get the same treatment, and min is the
     variance-proof statistic for sub-second queries on a shared machine —
     round-over-round deltas reflect plan changes, not scheduler jitter."""
@@ -258,6 +274,7 @@ def _best3(fn) -> float:
         t0 = time.perf_counter()
         fn()
         reps.append(time.perf_counter() - t0)
+        _record(key, reps[-1])
     return round(min(reps), 3)
 
 
@@ -281,7 +298,7 @@ def run_duckdb(result: dict) -> None:
         if name in oracles:
             sql = oracles[name]
             con.execute(sql).fetchall()  # warm (parquet in page cache)
-            ducks[name] = _best3(lambda: con.execute(sql).fetchall())
+            ducks[name] = _best3(lambda: con.execute(sql).fetchall(), key=f"duckdb:{name}")
     result["duckdb_oracle"] = ducks
 
     # Same 60M-row workload in DuckDB (generation + binned quantile
@@ -326,14 +343,14 @@ def run_duckdb(result: dict) -> None:
         fam = {}
         for name, sql in _duckdb_family_sqls().items():
             if callable(sql):
-                fam[name] = _timed_family(lambda f=sql: f(con))
+                fam[name] = _timed_family(lambda f=sql: f(con), key=f"duckdb_fam:{name}")
             else:
                 if name == "streaming_windows_full_recompute":
                     # steady-state policy (mirrored on the Spark side):
                     # this one-shot query is warmed once so the recorded
                     # number measures the aggregation, not first-touch
                     con.execute(sql).fetchall()
-                fam[name] = _timed_family(lambda s=sql: con.execute(s).fetchall())
+                fam[name] = _timed_family(lambda s=sql: con.execute(s).fetchall(), key=f"duckdb_fam:{name}")
         result["duckdb_families_60m_sec"] = fam
     con.close()
 
@@ -769,7 +786,7 @@ def run_spark_families(spark, result: dict) -> None:
         df = gen(N_60M, [("grp", "id % 25"), ("u", HLL_USERS)])
         approx.hll_distinct(df, ["grp"], "u", p=8).collect()
 
-    fam["hll_distinct"] = _timed_family(hll)
+    fam["hll_distinct"] = _timed_family(hll, key="spark_fam:hll_distinct")
 
     def asof():
         left = gen(N_ASOF_L, [("u", "id % 100000"), ("ts", "id * 7")])
@@ -783,7 +800,7 @@ def run_spark_families(spark, result: dict) -> None:
             F.sum(F.col("ts") - F.col("ts_r")).alias("lag_sum"),
         ).collect()
 
-    fam["asof_join"] = _timed_family(asof)
+    fam["asof_join"] = _timed_family(asof, key="spark_fam:asof_join")
 
     def heavy():
         df = gen(
@@ -798,7 +815,7 @@ def run_spark_families(spark, result: dict) -> None:
             F.col("rank") <= 10
         ).collect()
 
-    fam["heavy_hitters"] = _timed_family(heavy)
+    fam["heavy_hitters"] = _timed_family(heavy, key="spark_fam:heavy_hitters")
 
     def dedup_60m():
         df = gen(
@@ -810,7 +827,7 @@ def run_spark_families(spark, result: dict) -> None:
         )
         dedup.exact_dedup_summary(df, ["src"], text="text", id_col="id").collect()
 
-    fam["exact_dedup"] = _timed_family(dedup_60m)
+    fam["exact_dedup"] = _timed_family(dedup_60m, key="spark_fam:exact_dedup")
 
     def minhash():
         d = f"id % {MINHASH_D}"
@@ -818,7 +835,7 @@ def run_spark_families(spark, result: dict) -> None:
         docs = gen(N_MINHASH, [("id", "id"), ("text", text)], partitions=32)
         dedup.lsh_candidate_pairs(docs, text="text", id_col="id").count()
 
-    fam["minhash_lsh_600k"] = _timed_family(minhash)
+    fam["minhash_lsh_600k"] = _timed_family(minhash, key="spark_fam:minhash_lsh_600k")
 
     def bitmap_retention():
         from duckdb_ddsketch_spark.operators import bitmap
@@ -833,7 +850,7 @@ def run_spark_families(spark, result: dict) -> None:
         bm = bitmap.activity_bitmap(df, "user", "day")
         bitmap.retention_report(bm, 62, offsets=(7,)).collect()
 
-    fam["bitmap_retention"] = _timed_family(bitmap_retention)
+    fam["bitmap_retention"] = _timed_family(bitmap_retention, key="spark_fam:bitmap_retention")
 
     def ann_brute():
         from duckdb_ddsketch_spark.operators import similarity
@@ -848,7 +865,7 @@ def run_spark_families(spark, result: dict) -> None:
             corpus, queries, k=ANN_K, max_query_rows=N_ANN_Q
         ).collect()
 
-    fam["ann_brute_2m_x128"] = _timed_family(ann_brute)
+    fam["ann_brute_2m_x128"] = _timed_family(ann_brute, key="spark_fam:ann_brute_2m_x128")
 
     def ann_quantized():
         # same corpus/query shape as ann_brute, through the int8 pipeline:
@@ -870,7 +887,7 @@ def run_spark_families(spark, result: dict) -> None:
             qc, qq, k=ANN_K, max_query_rows=N_ANN_Q
         ).collect()
 
-    fam["ann_quantized_2m_x128"] = _timed_family(ann_quantized)
+    fam["ann_quantized_2m_x128"] = _timed_family(ann_quantized, key="spark_fam:ann_quantized_2m_x128")
 
     def text_metrics():
         from duckdb_ddsketch_spark.operators import text as text_ops
@@ -890,7 +907,7 @@ def run_spark_families(spark, result: dict) -> None:
             F.avg("avg_token_len").alias("avg_tok_len"),
         ).collect()
 
-    fam["text_metrics_15m"] = _timed_family(text_metrics)
+    fam["text_metrics_15m"] = _timed_family(text_metrics, key="spark_fam:text_metrics_15m")
 
     def sessionize_60m():
         df = gen(
@@ -912,7 +929,7 @@ def run_spark_families(spark, result: dict) -> None:
             F.sum("ns").alias("n_sessions"),
         ).collect()
 
-    fam["sessionize_60m"] = _timed_family(sessionize_60m)
+    fam["sessionize_60m"] = _timed_family(sessionize_60m, key="spark_fam:sessionize_60m")
 
     def pack_15m():
         from duckdb_ddsketch_spark.operators import sampling
@@ -938,7 +955,7 @@ def run_spark_families(spark, result: dict) -> None:
             F.max("token_sum").alias("max_tok"),
         ).collect()
 
-    fam["pack_manifest_15m"] = _timed_family(pack_15m)
+    fam["pack_manifest_15m"] = _timed_family(pack_15m, key="spark_fam:pack_manifest_15m")
 
     def funnel_60m():
         from duckdb_ddsketch_spark.operators import analytics
@@ -962,7 +979,7 @@ def run_spark_families(spark, result: dict) -> None:
             F.sum("step_3").alias("t3_sum"),
         ).collect()
 
-    fam["funnel_60m"] = _timed_family(funnel_60m)
+    fam["funnel_60m"] = _timed_family(funnel_60m, key="spark_fam:funnel_60m")
 
     def kmeans_60m():
         from duckdb_ddsketch_spark.operators import clustering
@@ -975,7 +992,7 @@ def run_spark_families(spark, result: dict) -> None:
             df, "embedding", "vec_id", k=KM_K, iters=KM_ITERS
         ).collect()
 
-    fam["kmeans_60m"] = _timed_family(kmeans_60m)
+    fam["kmeans_60m"] = _timed_family(kmeans_60m, key="spark_fam:kmeans_60m")
 
     def _run_streaming(glob_filter=None):
         import shutil
@@ -1066,11 +1083,11 @@ def run_spark_families(spark, result: dict) -> None:
     # its one-time JIT would otherwise be billed to this family alone —
     # the headline section applies the same steady-state policy.
     _run_streaming(glob_filter="part-00.parquet")
-    fam["streaming_windows"] = _timed_family(streaming_windows)
+    fam["streaming_windows"] = _timed_family(streaming_windows, key="spark_fam:streaming_windows")
     # steady-state policy (mirrored on the DuckDB side): warm once so the
     # recorded number measures the aggregation, not batch-plan JIT
     streaming_full_recompute()
-    fam["streaming_windows_full_recompute"] = _timed_family(streaming_full_recompute)
+    fam["streaming_windows_full_recompute"] = _timed_family(streaming_full_recompute, key="spark_fam:streaming_windows_full_recompute")
 
     result["spark_families_60m_sec"] = fam
 
@@ -1114,7 +1131,7 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = queries[name]
-        timings[name] = _best3(lambda: fn(spark, SF_DIR).collect())
+        timings[name] = _best3(lambda: fn(spark, SF_DIR).collect(), key=f"spark:{name}")
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -1153,6 +1170,10 @@ def main() -> None:
 
     if FAMILIES:
         run_spark_families(spark, result)
+
+    # every raw repetition behind the best-of point estimates above —
+    # spread makes shared-runner noise distinguishable from regression
+    result["raw_runs_sec"] = _RAW_RUNS
 
     spark.stop()
     print(json.dumps(result))

@@ -196,3 +196,23 @@ def test_sessionize_and_pack_mirrors_agree(spark, bench_small):
         assert srows == drows and len(srows) == b.N_ANN_Q * b.ANN_K
     finally:
         con.close()
+
+
+def test_raw_run_spread_recorded(bench_small):
+    """Round-6 verdict item 2: best-of point estimates alone make ±5-10%
+    shared-runner noise indistinguishable from regression — every timed
+    point must also record its raw repetition times under a stable
+    `<side>:<name>` key for the `raw_runs_sec` JSON section."""
+    bench_small._RAW_RUNS.clear()
+    calls = []
+    assert bench_small._best3(lambda: calls.append(1), key="spark:qx") >= 0
+    assert len(calls) == 3
+    assert len(bench_small._RAW_RUNS["spark:qx"]) == 3
+    t = bench_small._timed_family(lambda: None, key="spark_fam:fx")
+    # cheap family -> conditional second run, BOTH reps recorded
+    assert len(bench_small._RAW_RUNS["spark_fam:fx"]) == 2
+    assert t == min(bench_small._RAW_RUNS["spark_fam:fx"])
+    # key-less timing (warm-ups, one-shots) records nothing
+    bench_small._timed(lambda: None)
+    assert set(bench_small._RAW_RUNS) == {"spark:qx", "spark_fam:fx"}
+    bench_small._RAW_RUNS.clear()
