@@ -342,23 +342,41 @@ def brute_force_topk_blas(
             # FIRST: a NaN selected by argpartition would poison the
             # tie-break threshold (cos >= NaN is all-False) and silently
             # drop every finite candidate for that query
-            cosm = np.where(np.isnan(cos), -np.inf, cos)
-            take = min(k + 1, cosm.shape[0])
-            part = np.argpartition(-cosm, take - 1, axis=0)[:take]
-            res = []
-            for j, qid in enumerate(q_ids):
-                # exact cos ties DO happen (duplicate vectors score the
-                # same float); argpartition keeps an arbitrary tied
-                # subset, so widen to every row at/above the k-th score
-                # and order (cos DESC, id ASC) — deterministic local
-                # top-k matching the final window regardless of batching
-                thresh = cosm[part[:, j], j].min()
-                cand = np.nonzero(cosm[:, j] >= thresh)[0]
-                order = np.lexsort((ids[cand], -cosm[cand, j]))
-                for i in cand[order][:take]:
-                    if ids[i] != qid and np.isfinite(cosm[i, j]):
-                        res.append((qid, ids[i], cos[i, j]))
-            yield pd.DataFrame(res, columns=["query_id", "neighbor_id", "cos"])
+            # NaN scores (non-finite embedding components) become -inf
+            # in place (cos is batch-local, safe to mutate): a NaN would
+            # poison the tie-break threshold (cos >= NaN is all-False)
+            # and silently drop every finite candidate for that query
+            np.nan_to_num(cos, copy=False, nan=-np.inf)
+            n = cos.shape[0]
+            take = min(k + 1, n)
+            # exact cos ties DO happen (duplicate vectors score the same
+            # float); a plain argpartition keeps an arbitrary tied subset,
+            # so take the k-th score per query (np.partition: values only,
+            # no negation copy, no index array), widen to every row
+            # at/above it, and order (cos DESC, id ASC) — deterministic
+            # local top-k matching the final window regardless of
+            # batching. Vectorized across queries: one nonzero + one
+            # lexsort per batch, no per-query Python loop (kernel variants
+            # cost-attributed in scripts/ann_blas_cost_probe.py).
+            thresh = np.partition(cos, n - take, axis=0)[n - take]
+            ri, qi = np.nonzero(cos >= thresh)
+            order = np.lexsort((ids[ri], -cos[ri, qi], qi))
+            qi, ri = qi[order], ri[order]
+            starts = np.searchsorted(qi, np.arange(len(q_ids)))
+            pos = np.arange(len(qi)) - starts[qi]
+            sel = (
+                (pos < take)
+                & (ids[ri] != q_ids[qi])
+                & np.isfinite(cos[ri, qi])
+            )
+            qi, ri = qi[sel], ri[sel]
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": ids[ri],
+                    "cos": cos[ri, qi],
+                }
+            )
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -930,23 +948,30 @@ def quantized_topk_blas(
             if mat.size == 0:
                 continue
             dots = mat @ q_mat.T  # (batch, nq) — exact integers in f64
-            take = min(k + 1, dots.shape[0])
-            part = np.argpartition(-dots, take - 1, axis=0)[:take]
-            res = []
-            for j, qid in enumerate(q_ids):
-                # argpartition keeps an ARBITRARY subset of score-tied
-                # rows, and integer dots tie often — widen to every row
-                # at/above the k-th score, then order (qdot DESC, id ASC)
-                # so the local top-k is deterministic and matches the
-                # fold form's window ordering regardless of batching
-                thresh = dots[part[:, j], j].min()
-                cand = np.nonzero(dots[:, j] >= thresh)[0]
-                order = np.lexsort((ids[cand], -dots[cand, j]))
-                for i in cand[order][:take]:
-                    if ids[i] != qid:
-                        res.append((qid, ids[i], int(dots[i, j])))
+            n = dots.shape[0]
+            take = min(k + 1, n)
+            # a plain argpartition keeps an ARBITRARY subset of score-tied
+            # rows, and integer dots tie often — take the k-th score per
+            # query (np.partition: values only), widen to every row
+            # at/above it, then order (qdot DESC, id ASC) so the local
+            # top-k is deterministic and matches the fold form's window
+            # ordering regardless of batching. Vectorized across queries
+            # (scripts/ann_blas_cost_probe.py), same shape as
+            # brute_force_topk_blas.
+            thresh = np.partition(dots, n - take, axis=0)[n - take]
+            ri, qi = np.nonzero(dots >= thresh)
+            order = np.lexsort((ids[ri], -dots[ri, qi], qi))
+            qi, ri = qi[order], ri[order]
+            starts = np.searchsorted(qi, np.arange(len(q_ids)))
+            pos = np.arange(len(qi)) - starts[qi]
+            sel = (pos < take) & (ids[ri] != q_ids[qi])
+            qi, ri = qi[sel], ri[sel]
             yield pd.DataFrame(
-                res, columns=["query_id", "neighbor_id", "qdot"]
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": ids[ri],
+                    "qdot": dots[ri, qi].astype(np.int64),
+                }
             )
 
     scored = corpus.select(id_col, codes_col).mapInPandas(
