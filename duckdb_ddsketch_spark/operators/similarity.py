@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "cosine",
     "dot",
+    "int_dot",
     "norm",
     "brute_force_topk",
     "cosine_near_pairs",
@@ -68,6 +69,29 @@ def cosine(a: Column, b: Column) -> Column:
     simply never qualify as near-duplicates or neighbors.
     """
     return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two integer-code arrays (ragged pairs
+    fold to NULL via zip_with's NULL padding)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_cos(qdot: Column, normsq_a: Column, normsq_b: Column) -> Column:
+    """Cosine from an exact integer dot and two exact integer squared
+    norms: ``qdot / (sqrt(|a|^2) * sqrt(|b|^2))``. Every input is an exact
+    BIGINT and sqrt / * / ÷ are correctly-rounded IEEE ops, so the double
+    result is bit-reproducible across engines — unlike a float dot fold,
+    whose value depends on summation order. NULL when either norm is 0
+    (try_divide), matching :func:`cosine`'s degenerate-vector semantics."""
+    return F.try_divide(
+        qdot.cast("double"),
+        F.sqrt(normsq_a.cast("double")) * F.sqrt(normsq_b.cast("double")),
+    )
 
 
 def brute_force_topk(
@@ -469,6 +493,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    codes_col: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse cells = per-``label`` centroids (mean vectors);
     each query searches only its ``nprobe`` nearest cells.
@@ -480,18 +505,47 @@ def ivf_topk(
     that yields a (id, cell) assignment. Deterministic end to end, so the
     DuckDB oracle reproduces it exactly. Output schema matches
     ``brute_force_topk``.
+
+    ``codes_col`` runs the operator over int8 quantized codes
+    (:func:`quantize_embeddings`): cell centroids become exact integer
+    sums divided once (no float-summation drift), probe selection uses
+    cosine against those centroids (cosine is scale-free, so the nearest
+    cells are the float route's cells up to quantization rounding), and
+    in-cell scoring uses exact integer dots — the corpus side ships 4x
+    fewer bytes through the cell join.
     """
-    exploded = corpus.select(
-        F.col(label_col).alias("cell"), F.posexplode(_dbl(F.col(vec_col)))
-    )
+    col = codes_col if codes_col is not None else vec_col
+    if codes_col is not None:
+        exploded = corpus.select(
+            F.col(label_col).alias("cell"), F.posexplode(F.col(col))
+        )
+        # exact BIGINT component sums, ONE correctly-rounded division —
+        # engine-reproducible, unlike an order-sensitive float avg
+        cell_mean = (F.sum("col").cast("double") / F.count("col")).alias("m")
+        neigh_norm = int_dot(F.col(col), F.col(col))
+        score = _int_cos(
+            int_dot(F.col("qvec"), F.col("nvec")),
+            int_dot(F.col("qvec"), F.col("qvec")),
+            F.col("nnorm"),
+        )
+    else:
+        exploded = corpus.select(
+            F.col(label_col).alias("cell"), F.posexplode(_dbl(F.col(col)))
+        )
+        cell_mean = F.avg("col").alias("m")
+        neigh_norm = norm(F.col(col))
+        score = F.try_divide(
+            dot(F.col("qvec"), F.col("nvec")),
+            norm(F.col("qvec")) * F.col("nnorm"),
+        )
     centroids = (
         exploded.groupBy("cell", "pos")
-        .agg(F.avg("col").alias("m"))
+        .agg(cell_mean)
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e"))
         .select("cell", F.expr("transform(e, x -> x.m)").alias("centroid"))
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(col).alias("qvec"))
     probes = (
         q.crossJoin(F.broadcast(centroids))
         .select(
@@ -513,8 +567,8 @@ def ivf_topk(
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nvec"),
-        norm(F.col(vec_col)).alias("nnorm"),
+        F.col(col).alias("nvec"),
+        neigh_norm.alias("nnorm"),
         F.col(label_col).alias("cell"),
     )
     scored = c.join(
@@ -523,7 +577,7 @@ def ivf_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        F.try_divide(dot(F.col("qvec"), F.col("nvec")), norm(F.col("qvec")) * F.col("nnorm")).alias("cos"),
+        score.alias("cos"),
     ).where(F.col("cos").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -543,26 +597,51 @@ def lsh_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to equal sign-LSH codes.
 
     Trades recall for a code-equality join: at 100 TB the corpus shuffles
     once clustered by code (2^planes buckets; plane count tunes bucket
     size), queries broadcast. Output schema matches ``brute_force_topk``.
+
+    ``codes_col`` routes the whole operator through int8 quantized codes
+    (:func:`quantize_embeddings`) instead of float vectors — the 100 TB
+    path, where the corpus shuffle/broadcast ships 4x fewer bytes.
+    Hyperplane bucket signs are scale-invariant under symmetric
+    quantization (``code ≈ x/scale`` with ``scale > 0``, so
+    ``sign(code·p) = sign(x·p)`` up to rounding), and cosine is
+    scale-free, so the quantized route approximates the float route's
+    output on the same schema while scoring with exact integer dots
+    (bit-reproducible across engines — no summation-order float drift;
+    equivalence/recall pinned by ``test_lsh_topk_quantized_route``).
     """
-    dims = _resolve_dims(corpus, vec_col, dims)
-    code_q = hyperplane_code(F.col(vec_col), planes, dims)
+    col = codes_col if codes_col is not None else vec_col
+    dims = _resolve_dims(corpus, col, dims)
+    if codes_col is not None:
+        side_norm = lambda: int_dot(F.col(col), F.col(col))  # noqa: E731
+        score = _int_cos(
+            int_dot(F.col("qvec"), F.col("nvec")),
+            F.col("qnorm"),
+            F.col("nnorm"),
+        )
+    else:
+        side_norm = lambda: norm(F.col(col))  # noqa: E731
+        score = F.try_divide(
+            dot(F.col("qvec"), F.col("nvec")),
+            F.col("qnorm") * F.col("nnorm"),
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        norm(F.col(vec_col)).alias("qnorm"),
-        code_q.alias("qcode"),
+        F.col(col).alias("qvec"),
+        side_norm().alias("qnorm"),
+        hyperplane_code(F.col(col), planes, dims).alias("qcode"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nvec"),
-        norm(F.col(vec_col)).alias("nnorm"),
-        hyperplane_code(F.col(vec_col), planes, dims).alias("ncode"),
+        F.col(col).alias("nvec"),
+        side_norm().alias("nnorm"),
+        hyperplane_code(F.col(col), planes, dims).alias("ncode"),
     )
     scored = c.join(
         F.broadcast(q),
@@ -571,7 +650,7 @@ def lsh_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        F.try_divide(dot(F.col("qvec"), F.col("nvec")), F.col("qnorm") * F.col("nnorm")).alias("cos"),
+        score.alias("cos"),
     ).where(F.col("cos").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

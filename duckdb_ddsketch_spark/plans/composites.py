@@ -455,15 +455,22 @@ FROM (
 ) tk""",
     )
 
-    # q39: ANN top-k three ways — brute-force (verification), LSH-bucketed
-    # and IVF (scale paths), algo-tagged on a shared schema
+    # q39: ANN top-k four ways — brute-force (verification), LSH-bucketed
+    # and IVF (scale paths), and LSH over int8 quantized codes (round 7:
+    # the bucketed + 4x-smaller-bytes scale path; its cos values are
+    # integer-exact, so the float32 gate cast absorbs nothing — both
+    # engines produce bit-identical doubles), algo-tagged on a shared
+    # schema
+    _ANN_ALGOS = (
+        ("brute", "q25_ann_bruteforce_topk"),
+        ("lsh", "q26_ann_lsh_topk"),
+        ("ivf", "q28_ann_ivf_topk"),
+        ("qlsh", "q26b_ann_lsh_quantized"),
+    )
+
     def q39_ann(spark, sf_dir) -> DataFrame:
         out = None
-        for algo, old in (
-            ("brute", "q25_ann_bruteforce_topk"),
-            ("lsh", "q26_ann_lsh_topk"),
-            ("ivf", "q28_ann_ivf_topk"),
-        ):
+        for algo, old in _ANN_ALGOS:
             part = Q[old](spark, sf_dir).select(
                 F.lit(algo).alias("algo"), "query_id", "neighbor_id", "cos", "rank"
             )
@@ -476,11 +483,7 @@ FROM (
         "\nUNION ALL\n".join(
             f"SELECT '{algo}' AS algo, query_id, neighbor_id, cos, rank"
             f" FROM ({O[old]}) {algo}0"
-            for algo, old in (
-                ("brute", "q25_ann_bruteforce_topk"),
-                ("lsh", "q26_ann_lsh_topk"),
-                ("ivf", "q28_ann_ivf_topk"),
-            )
+            for algo, old in _ANN_ALGOS
         ),
     )
 

@@ -1101,6 +1101,84 @@ def q26(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q26b — LSH-bucketed ANN over int8 quantized codes (round 7): the 100 TB
+# route where the bucketed corpus ships 4x fewer bytes. Hyperplane signs are
+# scale-invariant under symmetric quantization and cosine is scale-free, so
+# the quantized route mirrors q26's structure; scoring is
+# qdot / (sqrt(|q|^2)*sqrt(|n|^2)) from EXACT BIGINTs — every float op is a
+# single correctly-rounded IEEE step, so both engines produce bit-identical
+# cos values (no summation-order drift, no float tolerance in the gate).
+# ---------------------------------------------------------------------------
+
+_Q26B_CODES = (
+    "list_transform(embedding, x -> CAST(GREATEST(-127, LEAST(127, "
+    "CAST(floor(CAST(x AS DOUBLE) / sc.s + 0.5) AS BIGINT))) AS DOUBLE))"
+)
+
+
+@_declare(
+    "q26b_ann_lsh_quantized",
+    f"""
+    WITH p AS (SELECT {_planes_sql(8, 64)} AS planes),
+    sc AS (
+        SELECT max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) / 127 AS s
+        FROM embeddings
+    ),
+    qc AS (
+        SELECT vec_id, {_Q26B_CODES} AS codes
+        FROM embeddings, sc
+    ),
+    coded AS (
+        SELECT vec_id, codes,
+               list_aggregate(list_transform(range(1, 9), pl -> CASE WHEN
+                   list_dot_product(codes, planes[pl]) > 0
+                   THEN CAST(2 ** (pl - 1) AS BIGINT) ELSE 0 END),
+                   'sum') AS code,
+               CAST(list_dot_product(codes, codes) AS BIGINT) AS nsq
+        FROM qc, p
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_dot_product(a.codes, b.codes) AS BIGINT)
+               / NULLIF(sqrt(CAST(a.nsq AS DOUBLE))
+                        * sqrt(CAST(b.nsq AS DOUBLE)), 0) AS cos
+        FROM coded a JOIN coded b
+          ON a.code = b.code AND b.vec_id != a.vec_id
+        WHERE a.vec_id % 25 = 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored WHERE cos IS NOT NULL
+    )
+    SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q26b(spark, sf_dir):
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = similarity.quantize_calibration(emb, bits=8)
+    qc = similarity.quantize_embeddings(emb, scale, bits=8)
+    out = similarity.lsh_topk(
+        qc,
+        qc.where(F.col("vec_id") % 25 == 0),
+        k=3,
+        planes=8,
+        dims=64,
+        codes_col="qcodes",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("cos").cast("float").alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q27 — multimodal binary columns: opaque payload + typed metadata stats
 # ---------------------------------------------------------------------------
 

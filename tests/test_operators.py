@@ -2022,3 +2022,67 @@ def test_semantic_dedup_reliable_checkpoint_bit_identical(spark, tmp_path):
         ).collect()
     }
     assert reliable == local
+
+
+def test_lsh_topk_quantized_route(spark):
+    """codes_col routes lsh_topk through int8 codes (VERDICT r6 #4): same
+    schema, high recall vs the float route (hyperplane signs are
+    scale-invariant under symmetric quantization, cosine is scale-free),
+    and output invariant to input partitioning — the integer-exact cos
+    (exact BIGINT dot/norms + correctly-rounded sqrt/divide) leaves no
+    float drift for partition order to perturb."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    scale = similarity.quantize_calibration(df, bits=8)
+    qdf = similarity.quantize_embeddings(df, scale, bits=8)
+    q_f = df.where(F.col("vec_id") < 10)
+    q_q = qdf.where(F.col("vec_id") < 10)
+    fl = similarity.lsh_topk(df, q_f, k=3, planes=4, dims=16)
+    qz = similarity.lsh_topk(qdf, q_q, k=3, planes=4, dims=16, codes_col="qcodes")
+    assert qz.columns == fl.columns
+    a = {(r.query_id, r.neighbor_id) for r in fl.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in qz.collect()}
+    assert a, "float route returned no pairs — test corpus too sparse"
+    assert len(a & b) / len(a) >= 0.8, (a, b)
+    base = sorted(tuple(r) for r in qz.collect())
+    for nparts in (1, 7):
+        again = similarity.lsh_topk(
+            qdf.repartition(nparts), q_q, k=3, planes=4, dims=16,
+            codes_col="qcodes",
+        )
+        assert sorted(tuple(r) for r in again.collect()) == base
+
+
+def test_ivf_topk_quantized_route(spark):
+    """codes_col routes ivf_topk through int8 codes: integer-sum centroids
+    (one correctly-rounded division — no float-avg summation-order drift),
+    scale-free probe selection, exact integer in-cell scoring. High recall
+    vs the float route and partition-invariant output."""
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], i % 4)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    scale = similarity.quantize_calibration(df, bits=8)
+    qdf = similarity.quantize_embeddings(df, scale, bits=8)
+    q_f = df.where(F.col("vec_id") < 10)
+    q_q = qdf.where(F.col("vec_id") < 10)
+    fl = similarity.ivf_topk(df, q_f, k=3, nprobe=2)
+    qz = similarity.ivf_topk(qdf, q_q, k=3, nprobe=2, codes_col="qcodes")
+    assert qz.columns == fl.columns
+    a = {(r.query_id, r.neighbor_id) for r in fl.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in qz.collect()}
+    assert a and len(a & b) / len(a) >= 0.8, (a, b)
+    base = sorted(tuple(r) for r in qz.collect())
+    again = similarity.ivf_topk(
+        qdf.repartition(7), q_q, k=3, nprobe=2, codes_col="qcodes"
+    )
+    assert sorted(tuple(r) for r in again.collect()) == base
