@@ -139,18 +139,36 @@ KM_K, KM_ITERS = 8, 2
 KM_PRIMES = (13, 101, 977, 8191)
 KM_SCALE = 1048576.0  # clustering._SCALE
 
+# wide-dims k-means family (round 7): 15M rows x 64 dims, k=8 — k*dims =
+# 512 puts clustering._choose_method on the Arrow+numpy BLAS route (the
+# codegen cliff bails past 64 expanded terms; SCALING.md width sweep), so
+# this family pins that route round-over-round with a DuckDB mirror, as
+# VERDICT r6 #3 asked. 64 odd primes with distinct residues mod 1024 so no
+# two generated components are identical columns.
+N_KM_WIDE = 15_000_000
+KM_WIDE_PRIMES = (
+    13, 17, 19, 23, 29, 31, 37, 41,
+    43, 47, 53, 59, 61, 67, 71, 73,
+    79, 83, 89, 97, 101, 103, 107, 109,
+    113, 127, 131, 137, 139, 149, 151, 157,
+    163, 167, 173, 179, 181, 191, 193, 197,
+    199, 211, 223, 227, 229, 233, 239, 241,
+    251, 257, 263, 269, 271, 277, 281, 283,
+    293, 307, 311, 313, 317, 331, 337, 347,
+)
 
-def _km_vec(i: int) -> list:
-    return [((i * p) % 1024) / 64.0 for p in KM_PRIMES]
+
+def _km_vec(i: int, primes: tuple = KM_PRIMES) -> list:
+    return [((i * p) % 1024) / 64.0 for p in primes]
 
 
-def _km_seed_centroids() -> list:
+def _km_seed_centroids(primes: tuple = KM_PRIMES) -> list:
     # mirrors clustering.kmeans_centroids seeding: quantize+dequantize the
     # k smallest ids' vectors (exact for these dyadic inputs)
     import math as _m
 
     return [
-        (cid, [_m.floor(v * KM_SCALE) / KM_SCALE for v in _km_vec(cid)])
+        (cid, [_m.floor(v * KM_SCALE) / KM_SCALE for v in _km_vec(cid, primes)])
         for cid in range(KM_K)
     ]
 
@@ -619,18 +637,18 @@ def _duckdb_family_sqls() -> dict:
     # operator collects k*dims centroid sums between Lloyd iterations, so
     # the honest DuckDB mirror is the same loop with literal centroids
     # substituted per pass (2 assignment+sum passes + 1 summary pass).
-    def _km_gen_cols():
+    def _km_gen_cols(primes=KM_PRIMES):
         return ", ".join(
             f"CAST(((range * {p}) % 1024) / 64.0 AS DOUBLE) AS v{d}"
-            for d, p in enumerate(KM_PRIMES)
+            for d, p in enumerate(primes)
         )
 
-    def _km_assigned_cte(cents) -> str:
+    def _km_assigned_cte(cents, primes=KM_PRIMES, n=N_60M) -> str:
         dists = ", ".join(
             "("
             + " + ".join(
                 f"(v{d} - {c[d]!r}) * (v{d} - {c[d]!r})"
-                for d in range(len(KM_PRIMES))
+                for d in range(len(primes))
             )
             + f") AS d{cid}"
             for cid, c in cents
@@ -642,15 +660,15 @@ def _duckdb_family_sqls() -> dict:
             + " END"
         )
         return f"""
-        gen AS (SELECT {_km_gen_cols()} FROM range({N_60M})),
+        gen AS (SELECT {_km_gen_cols(primes)} FROM range({n})),
         dist AS (SELECT *, {dists} FROM gen),
         assigned AS (SELECT *, {case} AS cid
                      FROM (SELECT *, {dmin} AS dmin FROM dist))
         """
 
-    def _duck_kmeans(con) -> None:
-        cents = _km_seed_centroids()
-        ndim = len(KM_PRIMES)
+    def _duck_kmeans(con, primes=KM_PRIMES, n=N_60M) -> None:
+        cents = _km_seed_centroids(primes)
+        ndim = len(primes)
         qsums = ", ".join(
             f"CAST(SUM(CAST(floor(v{d} * {KM_SCALE!r}) AS BIGINT)) AS BIGINT)"
             f" AS s{d}"
@@ -658,7 +676,7 @@ def _duckdb_family_sqls() -> dict:
         )
         for _ in range(KM_ITERS):
             rows = con.execute(
-                f"""WITH {_km_assigned_cte(cents)}
+                f"""WITH {_km_assigned_cte(cents, primes, n)}
                 SELECT cid, {qsums}, COUNT(*) AS n
                 FROM assigned GROUP BY cid ORDER BY cid
                 """
@@ -674,7 +692,7 @@ def _duckdb_family_sqls() -> dict:
                 for r in rows
             ]
         con.execute(
-            f"""WITH {_km_assigned_cte(cents)}
+            f"""WITH {_km_assigned_cte(cents, primes, n)}
             SELECT CAST(cid AS INT) AS cluster_id, COUNT(*) AS n_vecs,
                    CAST(CAST(SUM(CAST(floor(v0 * {KM_SCALE!r}) AS BIGINT)) AS DOUBLE)
                         / (COUNT(*) * {KM_SCALE!r}) AS FLOAT) AS c0,
@@ -685,6 +703,11 @@ def _duckdb_family_sqls() -> dict:
         ).fetchall()
 
     sqls["kmeans_60m"] = _duck_kmeans
+    # wide-dims arm: the same Python-driven Lloyd loop at 15M x 64 dims
+    # (8 x 64 = 512 flat distance terms per row in the assigned CTE)
+    sqls["kmeans_15m_d64"] = lambda con: _duck_kmeans(
+        con, KM_WIDE_PRIMES, N_KM_WIDE
+    )
 
     # streaming windows: the same (hour window, key, sign, bin) state the
     # Spark streaming operator maintains, kept incrementally per arriving
@@ -993,6 +1016,26 @@ def run_spark_families(spark, result: dict) -> None:
         ).collect()
 
     fam["kmeans_60m"] = _timed_family(kmeans_60m, key="spark_fam:kmeans_60m")
+
+    def kmeans_15m_d64():
+        # k*dims = 512 > 64: _choose_method auto-routes through the
+        # Arrow+numpy BLAS assignment (the expand route's codegen bails
+        # to interpreted eval past 64 terms — SCALING.md width sweep);
+        # this family pins that route round-over-round (VERDICT r6 #3)
+        from duckdb_ddsketch_spark.operators import clustering
+
+        vec = "array(" + ", ".join(
+            f"CAST(((id * {p}) % 1024) / 64.0 AS FLOAT)"
+            for p in KM_WIDE_PRIMES
+        ) + ")"
+        df = gen(N_KM_WIDE, [("vec_id", "id"), ("embedding", vec)])
+        clustering.kmeans_summary(
+            df, "embedding", "vec_id", k=KM_K, iters=KM_ITERS
+        ).collect()
+
+    fam["kmeans_15m_d64"] = _timed_family(
+        kmeans_15m_d64, key="spark_fam:kmeans_15m_d64"
+    )
 
     def _run_streaming(glob_filter=None):
         import shutil

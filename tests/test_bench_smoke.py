@@ -28,6 +28,7 @@ def bench_small(tmp_path_factory):
             "N_BITMAP_USERS",
             "N_ANN_CORPUS",
             "N_ANN_Q",
+            "N_KM_WIDE",
             "N_TEXT",
             "N_TEXT_D",
             "N_PACK",
@@ -42,6 +43,7 @@ def bench_small(tmp_path_factory):
     bench.MINHASH_D = 3_600
     bench.N_BITMAP_USERS = 5_000
     bench.N_ANN_CORPUS, bench.N_ANN_Q = 5_000, 8
+    bench.N_KM_WIDE = 10_000
     bench.N_TEXT, bench.N_TEXT_D = 20_000, 500
     bench.N_PACK = 20_000
     bench.SESS_USERS = 1_000
@@ -71,6 +73,7 @@ def test_all_spark_families_execute(spark, bench_small):
     assert bench_small.R5_FAMILY_NAMES <= set(fam)
     assert set(fam) == bench_small.R5_FAMILY_NAMES | {
         "ann_quantized_2m_x128",  # round 6
+        "kmeans_15m_d64",  # round 7: wide-dims BLAS-routed k-means
     }
     assert all(t >= 0 for t in fam.values())
 
