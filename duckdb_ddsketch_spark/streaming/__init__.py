@@ -54,7 +54,9 @@ __all__ = [
 
 
 def scalable_state_conf() -> dict:
-    """Session confs for production-scale streaming state.
+    """Session confs for production-scale streaming state. **This is the
+    documented default posture for stateful streaming at scale** — apply
+    it unless the sizing rule below says heap is safely sufficient.
 
     The default HDFS-backed state store keeps every open window's state in
     executor heap — fine locally, an OOM at 100 TB key cardinalities. The
@@ -66,9 +68,28 @@ def scalable_state_conf() -> dict:
         for k, v in scalable_state_conf().items():
             spark.conf.set(k, v)
 
+    **When RocksDB is mandatory (sizing rule).** Estimate peak state as
+    ``open_groups x bytes_per_group``, where ``open_groups`` is the live
+    key/window cardinality inside the watermark horizon (for
+    :func:`streaming_first_seen`: arrival rate x horizon; for windowed
+    aggs: keys x open windows) and ``bytes_per_group`` is the state row
+    (a serialized sketch ~ its bin count x ~10 B; HLL: 2^p registers;
+    counters: ~100 B). If that estimate per executor exceeds roughly a
+    QUARTER of executor heap (state competes with shuffle/exec memory and
+    the provider keeps maintenance copies), the on-heap provider is an
+    OOM risk and RocksDB is mandatory, not optional. Measured
+    (``scripts/rocksdb_state_probe.py``, SCALING.md "state-store probe"):
+    at 10x key cardinality the on-heap provider OOMs a 3.2 GB heap while
+    RocksDB completes the same query with ~600 MB resident and state on
+    SST files.
+
     State-store choice does not change results — only where state lives —
-    which ``tests/test_streaming.py`` pins by re-running a windowed
-    aggregate under RocksDB and comparing to the batch kernel.
+    pinned by ``tests/test_streaming.py`` two ways: the windowed aggregate
+    re-run under RocksDB equals the batch kernel
+    (``test_rocksdb_state_store_matches_default``), and every stateful
+    operator in this module produces identical output under either
+    provider (``test_scalable_state_conf_composes_with_all_stateful_
+    operators``).
     """
     return {
         "spark.sql.streaming.stateStore.providerClass": (
@@ -212,6 +233,10 @@ def sessionized_sketches(
     semantics). This is the template for custom stateful sketch operators
     (sessionization, decay, alerting) that windowed aggregation can't
     express. State size is the sketch itself: O(bins), independent of rows.
+
+    At scale, run under :func:`scalable_state_conf` (RocksDB state store);
+    its docstring carries the sizing rule for when that posture is
+    mandatory (open keys x sketch bytes vs executor heap).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -268,7 +293,10 @@ def sessionized_gap_stats(
     (``> gap`` starts a new session), matching the batch operator and the
     window-SQL oracle.
 
-    State is O(1) per key (six longs) regardless of event count. Assumes
+    State is O(1) per key (six longs) regardless of event count — heap
+    holds it until key cardinality is extreme; apply
+    :func:`scalable_state_conf` (and see its sizing rule) past ~10M live
+    keys per executor. Assumes
     per-key event-time-ordered arrival WITHIN the replayed source (true
     for log replay / availableNow over time-ordered files); a production
     out-of-order stream would buffer behind a watermark first.
@@ -412,6 +440,9 @@ def streaming_first_seen(
     arrival rate x horizon, never by stream length, and lives in the
     configured state store (RocksDB under ``scalable_state_conf``), so the
     operator runs at 1000-executor scale with no Python in the hot path.
+    At ingest-front-end cardinalities (arrival rate x horizon easily
+    reaches billions of digests), :func:`scalable_state_conf` is the
+    mandatory posture — see its sizing rule.
 
     The digest path reuses the batch normalization
     (:func:`..operators.dedup.normalize_text`, md5 — the same canonical

@@ -463,3 +463,114 @@ def test_streaming_append_to_partitioned_store_rollup(spark, stream_input, tmp_p
         assert got[svc][0] == kernel.get_count(), svc
         p95 = kernel.quantile(0.95)
         assert abs(got[svc][1] - p95) <= abs(p95) * 1e-9, svc
+
+
+def test_scalable_state_conf_composes_with_all_stateful_operators(
+    spark, stream_input, tmp_path
+):
+    """VERDICT r6 #5: RocksDB is the documented posture for stateful
+    streaming at scale (the on-heap provider sits on the OOM edge at 10x
+    key cardinality — SCALING.md state-store probe), so every stateful
+    operator must run unchanged under ``scalable_state_conf()`` and
+    produce exactly the default-provider results: the provider moves
+    where state lives, never semantics. windowed_binned_counts is pinned
+    the same way by test_rocksdb_state_store_matches_default."""
+    import time as _time
+
+    from duckdb_ddsketch_spark.streaming import (
+        scalable_state_conf,
+        sessionized_gap_stats,
+        streaming_first_seen,
+        windowed_hll_registers,
+        windowed_value_counts,
+    )
+
+    # gap-stats needs per-key time-ordered replay: its own 2-file source,
+    # one file per micro-batch (file-source ordering is by mtime)
+    gap_src = str(tmp_path / "gap_src")
+    gschema = "event_id long, user_id long, ts timestamp"
+    rows1 = [(1, 1, "2024-01-01 00:00:00"), (2, 1, "2024-01-01 00:10:00"),
+             (3, 2, "2024-01-01 00:00:00")]
+    rows2 = [(4, 1, "2024-01-01 00:20:00"), (5, 1, "2024-01-01 02:00:00"),
+             (6, 2, "2024-01-01 03:20:00"), (7, 3, "2024-01-01 00:00:00")]
+    for mode, rows in (("overwrite", rows1), ("append", rows2)):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_str string"
+        ).select(
+            "event_id", "user_id", F.to_timestamp("ts_str").alias("ts")
+        ).coalesce(1).write.mode(mode).parquet(gap_src)
+        _time.sleep(1.1)
+
+    def mk_stream():
+        return spark.readStream.schema(SCHEMA).parquet(stream_input)
+
+    def mk_gap_stream():
+        return (
+            spark.readStream.schema(gschema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(gap_src)
+        )
+
+    ops = {
+        "sessionized_sketches": (
+            lambda: sessionized_sketches(mk_stream(), "service", "value"),
+            "update",
+        ),
+        "sessionized_gap_stats": (
+            lambda: sessionized_gap_stats(
+                mk_gap_stream(), "user_id", "ts",
+                gap_seconds=1800, tiebreak="event_id",
+            ),
+            "update",
+        ),
+        "windowed_hll_registers": (
+            lambda: windowed_hll_registers(
+                mk_stream(), "ts", ["service"], "value",
+                window="1 hour", watermark="0 seconds",
+            ),
+            "update",
+        ),
+        "windowed_value_counts": (
+            lambda: windowed_value_counts(
+                mk_stream(), "ts", ["service"], "value",
+                window="1 hour", watermark="0 seconds",
+            ),
+            "update",
+        ),
+        "streaming_first_seen": (
+            lambda: streaming_first_seen(
+                mk_stream(), "ts", keys=["service"], watermark="1 hour"
+            ),
+            "append",
+        ),
+    }
+
+    def run_all(tag):
+        out = {}
+        for name, (build, mode) in ops.items():
+            rows = _collect_stream(
+                build(), str(tmp_path / f"ck_{tag}_{name}"), mode=mode
+            )
+            out[name] = sorted(str(r) for r in rows)
+        return out
+
+    base = run_all("default")
+    assert all(base.values()), {k: len(v) for k, v in base.items()}
+
+    conf = scalable_state_conf()
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        rocks = run_all("rocks")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert rocks == base
