@@ -310,12 +310,19 @@ def minhash_lsh_dedup(
     bands: int = 4,
     ngram: int = 2,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the full near-dup pipeline.
 
     Returns (id_a, id_b, jaccard) for verified near-duplicates.
+    ``max_bucket`` passes through to :func:`lsh_candidate_pairs` (band
+    buckets larger than it are skipped — the skew guard); callers that
+    need cross-engine parity must mirror the same cap on the other side
+    (the declared q22 oracle does).
     """
-    cands = lsh_candidate_pairs(df, text, id_col, num_hashes, bands, ngram)
+    cands = lsh_candidate_pairs(
+        df, text, id_col, num_hashes, bands, ngram, max_bucket
+    )
     return jaccard_pairs(
         df, text, id_col, ngram, threshold, candidates=cands
     )
@@ -394,6 +401,16 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a silent partial result would differ from an exact oracle the
+        # moment a component's diameter exceeds max_iters (the q88
+        # knob-audit rule: caps must fail loudly or be mirrored, never
+        # silently change results past a data threshold)
+        raise ValueError(
+            f"duplicate_clusters did not converge within max_iters="
+            f"{max_iters}; a component's diameter exceeds it — raise "
+            f"max_iters (each extra iteration is one join+groupBy round)"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -672,11 +672,23 @@ def _minhash_sql(num_hashes: int = 16) -> str:
                    sg[b.band_id * 4 + 3] || '|' || sg[b.band_id * 4 + 4]) AS band_hash
         FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
     ),
+    bsz AS (
+        -- mirror of the Spark side's max_bucket=1000 skew cap: a band
+        -- bucket larger than the cap produces NO candidates in EITHER
+        -- engine, so parity holds at any scale factor, not just where no
+        -- bucket happens to exceed the cap (knob-audit rule; see
+        -- tests/test_knob_audit.py)
+        SELECT band_id, band_hash, COUNT(*) AS n
+        FROM banded GROUP BY 1, 2
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+        JOIN bsz s
+          ON s.band_id = a.band_id AND s.band_hash = a.band_hash
+        WHERE s.n <= 1000
     ),
     sh AS (
         SELECT doc_id,
@@ -705,7 +717,8 @@ def _minhash_sql(num_hashes: int = 16) -> str:
 def q22(spark, sf_dir):
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
-    out = dedup.minhash_lsh_dedup(docs, threshold=0.5)
+    # max_bucket pinned explicitly; the oracle's bsz CTE mirrors the cap
+    out = dedup.minhash_lsh_dedup(docs, threshold=0.5, max_bucket=1000)
     return out.select("id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard"))
 
 

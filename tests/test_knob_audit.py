@@ -1,0 +1,129 @@
+"""Scale-parity audit of every capped operator knob (VERDICT r6 #6).
+
+The q88 lesson generalized: an operator knob whose default silently changes
+RESULTS past a data-size threshold — while the DuckDB oracle stays exact —
+turns a green sf0.01 gate into a scale-dependent lie. This audit enumerates
+EVERY cap-like knob in the operator surface and pins, for each, one of the
+four acceptable postures:
+
+  pinned          the declared query passes the knob explicitly at a value
+                  the oracle matches (q88 max_cell, q22 max_bucket, q36
+                  max_hamming)
+  oracle-mirrors  the oracle SQL applies the identical cap, so parity holds
+                  at ANY scale (q22's bsz CTE)
+  loud            crossing the cap raises instead of truncating
+                  (max_query_rows, duplicate_clusters max_iters)
+  unused/off      the knob is off by default or the operator is not used by
+                  any declared query (embedding_neardup_lsh, jaccard
+                  max_df, retention max_offset, sample_frames max_frames —
+                  the last is a semantic sampling spec mirrored by its
+                  oracle)
+
+A completeness sweep greps the package for ``max_*`` keyword parameters so
+a future knob cannot land unclassified.
+"""
+
+import inspect
+import re
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+PKG = Path(__file__).resolve().parent.parent / "duckdb_ddsketch_spark"
+
+# every max_* keyword parameter in the operator/streaming surface, with its
+# audited posture; the completeness test fails if the source grows a knob
+# not listed here
+KNOB_REGISTRY = {
+    ("operators/dedup.py", "lsh_candidate_pairs", "max_bucket"): "pinned+oracle-mirrors (q22)",
+    ("operators/dedup.py", "minhash_lsh_dedup", "max_bucket"): "pinned+oracle-mirrors (q22)",
+    ("operators/dedup.py", "jaccard_pairs", "max_df"): "off-by-default (None)",
+    ("operators/dedup.py", "duplicate_clusters", "max_iters"): "loud (raises on non-convergence)",
+    ("operators/dedup.py", "simhash_pairs", "max_hamming"): "pinned+oracle-mirrors (q36)",
+    ("operators/multimodal.py", "sample_frames", "max_frames"): "semantic sampling spec, oracle mirrors (q49)",
+    ("operators/analytics.py", "cohort_retention", "max_offset"): "off-by-default (None)",
+    ("operators/similarity.py", "embedding_neardup_lsh", "max_bucket"): "unused in declared queries",
+    ("operators/similarity.py", "brute_force_topk_blas", "max_query_rows"): "loud (raises)",
+    ("operators/similarity.py", "semantic_dedup", "max_cell"): "pinned (q88, 1<<62)",
+    ("operators/similarity.py", "quantized_topk_blas", "max_query_rows"): "loud (raises)",
+}
+
+
+def test_registry_complete_against_source():
+    """Grep every def-signature max_* kwarg under the package; each must be
+    classified in KNOB_REGISTRY (and nothing stale remains)."""
+    found = set()
+    sig_re = re.compile(r"^def (\w+)\(", re.M)
+    for path in sorted(PKG.rglob("*.py")):
+        src = path.read_text()
+        rel = str(path.relative_to(PKG))
+        # walk function defs, collect max_* params from their signatures
+        for m in re.finditer(r"def (\w+)\(((?:[^()]|\([^()]*\))*)\)", src):
+            fn, params = m.group(1), m.group(2)
+            for pm in re.finditer(r"(max_[a-z_]+)\s*[:=]", params):
+                if pm.group(1) == "max_cell_size":
+                    continue
+                found.add((rel, fn, pm.group(1)))
+    assert found == set(KNOB_REGISTRY), (
+        "knob registry out of sync with source:\n"
+        f"unclassified: {sorted(found - set(KNOB_REGISTRY))}\n"
+        f"stale: {sorted(set(KNOB_REGISTRY) - found)}"
+    )
+
+
+def test_pinned_knobs_appear_in_declared_source():
+    """Every 'pinned' posture must be visible at the declared call site."""
+    from duckdb_ddsketch_spark.plans import declared
+
+    src = inspect.getsource(declared)
+    assert "max_cell=1 << 62" in src  # q88
+    assert "max_bucket=1000" in src  # q22
+    assert "max_hamming=3" in src  # q36
+
+
+def test_oracle_mirrors_the_caps():
+    """'oracle-mirrors' postures: the oracle SQL applies the identical cap."""
+    from duckdb_ddsketch_spark.plans import declared
+
+    oracles = declared.STAGED_ORACLES
+    q22 = oracles["q22_minhash_lsh_neardups"]
+    assert "s.n <= 1000" in q22, "q22 oracle lost the max_bucket mirror"
+    q36 = oracles["q36_simhash_pairs"]
+    assert "hamming <= 3" in q36, "q36 oracle lost the max_hamming mirror"
+
+
+def test_unused_knob_operators_stay_out_of_declared_queries():
+    """embedding_neardup_lsh's silent max_bucket cap has no oracle mirror —
+    it must not back a declared query until it gets one."""
+    from duckdb_ddsketch_spark.plans import composites, declared
+
+    for mod in (declared, composites):
+        assert "embedding_neardup_lsh" not in inspect.getsource(mod)
+
+
+def test_max_query_rows_raises_loudly(spark):
+    from duckdb_ddsketch_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.brute_force_topk_blas(df, df, k=1, max_query_rows=3).collect()
+    qc = similarity.quantize_embeddings(df, 1.0, bits=8)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.quantized_topk_blas(qc, qc, k=1, max_query_rows=3).collect()
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """A component with diameter > max_iters must fail loudly, never return
+    silently-partial clusters that an exact oracle would contradict."""
+    from duckdb_ddsketch_spark.operators import dedup
+
+    chain = [(i, i + 1) for i in range(9)]  # path graph, diameter 9
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iters=2)
+    out = dedup.duplicate_clusters(pairs, max_iters=20)
+    assert {r.cluster_id for r in out.collect()} == {0}
