@@ -73,12 +73,21 @@ def cosine(a: Column, b: Column) -> Column:
 
 def int_dot(a: Column, b: Column) -> Column:
     """Exact BIGINT dot product of two integer-code arrays (ragged pairs
-    fold to NULL via zip_with's NULL padding)."""
+    fold to NULL via zip_with's NULL padding).
+
+    The fold runs in the DOUBLE domain and casts the final sum to long:
+    every code product is an exact integer-valued double and the running
+    sum stays exact while below 2^53 (8-bit codes: ~5e11 dims; 16-bit:
+    ~8e6 dims — far past any embedding width), so the result is the same
+    exact BIGINT as an integer fold. Measured 4x faster per pair: the
+    integer shape pays a per-element Cast node plus ANSI overflow checks
+    inside an interpreted higher-order function, the double shape is
+    plain float multiply-add (scripts/quantized_bucket_probe.py)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
         lambda acc, x: acc + x,
-    )
+    ).cast("long")
 
 
 def _int_cos(qdot: Column, normsq_a: Column, normsq_b: Column) -> Column:
@@ -944,13 +953,10 @@ def quantized_topk(
     c = corpus.where(F.col(codes_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("qb")
     )
-    qdot = F.aggregate(
-        F.zip_with(
-            F.col("qa"), F.col("qb"), lambda x, y: (x * y).cast("long")
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # same double-domain fold as int_dot: exact for integer codes far
+    # past any embedding width, ~4x faster than the ANSI-checked integer
+    # fold inside the interpreted HOF
+    qdot = int_dot(F.col("qa"), F.col("qb"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", qdot.alias("qdot"))

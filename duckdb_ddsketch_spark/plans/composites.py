@@ -395,7 +395,17 @@ FROM ({O['q22_minhash_lsh_neardups']}) b""",
             # realistic embedding width (2^24 / 127^2 ≈ 1040 dims)
             F.col("qdot").cast("float").alias("v"),
         )
-        return pairs.unionByName(quant).unionByName(topk)
+        # round 7: the bucketed scale path of the 'pairs' part, full
+        # oracle mirror incl. the max_bucket cap (knob audit)
+        lshp = Q["q24b_embedding_neardup_lsh"](spark, sf_dir).select(
+            F.lit("lshpairs").alias("part"),
+            F.col("id_a").cast("long").alias("k1"),
+            F.col("id_b").cast("long").alias("k2"),
+            F.col("cos").cast("float").alias("v"),
+        )
+        return (
+            pairs.unionByName(quant).unionByName(topk).unionByName(lshp)
+        )
 
     _Q_CODES = (
         "list_transform(embedding, x -> GREATEST(-127, LEAST(127, "
@@ -452,7 +462,11 @@ FROM (
         FROM scored
     )
     SELECT query_id, neighbor_id, qdot FROM ranked WHERE rn <= 3
-) tk""",
+) tk
+UNION ALL
+SELECT 'lshpairs' AS part, CAST(id_a AS BIGINT) AS k1,
+       CAST(id_b AS BIGINT) AS k2, CAST(cos AS REAL) AS v
+FROM ({O['q24b_embedding_neardup_lsh']}) lp""",
     )
 
     # q39: ANN top-k four ways — brute-force (verification), LSH-bucketed

@@ -759,6 +759,81 @@ def q24(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("cos").cast("float").alias("cos"))
 
 
+# ---------------------------------------------------------------------------
+# q24b — bucketed near-dup pairs (embedding_neardup_lsh): the scale path of
+# q24, driver-gated with a FULL oracle mirror (round 7 knob audit: this was
+# the last operator whose max_bucket skew cap had no oracle mirror). The
+# mirror reproduces the whole pipeline — both code tables' hyperplanes
+# (contiguous plane indices, so one literal list serves both), the
+# bucket-size cap, OR-construction candidate dedup, exact cosine verify —
+# so parity holds at any scale, cap crossings included. planes/tables are
+# pinned literals (the auto law needs a count() the oracle can't see).
+# ---------------------------------------------------------------------------
+
+def _planes_sql(planes: int = 8, dims: int = 64) -> str:
+    """DuckDB literal arrays for the deterministic md5-derived hyperplanes —
+    the exact constants Spark embeds via F.lit."""
+    rows = []
+    for p in range(planes):
+        comps = ", ".join(
+            repr(similarity._plane_component(p, d)) for d in range(dims)
+        )
+        rows.append(f"[{comps}]")
+    return "[" + ", ".join(rows) + "]"
+
+
+_Q24B_PLANES, _Q24B_TABLES, _Q24B_MAXB = 4, 4, 2000
+
+
+@_declare(
+    "q24b_embedding_neardup_lsh",
+    f"""
+    WITH p AS (SELECT {_planes_sql(_Q24B_PLANES * _Q24B_TABLES, 64)} AS planes),
+    coded AS (
+        SELECT vec_id, t.tbl,
+               list_aggregate(list_transform(range(1, {_Q24B_PLANES + 1}),
+                   pl -> CASE WHEN list_dot_product(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       planes[t.tbl * {_Q24B_PLANES} + pl]) > 0
+                   THEN CAST(2 ** (pl - 1) AS BIGINT) ELSE 0 END),
+                   'sum') AS code
+        FROM embeddings, p, (SELECT unnest([0, 1, 2, 3]) AS tbl) t
+    ),
+    bsz AS (SELECT tbl, code, COUNT(*) AS n FROM coded GROUP BY 1, 2),
+    kept AS (
+        SELECT c.vec_id, c.tbl, c.code
+        FROM coded c JOIN bsz s ON s.tbl = c.tbl AND s.code = c.code
+        WHERE s.n <= {_Q24B_MAXB}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM kept a JOIN kept b
+          ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b, {_COS_SQL} AS cos
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.id_a
+        JOIN embeddings b ON b.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, CAST(cos AS REAL) AS cos
+    FROM scored WHERE cos >= 0.45
+    """,
+)
+def q24b(spark, sf_dir):
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_neardup_lsh(
+        emb,
+        threshold=0.45,
+        planes=_Q24B_PLANES,
+        dims=64,
+        tables=_Q24B_TABLES,
+        max_bucket=_Q24B_MAXB,
+    )
+    return out.select("id_a", "id_b", F.col("cos").cast("float").alias("cos"))
+
+
 @_declare(
     "q25_ann_bruteforce_topk",
     f"""
@@ -1054,18 +1129,6 @@ def q17(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # q26 — LSH-bucketed ANN (the scale path for similarity search)
 # ---------------------------------------------------------------------------
-
-
-def _planes_sql(planes: int = 8, dims: int = 64) -> str:
-    """DuckDB literal arrays for the deterministic md5-derived hyperplanes —
-    the exact constants Spark embeds via F.lit."""
-    rows = []
-    for p in range(planes):
-        comps = ", ".join(
-            repr(similarity._plane_component(p, d)) for d in range(dims)
-        )
-        rows.append(f"[{comps}]")
-    return "[" + ", ".join(rows) + "]"
 
 
 _Q26_CODE = (

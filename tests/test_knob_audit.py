@@ -13,11 +13,9 @@ four acceptable postures:
                   at ANY scale (q22's bsz CTE)
   loud            crossing the cap raises instead of truncating
                   (max_query_rows, duplicate_clusters max_iters)
-  unused/off      the knob is off by default or the operator is not used by
-                  any declared query (embedding_neardup_lsh, jaccard
-                  max_df, retention max_offset, sample_frames max_frames —
-                  the last is a semantic sampling spec mirrored by its
-                  oracle)
+  unused/off      the knob is off by default (jaccard max_df, retention
+                  max_offset; sample_frames max_frames is a semantic
+                  sampling spec mirrored by its oracle)
 
 A completeness sweep greps the package for ``max_*`` keyword parameters so
 a future knob cannot land unclassified.
@@ -43,7 +41,7 @@ KNOB_REGISTRY = {
     ("operators/dedup.py", "simhash_pairs", "max_hamming"): "pinned+oracle-mirrors (q36)",
     ("operators/multimodal.py", "sample_frames", "max_frames"): "semantic sampling spec, oracle mirrors (q49)",
     ("operators/analytics.py", "cohort_retention", "max_offset"): "off-by-default (None)",
-    ("operators/similarity.py", "embedding_neardup_lsh", "max_bucket"): "unused in declared queries",
+    ("operators/similarity.py", "embedding_neardup_lsh", "max_bucket"): "pinned+oracle-mirrors (q24b -> q38 'lshpairs')",
     ("operators/similarity.py", "brute_force_topk_blas", "max_query_rows"): "loud (raises)",
     ("operators/similarity.py", "semantic_dedup", "max_cell"): "pinned (q88, 1<<62)",
     ("operators/similarity.py", "quantized_topk_blas", "max_query_rows"): "loud (raises)",
@@ -80,6 +78,7 @@ def test_pinned_knobs_appear_in_declared_source():
     assert "max_cell=1 << 62" in src  # q88
     assert "max_bucket=1000" in src  # q22
     assert "max_hamming=3" in src  # q36
+    assert "max_bucket=_Q24B_MAXB" in src and declared._Q24B_MAXB == 2000  # q24b
 
 
 def test_oracle_mirrors_the_caps():
@@ -91,15 +90,8 @@ def test_oracle_mirrors_the_caps():
     assert "s.n <= 1000" in q22, "q22 oracle lost the max_bucket mirror"
     q36 = oracles["q36_simhash_pairs"]
     assert "hamming <= 3" in q36, "q36 oracle lost the max_hamming mirror"
-
-
-def test_unused_knob_operators_stay_out_of_declared_queries():
-    """embedding_neardup_lsh's silent max_bucket cap has no oracle mirror —
-    it must not back a declared query until it gets one."""
-    from duckdb_ddsketch_spark.plans import composites, declared
-
-    for mod in (declared, composites):
-        assert "embedding_neardup_lsh" not in inspect.getsource(mod)
+    q24b = oracles["q24b_embedding_neardup_lsh"]
+    assert "s.n <= 2000" in q24b, "q24b oracle lost the max_bucket mirror"
 
 
 def test_max_query_rows_raises_loudly(spark):
