@@ -25,6 +25,7 @@ __all__ = [
     "cosine",
     "dot",
     "int_dot",
+    "int_normsq",
     "norm",
     "brute_force_topk",
     "cosine_near_pairs",
@@ -79,15 +80,35 @@ def int_dot(a: Column, b: Column) -> Column:
     every code product is an exact integer-valued double and the running
     sum stays exact while below 2^53 (8-bit codes: ~5e11 dims; 16-bit:
     ~8e6 dims — far past any embedding width), so the result is the same
-    exact BIGINT as an integer fold. Measured 4x faster per pair: the
-    integer shape pays a per-element Cast node plus ANSI overflow checks
-    inside an interpreted higher-order function, the double shape is
-    plain float multiply-add (scripts/quantized_bucket_probe.py)."""
+    exact BIGINT as an integer fold. Two measured hazards shape this
+    (scripts/quantized_bucket_probe.py): an integer fold pays a Cast
+    node plus ANSI overflow checks per element inside the interpreted
+    higher-order function (~4x), and casting each ARRAY up front
+    (``transform``) materializes two fresh arrays per evaluation — per
+    candidate PAIR when projection collapse inlines the expression into
+    a bucket join — so the element casts live inside the zip_with lambda
+    instead, allocating nothing."""
     return F.aggregate(
-        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     ).cast("long")
+
+
+def int_normsq(a: Column) -> Column:
+    """Exact BIGINT squared norm of an integer-code array — a single-array
+    fold (no zip_with, no intermediate arrays): the per-side precompute
+    for :func:`_int_cos`, cost-matched to :func:`norm` so the quantized
+    bucket routes pay the same per-row (and, under projection collapse,
+    per-pair) price as the float routes. Same double-domain exactness
+    argument as :func:`int_dot`."""
+    return (
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        ).cast("long")
+    )
 
 
 def _int_cos(qdot: Column, normsq_a: Column, normsq_b: Column) -> Column:
@@ -531,10 +552,10 @@ def ivf_topk(
         # exact BIGINT component sums, ONE correctly-rounded division —
         # engine-reproducible, unlike an order-sensitive float avg
         cell_mean = (F.sum("col").cast("double") / F.count("col")).alias("m")
-        neigh_norm = int_dot(F.col(col), F.col(col))
+        neigh_norm = int_normsq(F.col(col))
         score = _int_cos(
             int_dot(F.col("qvec"), F.col("nvec")),
-            int_dot(F.col("qvec"), F.col("qvec")),
+            int_normsq(F.col("qvec")),
             F.col("nnorm"),
         )
     else:
@@ -628,7 +649,7 @@ def lsh_topk(
     col = codes_col if codes_col is not None else vec_col
     dims = _resolve_dims(corpus, col, dims)
     if codes_col is not None:
-        side_norm = lambda: int_dot(F.col(col), F.col(col))  # noqa: E731
+        side_norm = lambda: int_normsq(F.col(col))  # noqa: E731
         score = _int_cos(
             int_dot(F.col("qvec"), F.col("nvec")),
             F.col("qnorm"),
