@@ -375,7 +375,11 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     labels = edges.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
-    for _ in range(max_iters):
+    # max_iters + 1 passes: a graph whose last label change lands exactly
+    # on pass max_iters is already converged but needs one extra
+    # zero-change pass to OBSERVE it — without the +1, capacity would be
+    # max_iters-1 hops and a complete, correct result would be discarded
+    for _ in range(max_iters + 1):
         nbr = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy(F.col("a").alias("id"))
@@ -402,10 +406,11 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     else:
-        # a silent partial result would differ from an exact oracle the
-        # moment a component's diameter exceeds max_iters (the q88
-        # knob-audit rule: caps must fail loudly or be mirrored, never
-        # silently change results past a data threshold)
+        # genuinely unconverged: labels still changing after max_iters
+        # productive passes. A silent partial result would differ from an
+        # exact oracle the moment a component's diameter exceeds the cap
+        # (the q88 knob-audit rule: caps must fail loudly or be mirrored,
+        # never silently change results past a data threshold)
         raise ValueError(
             f"duplicate_clusters did not converge within max_iters="
             f"{max_iters}; a component's diameter exceeds it — raise "

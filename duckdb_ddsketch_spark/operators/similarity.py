@@ -323,6 +323,41 @@ def embedding_neardup_lsh(
     )
 
 
+def _local_topk_batch(ids, q_ids, scores, take, require_finite):
+    """Deterministic local top-k over one BLAS batch — the shared kernel
+    behind :func:`brute_force_topk_blas` and :func:`quantized_topk_blas`.
+
+    A plain argpartition keeps an ARBITRARY subset of score-tied rows
+    (integer dots tie constantly; duplicate vectors make exact float
+    ties), so: take the k-th score per query (np.partition: values only),
+    widen to every row at/above it, order (score DESC, id ASC), and cut
+    at ``take`` — deterministic regardless of batch boundaries, matching
+    the final window's ordering. Vectorized across queries: one nonzero +
+    one lexsort per batch, no per-query Python loop (kernel variants
+    cost-attributed in scripts/ann_blas_cost_probe.py).
+
+    Self-matches (corpus id == query id) are dropped here, as is any
+    row failing ``require_finite`` — the float cosine path's -inf/NaN
+    sentinels (zero-norm or non-finite embeddings); the integer-dot
+    path has no sentinel and skips that gather. ``scores`` is
+    (batch, n_queries); returns (qi, ri) index arrays into
+    (query, batch-row) selecting the emitted pairs in final order.
+    """
+    import numpy as np
+
+    n = scores.shape[0]
+    thresh = np.partition(scores, n - take, axis=0)[n - take]
+    ri, qi = np.nonzero(scores >= thresh)
+    order = np.lexsort((ids[ri], -scores[ri, qi], qi))
+    qi, ri = qi[order], ri[order]
+    starts = np.searchsorted(qi, np.arange(len(q_ids)))
+    pos = np.arange(len(qi)) - starts[qi]
+    sel = (pos < take) & (ids[ri] != q_ids[qi])
+    if require_finite:
+        sel &= np.isfinite(scores[ri, qi])
+    return qi[sel], ri[sel]
+
+
 def brute_force_topk_blas(
     corpus: DataFrame,
     queries: DataFrame,
@@ -390,40 +425,19 @@ def brute_force_topk_blas(
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0.0, (mat @ q_mat.T) / denom, -np.inf)
             # zero-norm rows score -inf so they can never enter top-k —
-            # mirrors the Catalyst paths' try_divide -> NULL semantics
-            # local top-k per query (exclude self-matches afterwards).
-            # NaN scores (non-finite embedding components) mask to -inf
-            # FIRST: a NaN selected by argpartition would poison the
-            # tie-break threshold (cos >= NaN is all-False) and silently
-            # drop every finite candidate for that query
+            # mirrors the Catalyst paths' try_divide -> NULL semantics.
             # NaN scores (non-finite embedding components) become -inf
             # in place (cos is batch-local, safe to mutate): a NaN would
             # poison the tie-break threshold (cos >= NaN is all-False)
-            # and silently drop every finite candidate for that query
-            np.nan_to_num(cos, copy=False, nan=-np.inf)
-            n = cos.shape[0]
-            take = min(k + 1, n)
-            # exact cos ties DO happen (duplicate vectors score the same
-            # float); a plain argpartition keeps an arbitrary tied subset,
-            # so take the k-th score per query (np.partition: values only,
-            # no negation copy, no index array), widen to every row
-            # at/above it, and order (cos DESC, id ASC) — deterministic
-            # local top-k matching the final window regardless of
-            # batching. Vectorized across queries: one nonzero + one
-            # lexsort per batch, no per-query Python loop (kernel variants
-            # cost-attributed in scripts/ann_blas_cost_probe.py).
-            thresh = np.partition(cos, n - take, axis=0)[n - take]
-            ri, qi = np.nonzero(cos >= thresh)
-            order = np.lexsort((ids[ri], -cos[ri, qi], qi))
-            qi, ri = qi[order], ri[order]
-            starts = np.searchsorted(qi, np.arange(len(q_ids)))
-            pos = np.arange(len(qi)) - starts[qi]
-            sel = (
-                (pos < take)
-                & (ids[ri] != q_ids[qi])
-                & np.isfinite(cos[ri, qi])
+            # and silently drop every finite candidate for that query.
+            # neginf must stay -inf: nan_to_num's default would rewrite
+            # the zero-norm sentinel to a finite -1.8e308, letting
+            # degenerate rows slip past the isfinite filter below
+            np.nan_to_num(cos, copy=False, nan=-np.inf, neginf=-np.inf)
+            take = min(k + 1, cos.shape[0])
+            qi, ri = _local_topk_batch(
+                ids, q_ids, cos, take, require_finite=True
             )
-            qi, ri = qi[sel], ri[sel]
             yield pd.DataFrame(
                 {
                     "query_id": q_ids[qi],
@@ -1054,24 +1068,11 @@ def quantized_topk_blas(
             if mat.size == 0:
                 continue
             dots = mat @ q_mat.T  # (batch, nq) — exact integers in f64
-            n = dots.shape[0]
-            take = min(k + 1, n)
-            # a plain argpartition keeps an ARBITRARY subset of score-tied
-            # rows, and integer dots tie often — take the k-th score per
-            # query (np.partition: values only), widen to every row
-            # at/above it, then order (qdot DESC, id ASC) so the local
-            # top-k is deterministic and matches the fold form's window
-            # ordering regardless of batching. Vectorized across queries
-            # (scripts/ann_blas_cost_probe.py), same shape as
-            # brute_force_topk_blas.
-            thresh = np.partition(dots, n - take, axis=0)[n - take]
-            ri, qi = np.nonzero(dots >= thresh)
-            order = np.lexsort((ids[ri], -dots[ri, qi], qi))
-            qi, ri = qi[order], ri[order]
-            starts = np.searchsorted(qi, np.arange(len(q_ids)))
-            pos = np.arange(len(qi)) - starts[qi]
-            sel = (pos < take) & (ids[ri] != q_ids[qi])
-            qi, ri = qi[sel], ri[sel]
+            take = min(k + 1, dots.shape[0])
+            # integer dots: no -inf/NaN sentinel, skip the finite gather
+            qi, ri = _local_topk_batch(
+                ids, q_ids, dots, take, require_finite=False
+            )
             yield pd.DataFrame(
                 {
                     "query_id": q_ids[qi],

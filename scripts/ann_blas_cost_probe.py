@@ -75,7 +75,7 @@ def v6(ids, cos, q_ids, mask=True):
 
 def v8(ids, cos, q_ids):
     cos = cos.copy()  # probe reuses cos across variants; the kernel owns its array
-    np.nan_to_num(cos, copy=False, nan=-np.inf)
+    np.nan_to_num(cos, copy=False, nan=-np.inf, neginf=-np.inf)
     n = cos.shape[0]
     take = min(K + 1, n)
     thresh = np.partition(cos, n - take, axis=0)[n - take]

@@ -52,7 +52,6 @@ def test_registry_complete_against_source():
     """Grep every def-signature max_* kwarg under the package; each must be
     classified in KNOB_REGISTRY (and nothing stale remains)."""
     found = set()
-    sig_re = re.compile(r"^def (\w+)\(", re.M)
     for path in sorted(PKG.rglob("*.py")):
         src = path.read_text()
         rel = str(path.relative_to(PKG))

@@ -251,6 +251,26 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert len(out) == n + 1
 
 
+def test_duplicate_clusters_converges_exactly_at_max_iters(spark):
+    # path 0-1-...-9: label 0 reaches node 9 on exactly the 9th
+    # propagation pass. The loop must still succeed — detection needs one
+    # extra zero-change pass beyond the last productive one (regression:
+    # a complete, correct labeling used to be discarded with a spurious
+    # 'did not converge')
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    out = {
+        r.id: r.cluster_id
+        for r in dedup.duplicate_clusters(pairs, max_iters=9).collect()
+    }
+    assert set(out.values()) == {0}
+    assert len(out) == 10
+    # and a genuinely-too-small cap still fails loudly
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iters=3).collect()
+
+
 def test_duplicate_clusters_end_to_end(spark, docs):
     pairs = dedup.jaccard_pairs(docs, threshold=0.5)
     clusters = {r.id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
