@@ -1,0 +1,196 @@
+"""Distributed matrix decomposition: Gram matrix + PCA over embedding columns.
+
+The training-data use case: whiten / reduce an ``array<float>`` embedding
+column before clustering or ANN indexing (PCA to 8-32 dims is the standard
+pre-step for IVF at corpus scale), and audit embedding spaces (spectrum =
+how many effective dimensions a provider's vectors really have).
+
+Scale shape (the whole point of the design):
+
+* ``gram_matrix`` computes per-batch ``X^T X`` with one numpy/BLAS matmul
+  inside ``mapInPandas`` — each Arrow batch COLLAPSES to one d x d partial
+  before anything shuffles, so the exchange carries ``n_batches * d^2``
+  scalars (d=64 -> 32 KB per batch), never the vectors themselves. The
+  final ``groupBy(i, j).sum`` is a tiny hash aggregate. This is the same
+  partial-aggregate discipline as the sketch operators: shuffle size is
+  bounded by STRUCTURE size (d^2), independent of row count — at 100 TB
+  the reduce side sees megabytes.
+* ``pca_components`` augments each vector with a constant 1 so ONE Gram
+  pass yields X^T X, the per-dimension sums, and the row count (the
+  homogeneous-coordinates trick); the d x d eigendecomposition runs on
+  the driver — a bounded collect of d^2 doubles, same budget class as a
+  k-means centroid fetch.
+* ``pca_project`` is map-only: the component matrix is closed over as
+  literals; no shuffle, no second scan of anything but the input.
+
+Integer mode (``integer=True``) runs the matmul on int8 quantization codes
+(:func:`~duckdb_ddsketch_spark.operators.similarity.quantize_embeddings`):
+every partial and the final sums are exact BIGINTs, so the Gram matrix is
+bit-reproducible across engines and partitionings — the drift-proof gate
+shape (products ``<= 127^2``; an int64 overflows only past ~5.7e14 rows).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .similarity import _dbl, _resolve_dims
+
+__all__ = [
+    "gram_matrix",
+    "pca_components",
+    "pca_project",
+]
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: Optional[int] = None,
+    integer: bool = False,
+) -> DataFrame:
+    """d x d Gram matrix ``G[i][j] = sum_rows(x_i * x_j)`` as (i, j, g) rows.
+
+    NULL / wrong-width rows are skipped per batch (one malformed row must
+    never fail a 100 TB job — mirrors the ANN BLAS kernels). With
+    ``integer=True`` the input must hold integral codes; sums are exact
+    BIGINTs (column ``g`` is ``long``), else ``g`` is ``double``.
+
+    The per-batch matmul runs in float64 even in integer mode — BLAS speed
+    with exact results: |code| <= 32767 even at 16-bit quantization keeps
+    every per-batch sum far below 2^53 (batch rows x 127^2 for 8-bit), and
+    the cast back to int64 happens before the exact integer groupBy sum.
+    """
+    import numpy as np
+    import pandas as pd
+
+    width = _resolve_dims(df, vec_col, dims)
+    out_type = "long" if integer else "double"
+    schema = f"i int, j int, g {out_type}"
+
+    def part(batches):
+        acc = None
+        for pdf in batches:
+            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == width)
+            vecs = pdf[vec_col][ok]
+            if not len(vecs):
+                continue
+            mat = np.array(list(vecs), dtype=np.float64)
+            g = mat.T @ mat
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        ii, jj = np.indices(acc.shape)
+        g = acc.ravel()
+        if integer:
+            g = np.rint(g).astype(np.int64)
+        yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "g": g})
+
+    partials = df.select(vec_col).mapInPandas(part, schema=schema)
+    return partials.groupBy("i", "j").agg(
+        F.sum("g").cast(out_type).alias("g")
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 2,
+    dims: Optional[int] = None,
+) -> Tuple[List[float], List[List[float]], List[float]]:
+    """Top-k principal components of an embedding column, one data pass.
+
+    Returns ``(mean, components, explained_variance)`` as plain Python
+    lists: ``mean`` is the per-dimension mean (length d), ``components``
+    is k rows of length d (orthonormal, ordered by descending variance),
+    ``explained_variance`` the matching k eigenvalues of the sample
+    covariance (ddof=1).
+
+    One ``gram_matrix`` pass over vectors augmented with a constant 1
+    yields X^T X, the column sums, and n simultaneously (homogeneous
+    coordinates); the (d+1)^2 collect is bounded and the ``eigh`` on the
+    d x d covariance is driver-side numpy — d is an embedding width, not
+    a data size.
+
+    Sign convention: each component is flipped so its
+    largest-absolute-magnitude entry is positive — eigenvector sign is
+    otherwise arbitrary and would differ across BLAS builds.
+    """
+    import numpy as np
+
+    width = _resolve_dims(df, vec_col, dims)
+    if not 1 <= k <= width:
+        raise ValueError(f"k must be in [1, dims={width}], got {k}")
+    aug = df.where(F.col(vec_col).isNotNull()).select(
+        F.concat(
+            _dbl(F.col(vec_col)), F.array(F.lit(1.0))
+        ).alias(vec_col)
+    )
+    rows = gram_matrix(aug, vec_col, dims=width + 1).collect()
+    g = np.zeros((width + 1, width + 1))
+    for r in rows:
+        g[r["i"], r["j"]] = r["g"]
+    n = g[width, width]
+    if n < 2:
+        raise ValueError(f"need >= 2 non-NULL '{vec_col}' rows, got {int(n)}")
+    sums = g[width, :width]
+    mean = sums / n
+    # sample covariance from the Gram block: (X^T X - n mu mu^T) / (n-1)
+    cov = (g[:width, :width] - n * np.outer(mean, mean)) / (n - 1.0)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return (
+        mean.tolist(),
+        comps.tolist(),
+        evals[order].tolist(),
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    mean: Sequence[float],
+    components: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+) -> DataFrame:
+    """Project vectors onto principal components: ``pc = W (x - mean)``.
+
+    Map-only Catalyst: ``mean`` and each component row are closed over as
+    array LITERALS (no per-row recomputation, no join, no shuffle) and
+    each coordinate is one ``aggregate(zip_with(...))`` fold. NULL /
+    wrong-width vectors project to NULL. Output column is
+    ``array<double>`` of length k.
+
+    The fold is interpreted per element (HOF), fine for the d <= a few
+    hundred of real embedding pipelines; a corpus-scale reduction that
+    feeds ANN indexing should quantize AFTER projection
+    (:func:`~.similarity.quantize_embeddings`) so the 4x byte cut applies
+    to the reduced width.
+    """
+    d = len(mean)
+    if any(len(c) != d for c in components):
+        raise ValueError("every component must have the same width as mean")
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(_dbl(F.col(vec_col)), mean_lit, lambda x, m: x - m)
+
+    def coord(w: Sequence[float]) -> Column:
+        w_lit = F.array(*[F.lit(float(c)) for c in w])
+        return F.aggregate(
+            F.zip_with(centered, w_lit, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    # the when-guard wraps the WHOLE output array: a ragged/NULL vector
+    # yields a NULL column, not an array of k NULLs
+    proj = F.when(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == F.lit(d)),
+        F.array(*[coord(w) for w in components]),
+    )
+    return df.withColumn(out_col, proj)

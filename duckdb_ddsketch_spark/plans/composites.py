@@ -403,8 +403,24 @@ FROM ({O['q22_minhash_lsh_neardups']}) b""",
             F.col("id_b").cast("long").alias("k2"),
             F.col("cos").cast("float").alias("v"),
         )
+        # round 7: exact integer Gram matrix over the same codes — the
+        # PCA/decomposition one-pass partial-aggregate shape (shuffle
+        # carries d^2 scalars per batch, never vectors); BIGINT sums are
+        # bit-reproducible, the float32 gate cast of identical integers
+        # is identical on both engines
+        from ..operators import decomposition as dec
+
+        gram = dec.gram_matrix(qc, "qcodes", dims=64, integer=True).select(
+            F.lit("gram").alias("part"),
+            F.col("i").cast("long").alias("k1"),
+            F.col("j").cast("long").alias("k2"),
+            F.col("g").cast("float").alias("v"),
+        )
         return (
-            pairs.unionByName(quant).unionByName(topk).unionByName(lshp)
+            pairs.unionByName(quant)
+            .unionByName(topk)
+            .unionByName(lshp)
+            .unionByName(gram)
         )
 
     _Q_CODES = (
@@ -466,7 +482,22 @@ FROM (
 UNION ALL
 SELECT 'lshpairs' AS part, CAST(id_a AS BIGINT) AS k1,
        CAST(id_b AS BIGINT) AS k2, CAST(cos AS REAL) AS v
-FROM ({O['q24b_embedding_neardup_lsh']}) lp""",
+FROM ({O['q24b_embedding_neardup_lsh']}) lp
+UNION ALL
+SELECT 'gram' AS part, CAST(d.i AS BIGINT) AS k1, CAST(d.j AS BIGINT) AS k2,
+       CAST(CAST(SUM(ga.codes[d.i + 1] * ga.codes[d.j + 1]) AS BIGINT)
+            AS REAL) AS v
+FROM (
+    WITH sc AS (
+        SELECT max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) / 127 AS s
+        FROM embeddings
+    )
+    SELECT {_Q_CODES} AS codes FROM embeddings, sc
+    WHERE embedding IS NOT NULL
+) ga, (SELECT i.range AS i, j.range AS j
+       FROM range(0, 64) i, range(0, 64) j) d
+GROUP BY d.i, d.j""",
     )
 
     # q39: ANN top-k four ways — brute-force (verification), LSH-bucketed

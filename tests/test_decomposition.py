@@ -1,0 +1,93 @@
+"""PCA / Gram-matrix decomposition operators vs numpy references.
+
+The Gram matrix is the one-pass partial-aggregate shape (each Arrow batch
+collapses to d x d before the shuffle); integer mode must be EXACT (the
+drift-proof driver-gate contract used by q38's 'gram' part)."""
+
+import numpy as np
+import pytest
+
+from duckdb_ddsketch_spark.operators import decomposition as dec
+
+
+@pytest.fixture(scope="module")
+def anisotropic(spark):
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(400, 6)) @ np.diag([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(400)]
+    rows.append((999, None))  # NULL vector
+    rows.append((1000, [1.0, 2.0]))  # ragged vector
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(5)
+    return X, df
+
+
+def test_gram_matrix_matches_numpy(spark, anisotropic):
+    X, df = anisotropic
+    g = {(r.i, r.j): r.g for r in dec.gram_matrix(df, dims=6).collect()}
+    G = X.T @ X
+    assert len(g) == 36
+    for i in range(6):
+        for j in range(6):
+            assert g[(i, j)] == pytest.approx(G[i, j], rel=1e-9)
+
+
+def test_gram_matrix_integer_exact_any_partitioning(spark):
+    rng = np.random.default_rng(11)
+    Xi = rng.integers(-127, 128, size=(300, 5)).astype(np.int64)
+    rows = [(int(i), [int(x) for x in Xi[i]]) for i in range(300)]
+    Gi = Xi.T @ Xi
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "vec_id long, qcodes array<int>"
+        ).repartition(parts)
+        g = {
+            (r.i, r.j): r.g
+            for r in dec.gram_matrix(df, "qcodes", dims=5, integer=True).collect()
+        }
+        assert all(g[(i, j)] == Gi[i, j] for i in range(5) for j in range(5))
+
+
+def test_pca_components_match_numpy(spark, anisotropic):
+    X, df = anisotropic
+    mean, comps, ev = dec.pca_components(df, k=3, dims=6)
+    mu = X.mean(axis=0)
+    w, v = np.linalg.eigh(np.cov(X, rowvar=False, ddof=1))
+    order = np.argsort(w)[::-1][:3]
+    ref = v[:, order].T
+    flip = np.sign(ref[np.arange(3), np.abs(ref).argmax(axis=1)])
+    ref = ref * flip[:, None]
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(np.array(ev), w[order], rtol=1e-9)
+    assert np.allclose(np.array(comps), ref, atol=1e-8)
+    # orthonormal
+    W = np.array(comps)
+    assert np.allclose(W @ W.T, np.eye(3), atol=1e-9)
+
+
+def test_pca_project_matches_numpy_and_nulls(spark, anisotropic):
+    X, df = anisotropic
+    mean, comps, ev = dec.pca_components(df, k=3, dims=6)
+    got = {r.vec_id: r.pc for r in dec.pca_project(df, mean, comps).collect()}
+    refp = (X - np.array(mean)) @ np.array(comps).T
+    for i in range(400):
+        assert np.allclose(got[i], refp[i], atol=1e-8)
+    # NULL and ragged vectors -> NULL column, never an array of NULLs
+    assert got[999] is None and got[1000] is None
+    # projected variance reproduces the eigenvalues, in order
+    P = np.array([got[i] for i in range(400)])
+    pv = P.var(axis=0, ddof=1)
+    assert pv[0] > pv[1] > pv[2]
+    assert np.allclose(pv, ev, rtol=1e-6)
+
+
+def test_pca_validation_errors(spark, anisotropic):
+    _, df = anisotropic
+    with pytest.raises(ValueError, match="k must be"):
+        dec.pca_components(df, k=7, dims=6)
+    with pytest.raises(ValueError, match="same width"):
+        dec.pca_project(df, [0.0] * 6, [[1.0, 0.0]])
+    tiny = df.limit(0)
+    with pytest.raises(ValueError):
+        dec.pca_components(tiny, k=1, dims=6)
