@@ -73,3 +73,58 @@ def test_full_pipeline(spark, corpus):
         kernel = DDSketch(0.01).extend(vals)
         assert stats[src]["count"] == kernel.get_count()
         assert abs(stats[src]["p50"] - kernel.quantile(0.5)) <= kernel.quantile(0.5) * 1e-9
+
+
+def test_vector_reduction_pipeline(spark):
+    """The 100 TB vector-indexing pre-path composed end-to-end:
+
+        PCA (64 -> 8 dims) -> int8 quantization -> exact quantized top-k
+
+    Recall of the reduced+quantized route is checked against full-width
+    brute force: the synthetic corpus puts ~all variance in 8 of 64
+    dims, so PCA-8 must preserve neighborhoods near-perfectly.
+    """
+    import numpy as np
+
+    from duckdb_ddsketch_spark.operators import decomposition as dec
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(42)
+    n, d, d_eff = 300, 64, 8
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    X = rng.normal(size=(n, d_eff)) @ np.diag([8, 7, 6, 5, 4, 3, 2.5, 2.0])
+    X = X @ basis[:d_eff] + rng.normal(scale=0.01, size=(n, d))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+
+    mean, comps, ev = dec.pca_components(df, k=d_eff, dims=d)
+    # the planted spectrum is recovered: 8 dominant directions, then noise
+    assert ev[d_eff - 1] > 1.0
+    red = dec.pca_project(df, mean, comps).select(
+        "vec_id", F.col("pc").alias("embedding")
+    )
+    scale = sim.quantize_calibration(red, bits=8)
+    qc = sim.quantize_embeddings(red, scale, bits=8)
+
+    queries = qc.where(F.col("vec_id") % 29 == 0)
+    got = sim.quantized_topk(qc, queries, k=5)
+
+    # ground truth: full-width dot ranking in the CENTERED space —
+    # pca_project centers before projecting, and quantized_topk ranks by
+    # dot product, so that is the metric the reduced route approximates
+    # (projection onto the top-8 of a rank-8 corpus preserves centered
+    # dots almost exactly; int8 adds bounded rounding)
+    Y = X - X.mean(axis=0)
+    dots = Y @ Y.T
+    np.fill_diagonal(dots, -np.inf)
+    ref = {q: set(np.argsort(-dots[q])[:5].tolist()) for q in range(0, n, 29)}
+
+    hits = tot = 0
+    for r in got.collect():
+        tot += 1
+        hits += int(r.neighbor_id in ref[r.query_id])
+    assert tot == len(ref) * 5
+    # 64->8 PCA + int8 keeps >= 90% recall on a rank-8 corpus
+    assert hits / tot >= 0.9, hits / tot
