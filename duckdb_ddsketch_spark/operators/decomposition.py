@@ -40,6 +40,7 @@ from .similarity import _dbl, _resolve_dims
 
 __all__ = [
     "gram_matrix",
+    "mahalanobis_scores",
     "pca_components",
     "pca_project",
 ]
@@ -158,6 +159,7 @@ def pca_project(
     components: Sequence[Sequence[float]],
     vec_col: str = "embedding",
     out_col: str = "pc",
+    whiten: Optional[Sequence[float]] = None,
 ) -> DataFrame:
     """Project vectors onto principal components: ``pc = W (x - mean)``.
 
@@ -166,6 +168,12 @@ def pca_project(
     each coordinate is one ``aggregate(zip_with(...))`` fold. NULL /
     wrong-width vectors project to NULL. Output column is
     ``array<double>`` of length k.
+
+    ``whiten`` takes the matching ``explained_variance`` list and scales
+    each coordinate to unit variance (``pc_i / sqrt(ev_i)``) — the form
+    downstream cosine/euclidean consumers (SemDeDup, IVF) want when the
+    spectrum is skewed. The division folds into the component literals at
+    plan-build time: zero runtime cost.
 
     The fold is interpreted per element (HOF), fine for the d <= a few
     hundred of real embedding pipelines; a corpus-scale reduction that
@@ -176,6 +184,17 @@ def pca_project(
     d = len(mean)
     if any(len(c) != d for c in components):
         raise ValueError("every component must have the same width as mean")
+    if whiten is not None:
+        if len(whiten) != len(components):
+            raise ValueError(
+                "whiten needs one explained-variance entry per component"
+            )
+        if any(not ev > 0 for ev in whiten):
+            raise ValueError("whiten variances must be > 0")
+        components = [
+            [c / float(ev) ** 0.5 for c in w]
+            for w, ev in zip(components, whiten)
+        ]
     mean_lit = F.array(*[F.lit(float(m)) for m in mean])
     centered = F.zip_with(_dbl(F.col(vec_col)), mean_lit, lambda x, m: x - m)
 
@@ -194,3 +213,45 @@ def pca_project(
         F.array(*[coord(w) for w in components]),
     )
     return df.withColumn(out_col, proj)
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: Optional[int] = None,
+    out_col: str = "maha_sq",
+    variance_floor: float = 1e-9,
+) -> DataFrame:
+    """Squared Mahalanobis distance of each vector from the corpus mean —
+    the covariance-aware outlier score a training pipeline gates
+    embeddings on (corrupt encoder outputs, wrong-model rows, and
+    adversarial inserts sit far out in whitened space even when their
+    raw norm looks ordinary).
+
+    ``(x - mu)^T Sigma^-1 (x - mu)`` = the squared norm of the WHITENED
+    full-rank projection, so this is one :func:`pca_components` pass
+    (k = d) plus a map-only fold — no second scan beyond the projection
+    itself, no shuffle. Directions whose variance falls below
+    ``variance_floor`` are dropped (degenerate/constant dimensions would
+    otherwise explode the inverse); the score then lives in the
+    remaining r-dim subspace, which is the standard pseudo-inverse
+    semantics. NULL / ragged vectors score NULL.
+
+    At 100 TB: the stats pass is the bounded Gram collect (d^2 doubles);
+    scoring is whole-row-parallel with literal matrices. Under a known
+    threshold (chi-squared quantile at d dof for Gaussian-ish spaces),
+    filter ``maha_sq <= t`` stays map-only and pushes down.
+    """
+    width = _resolve_dims(df, vec_col, dims)
+    mean, comps, ev = pca_components(df, vec_col, k=width, dims=width)
+    keep = [i for i, v in enumerate(ev) if v > variance_floor]
+    comps = [comps[i] for i in keep]
+    ev_kept = [ev[i] for i in keep]
+    projected = pca_project(
+        df, mean, comps, vec_col=vec_col, out_col="__maha_pc",
+        whiten=ev_kept,
+    )
+    score = F.aggregate(
+        F.col("__maha_pc"), F.lit(0.0), lambda a, x: a + x * x
+    )
+    return projected.withColumn(out_col, score).drop("__maha_pc")

@@ -91,3 +91,48 @@ def test_pca_validation_errors(spark, anisotropic):
     tiny = df.limit(0)
     with pytest.raises(ValueError):
         dec.pca_components(tiny, k=1, dims=6)
+
+
+def test_pca_whiten_unit_variance(spark, anisotropic):
+    X, df = anisotropic
+    mean, comps, ev = dec.pca_components(df, k=3, dims=6)
+    got = {
+        r.vec_id: r.pc
+        for r in dec.pca_project(df, mean, comps, whiten=ev).collect()
+    }
+    P = np.array([got[i] for i in range(400)])
+    assert np.allclose(P.var(axis=0, ddof=1), np.ones(3), rtol=1e-9)
+    with pytest.raises(ValueError, match="one explained-variance"):
+        dec.pca_project(df, mean, comps, whiten=ev[:2])
+    with pytest.raises(ValueError, match="> 0"):
+        dec.pca_project(df, mean, comps, whiten=[1.0, 0.0, 1.0])
+
+
+def test_mahalanobis_matches_numpy(spark, anisotropic):
+    X, df = anisotropic
+    got = {r.vec_id: r.maha_sq for r in dec.mahalanobis_scores(df).collect()}
+    mu = X.mean(axis=0)
+    prec = np.linalg.inv(np.cov(X, rowvar=False, ddof=1))
+    ref = np.einsum("ij,jk,ik->i", X - mu, prec, X - mu)
+    for i in range(400):
+        assert got[i] == pytest.approx(ref[i], rel=1e-6)
+    # NULL / ragged rows score NULL; schema keeps original columns
+    assert got[999] is None and got[1000] is None
+
+
+def test_mahalanobis_degenerate_dimension(spark):
+    # a constant dimension has ~zero variance; the floor must drop it
+    # instead of exploding the inverse
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 3))
+    rows = [
+        (int(i), [float(X[i, 0]), 7.5, float(X[i, 1]), float(X[i, 2])])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.maha_sq for r in dec.mahalanobis_scores(df).collect()}
+    mu = X.mean(axis=0)
+    prec = np.linalg.inv(np.cov(X, rowvar=False, ddof=1))
+    ref = np.einsum("ij,jk,ik->i", X - mu, prec, X - mu)
+    for i in range(200):
+        assert got[i] == pytest.approx(ref[i], rel=1e-5)
