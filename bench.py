@@ -157,6 +157,16 @@ KM_WIDE_PRIMES = (
     293, 307, 311, 313, 317, 331, 337, 347,
 )
 
+# Gram-matrix family (round 7): the PCA stats pass at 2M x 64 int8 codes.
+# Spark runs the one-matmul-per-Arrow-batch partial-aggregate shape
+# (operators/decomposition.gram_matrix, integer mode — exact BIGINTs);
+# DuckDB runs its fastest available form, a single 4096-SUM flat aggregate
+# over the same generated codes (it has no matmul; the pivot/unnest form
+# materializes n*d^2 rows and measures far slower). Cross-engine VALUE
+# parity for integer gram is gated by q38's 'gram' part at sf0.01.
+N_GRAM = 2_000_000
+GRAM_D = 64
+
 
 def _km_vec(i: int, primes: tuple = KM_PRIMES) -> list:
     return [((i * p) % 1024) / 64.0 for p in primes]
@@ -709,6 +719,22 @@ def _duckdb_family_sqls() -> dict:
         con, KM_WIDE_PRIMES, N_KM_WIDE
     )
 
+    def _duck_gram(con):
+        cols = ", ".join(
+            f"CAST((range * {3 + 7 * d}) % 255 - 127 AS BIGINT) AS c{d}"
+            for d in range(GRAM_D)
+        )
+        sums = ", ".join(
+            f"SUM(c{i}*c{j}) AS g_{i}_{j}"
+            for i in range(GRAM_D)
+            for j in range(GRAM_D)
+        )
+        return con.execute(
+            f"SELECT {sums} FROM (SELECT {cols} FROM range({N_GRAM})) t"
+        ).fetchall()
+
+    sqls["gram_2m_x64"] = _duck_gram
+
     # streaming windows: the same (hour window, key, sign, bin) state the
     # Spark streaming operator maintains, kept incrementally per arriving
     # file — the IVM loop a batch engine needs for a continuous workload.
@@ -1036,6 +1062,20 @@ def run_spark_families(spark, result: dict) -> None:
     fam["kmeans_15m_d64"] = _timed_family(
         kmeans_15m_d64, key="spark_fam:kmeans_15m_d64"
     )
+
+    def gram_2m_x64():
+        # PCA stats pass on int8 codes: per-batch X^T X collapse inside
+        # mapInPandas, exchange carries n_batches * d^2 scalars only
+        from duckdb_ddsketch_spark.operators import decomposition as dec
+
+        codes = "array(" + ", ".join(
+            f"CAST((id * {3 + 7 * d}) % 255 - 127 AS INT)"
+            for d in range(GRAM_D)
+        ) + ")"
+        df = gen(N_GRAM, [("vec_id", "id"), ("qcodes", codes)])
+        dec.gram_matrix(df, "qcodes", dims=GRAM_D, integer=True).collect()
+
+    fam["gram_2m_x64"] = _timed_family(gram_2m_x64, key="spark_fam:gram_2m_x64")
 
     def _run_streaming(glob_filter=None):
         import shutil

@@ -29,6 +29,7 @@ def bench_small(tmp_path_factory):
             "N_ANN_CORPUS",
             "N_ANN_Q",
             "N_KM_WIDE",
+            "N_GRAM",
             "N_TEXT",
             "N_TEXT_D",
             "N_PACK",
@@ -44,6 +45,7 @@ def bench_small(tmp_path_factory):
     bench.N_BITMAP_USERS = 5_000
     bench.N_ANN_CORPUS, bench.N_ANN_Q = 5_000, 8
     bench.N_KM_WIDE = 10_000
+    bench.N_GRAM = 10_000
     bench.N_TEXT, bench.N_TEXT_D = 20_000, 500
     bench.N_PACK = 20_000
     bench.SESS_USERS = 1_000
@@ -74,6 +76,7 @@ def test_all_spark_families_execute(spark, bench_small):
     assert set(fam) == bench_small.R5_FAMILY_NAMES | {
         "ann_quantized_2m_x128",  # round 6
         "kmeans_15m_d64",  # round 7: wide-dims BLAS-routed k-means
+        "gram_2m_x64",  # round 7: PCA Gram stats pass, exact int codes
     }
     assert all(t >= 0 for t in fam.values())
 
@@ -219,3 +222,31 @@ def test_raw_run_spread_recorded(bench_small):
     bench_small._timed(lambda: None)
     assert set(bench_small._RAW_RUNS) == {"spark:qx", "spark_fam:fx"}
     bench_small._RAW_RUNS.clear()
+
+
+def test_gram_mirror_agrees(spark, bench_small):
+    """The gram family's DuckDB flat-aggregate mirror must produce the
+    SAME 4096 exact integers as the Spark gram_matrix route at small N
+    (different output shapes: 4096 one-row columns vs 4096 rows)."""
+    from duckdb_ddsketch_spark.operators import decomposition as dec
+
+    b = bench_small
+    con = duckdb.connect()
+    try:
+        drow = b._duckdb_family_sqls()["gram_2m_x64"](con)[0]
+        codes = "array(" + ", ".join(
+            f"CAST((id * {3 + 7 * d}) % 255 - 127 AS INT)"
+            for d in range(b.GRAM_D)
+        ) + ")"
+        df = spark.range(b.N_GRAM).selectExpr("id AS vec_id", f"{codes} AS qcodes")
+        g = {
+            (r.i, r.j): r.g
+            for r in dec.gram_matrix(df, "qcodes", dims=b.GRAM_D, integer=True).collect()
+        }
+        assert len(g) == b.GRAM_D * b.GRAM_D
+        for idx, (i, j) in enumerate(
+            (i, j) for i in range(b.GRAM_D) for j in range(b.GRAM_D)
+        ):
+            assert g[(i, j)] == drow[idx], (i, j)
+    finally:
+        con.close()
