@@ -536,12 +536,24 @@ GROUP BY d.i, d.j""",
     # semantic-dedup keep accounting (the same deterministic clustering
     # feeds all three members — SemDeDup is the round-5 addition)
     def q40_kmeans(spark, sf_dir) -> DataFrame:
-        km = Q["q73_kmeans_clusters"](spark, sf_dir)
-        div = Q["q76_diversity_sample"](spark, sf_dir)
-        sem = Q["q88_semantic_dedup"](spark, sf_dir).select(
-            "cluster_id",
-            F.col("n_kept").alias("sem_kept"),
-            F.col("dropped_id_sum").alias("sem_dropped_sum"),
+        # each member output is a tiny per-cluster summary (~k rows).
+        # localCheckpoint them BEFORE joining: the three pipelines'
+        # final-aggregate expressions otherwise inline into ONE
+        # whole-stage-codegen method at the join, whose generated
+        # processNext() is large enough that janino compilation OOMs the
+        # driver heap and Spark falls back to interpreted eval (an ERROR
+        # in every gate log). Materializing k rows costs nothing and
+        # keeps each member its own normal-sized codegen region.
+        km = Q["q73_kmeans_clusters"](spark, sf_dir).localCheckpoint(eager=True)
+        div = Q["q76_diversity_sample"](spark, sf_dir).localCheckpoint(eager=True)
+        sem = (
+            Q["q88_semantic_dedup"](spark, sf_dir)
+            .select(
+                "cluster_id",
+                F.col("n_kept").alias("sem_kept"),
+                F.col("dropped_id_sum").alias("sem_dropped_sum"),
+            )
+            .localCheckpoint(eager=True)
         )
         return km.join(div, "cluster_id").join(sem, "cluster_id")
 
