@@ -46,6 +46,38 @@ __all__ = [
 ]
 
 
+def _gram_partials_fn(vec_col: str, width: int, integer: bool):
+    """The per-partition Gram collapse shared by the batch operator and
+    the streaming tracker: returns (pandas-iterator fn, output schema).
+    Each Arrow batch becomes ONE d x d partial (a single numpy matmul);
+    NULL / wrong-width rows are skipped."""
+    out_type = "long" if integer else "double"
+    schema = f"i int, j int, g {out_type}"
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == width)
+            vecs = pdf[vec_col][ok]
+            if not len(vecs):
+                continue
+            mat = np.array(list(vecs), dtype=np.float64)
+            g = mat.T @ mat
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        ii, jj = np.indices(acc.shape)
+        g = acc.ravel()
+        if integer:
+            g = np.rint(g).astype(np.int64)
+        yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "g": g})
+
+    return part, schema
+
+
 def gram_matrix(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -64,31 +96,9 @@ def gram_matrix(
     every per-batch sum far below 2^53 (batch rows x 127^2 for 8-bit), and
     the cast back to int64 happens before the exact integer groupBy sum.
     """
-    import numpy as np
-    import pandas as pd
-
     width = _resolve_dims(df, vec_col, dims)
+    part, schema = _gram_partials_fn(vec_col, width, integer)
     out_type = "long" if integer else "double"
-    schema = f"i int, j int, g {out_type}"
-
-    def part(batches):
-        acc = None
-        for pdf in batches:
-            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == width)
-            vecs = pdf[vec_col][ok]
-            if not len(vecs):
-                continue
-            mat = np.array(list(vecs), dtype=np.float64)
-            g = mat.T @ mat
-            acc = g if acc is None else acc + g
-        if acc is None:
-            return
-        ii, jj = np.indices(acc.shape)
-        g = acc.ravel()
-        if integer:
-            g = np.rint(g).astype(np.int64)
-        yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "g": g})
-
     partials = df.select(vec_col).mapInPandas(part, schema=schema)
     return partials.groupBy("i", "j").agg(
         F.sum("g").cast(out_type).alias("g")

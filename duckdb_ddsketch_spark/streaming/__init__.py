@@ -50,6 +50,7 @@ __all__ = [
     "windowed_hll_registers",
     "windowed_value_counts",
     "streaming_first_seen",
+    "streaming_gram",
 ]
 
 
@@ -498,4 +499,63 @@ def windowed_value_counts(
             col,
             "cnt",
         )
+    )
+
+
+def streaming_gram(
+    stream: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 0,
+    integer: bool = False,
+    augment: bool = False,
+) -> DataFrame:
+    """Running Gram matrix over a vector stream — the embedding-drift
+    monitor: maintain ``G[i][j] = sum(x_i * x_j)`` (plus column sums and
+    count via ``augment=True``'s homogeneous coordinate) continuously and
+    derive mean/covariance/spectrum in the sink whenever wanted.
+
+    Scale shape: the stateless ``mapInPandas`` collapse from the batch
+    operator (one numpy matmul per Arrow batch → one d x d partial) runs
+    per micro-batch, and the global ``groupBy(i, j).sum`` keeps EXACTLY
+    d^2 state cells regardless of stream volume — bounded state without a
+    watermark, the streaming analogue of the sketch aggregates. Write in
+    ``update`` (changed cells per trigger) or ``complete`` mode.
+
+    ``dims`` is REQUIRED (> 0): a streaming source can't be probed for
+    width. ``integer=True`` over quantization codes keeps the running
+    sums exact BIGINTs, so a monitor restart replaying the stream
+    reproduces bit-identical state. Window the monitor by composing
+    upstream instead: filter the stream to a time slice, or run one query
+    per slice — per-event-time-window Gram needs the bucketing inside the
+    collapse and is deliberately out of scope here.
+
+    Batch-equality contract: after a stream drains, the (i, j, g) state
+    equals :func:`~..operators.decomposition.gram_matrix` over the same
+    rows (pinned in test_streaming.py).
+    """
+    from ..operators.decomposition import _gram_partials_fn
+
+    if dims <= 0:
+        raise ValueError(
+            "streaming_gram requires dims > 0 (a streaming source cannot "
+            "be probed for the embedding width)"
+        )
+    if augment and integer:
+        raise ValueError(
+            "augment appends a float 1.0 coordinate; use it with "
+            "integer=False (quantize after centering instead)"
+        )
+    vec = F.col(vec_col)
+    if augment:
+        from ..operators.similarity import _dbl
+
+        stream = stream.where(vec.isNotNull()).select(
+            F.concat(_dbl(vec), F.array(F.lit(1.0))).alias(vec_col)
+        )
+        dims = dims + 1
+    part, schema = _gram_partials_fn(vec_col, dims, integer)
+    out_type = "long" if integer else "double"
+    partials = stream.select(vec_col).mapInPandas(part, schema=schema)
+    return partials.groupBy("i", "j").agg(
+        F.sum("g").cast(out_type).alias("g")
     )

@@ -481,6 +481,7 @@ def test_scalable_state_conf_composes_with_all_stateful_operators(
         scalable_state_conf,
         sessionized_gap_stats,
         streaming_first_seen,
+        streaming_gram,
         windowed_hll_registers,
         windowed_value_counts,
     )
@@ -543,6 +544,17 @@ def test_scalable_state_conf_composes_with_all_stateful_operators(
             ),
             "append",
         ),
+        "streaming_gram": (
+            lambda: streaming_gram(
+                mk_stream().select(
+                    F.array(
+                        F.col("value"), F.col("value") * 2
+                    ).alias("embedding")
+                ),
+                dims=2,
+            ),
+            "update",
+        ),
     }
 
     def run_all(tag):
@@ -574,3 +586,83 @@ def test_scalable_state_conf_composes_with_all_stateful_operators(
             else:
                 spark.conf.set(k, v)
     assert rocks == base
+
+
+def test_streaming_gram_matches_batch(spark, tmp_path):
+    """The running Gram monitor's drained state must equal the batch
+    gram_matrix over the same rows — exact in integer mode, and the
+    augmented float mode must reproduce mean/covariance."""
+    import numpy as np
+
+    from duckdb_ddsketch_spark.operators import decomposition as dec
+    from duckdb_ddsketch_spark.streaming import streaming_gram
+
+    rng = np.random.default_rng(5)
+    d = 4
+    src = str(tmp_path / "gram_src")
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (int(b * 100 + i),
+             [int(x) for x in rng.integers(-127, 128, size=d)])
+            for i in range(50)
+        ]
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "vec_id long, qcodes array<int>"
+        ).write.mode("append" if b else "overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id long, qcodes array<int>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    g = streaming_gram(stream, "qcodes", dims=d, integer=True)
+    results = _collect_stream(g, str(tmp_path / "ck_gram"), mode="update")
+    got = {}
+    for r in results:  # update mode: last emission per cell wins
+        got[(r.i, r.j)] = r.g
+    batch_df = spark.createDataFrame(all_rows, "vec_id long, qcodes array<int>")
+    expected = {
+        (r.i, r.j): r.g
+        for r in dec.gram_matrix(batch_df, "qcodes", dims=d, integer=True).collect()
+    }
+    assert got == expected and len(got) == d * d
+
+    # augmented float mode: derive mean + covariance from the drained state
+    fl = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in all_rows],
+        "vec_id long, embedding array<double>",
+    )
+    fl.write.mode("overwrite").parquet(src + "_f")
+    stream_f = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "_f")
+    )
+    ga = streaming_gram(stream_f, "embedding", dims=d, augment=True)
+    res = _collect_stream(ga, str(tmp_path / "ck_gram_f"), mode="update")
+    G = np.zeros((d + 1, d + 1))
+    for r in res:
+        G[r.i, r.j] = r.g
+    n = G[d, d]
+    mean = G[d, :d] / n
+    cov = (G[:d, :d] - n * np.outer(mean, mean)) / (n - 1)
+    X = np.array([v for _, v in all_rows], dtype=np.float64)
+    assert n == len(all_rows)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(X, rowvar=False, ddof=1), rtol=1e-9)
+
+
+def test_streaming_gram_validation(spark, tmp_path):
+    from duckdb_ddsketch_spark.streaming import streaming_gram
+
+    stream = (
+        spark.readStream.schema("vec_id long, qcodes array<int>")
+        .parquet(str(tmp_path))
+    )
+    with pytest.raises(ValueError, match="dims > 0"):
+        streaming_gram(stream, "qcodes")
+    with pytest.raises(ValueError, match="integer=False"):
+        streaming_gram(stream, "qcodes", dims=4, integer=True, augment=True)
