@@ -3,6 +3,7 @@
 ``native`` re-expresses DDSketch construction/aggregation/quantile extraction
 as pure Catalyst expressions (whole-stage codegen, partial aggregation, no
 Python in the hot path). The remaining modules are the beyond-reference
-training-data-pipeline operators: deduplication, similarity search, text
-analysis, and multimodal column plumbing.
+training-data-pipeline operators: deduplication, similarity search,
+matrix decomposition (PCA/Gram/Mahalanobis), text analysis, and
+multimodal column plumbing.
 """
