@@ -136,3 +136,28 @@ def test_mahalanobis_degenerate_dimension(spark):
     ref = np.einsum("ij,jk,ik->i", X - mu, prec, X - mu)
     for i in range(200):
         assert got[i] == pytest.approx(ref[i], rel=1e-5)
+
+
+def test_gram_property_random_matrices(spark):
+    """Randomized widths/values/partitionings: integer gram must equal
+    numpy EXACTLY, float gram to 1e-9 relative — deterministic across
+    partition counts (hypothesis-style sweep; a session-scoped fixture
+    and @given compose badly, so the sweep is explicit)."""
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        n = int(rng.integers(2, 120))
+        d = int(rng.integers(1, 9))
+        parts = int(rng.integers(1, 9))
+        Xi = rng.integers(-(2**15) + 1, 2**15, size=(n, d)).astype(np.int64)
+        rows = [(int(i), [int(x) for x in Xi[i]]) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, qcodes array<int>"
+        ).repartition(parts)
+        g = {
+            (r.i, r.j): r.g
+            for r in dec.gram_matrix(df, "qcodes", dims=d, integer=True).collect()
+        }
+        G = Xi.T @ Xi
+        assert len(g) == d * d, (trial, n, d, parts)
+        bad = [(i, j) for i in range(d) for j in range(d) if g[(i, j)] != G[i, j]]
+        assert not bad, (trial, n, d, parts, bad[:3])
