@@ -205,22 +205,37 @@ def pca_project(
             [c / float(ev) ** 0.5 for c in w]
             for w, ev in zip(components, whiten)
         ]
-    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
-    centered = F.zip_with(_dbl(F.col(vec_col)), mean_lit, lambda x, m: x - m)
+    # W(x - mean) = Wx - W.mean: fold the centering into one CONSTANT
+    # offset per coordinate instead of materializing a centered array.
+    # The derived-array form pays the projection-collapse hazard
+    # (SCALING.md, similarity section): Catalyst inlines the centering
+    # zip_with into EVERY coordinate's fold, recomputing the d-element
+    # subtraction k times per row — measured 8x wall on the 1M x 64 -> 8
+    # reduction probe (scripts/pca_reduction_probe.py). One zip_with over
+    # the raw stored column per coordinate has no intermediate to inline.
+    offsets = [
+        sum(float(c) * float(m) for c, m in zip(w, mean))
+        for w in components
+    ]
 
-    def coord(w: Sequence[float]) -> Column:
+    def coord(w: Sequence[float], off: float) -> Column:
         w_lit = F.array(*[F.lit(float(c)) for c in w])
-        return F.aggregate(
-            F.zip_with(centered, w_lit, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda a, x: a + x,
+        return (
+            F.aggregate(
+                F.zip_with(_dbl(F.col(vec_col)), w_lit, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            - F.lit(off)
         )
 
     # the when-guard wraps the WHOLE output array: a ragged/NULL vector
     # yields a NULL column, not an array of k NULLs
     proj = F.when(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == F.lit(d)),
-        F.array(*[coord(w) for w in components]),
+        F.array(
+            *[coord(w, off) for w, off in zip(components, offsets)]
+        ),
     )
     return df.withColumn(out_col, proj)
 
