@@ -31,6 +31,7 @@ __all__ = [
     "cosine_near_pairs",
     "brute_force_topk_blas",
     "ivf_topk",
+    "ivf_topk_blas",
     "hyperplane_code",
     "lsh_topk",
     "embedding_neardup_lsh",
@@ -623,6 +624,146 @@ def ivf_topk(
         "neighbor_id",
         score.alias("cos"),
     ).where(F.col("cos").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_query_rows: int = 10_000,
+) -> DataFrame:
+    """:func:`ivf_topk` on the Arrow + numpy path — the BLAS family's
+    bucketed member (with :func:`brute_force_topk_blas` /
+    :func:`quantized_topk_blas`). The fold form's in-cell scoring is an
+    interpreted HOF per candidate pair; at 1M x 64 x 100 queries that is
+    ~40 s where this path runs the same search in ~2 s
+    (scripts/pca_reduction_probe.py measured the fold wall; dim
+    reduction AND this kernel both attack it).
+
+    Shape: cell centroids come from ONE bounded Spark aggregate (cells x
+    d doubles collected); queries are collected under ``max_query_rows``
+    (the same driver-budget guard as the other BLAS routes); probe
+    selection runs in numpy; then a single ``mapInPandas`` pass scores
+    each partition's rows against only the queries probing their cell —
+    the corpus never shuffles, and the final window sees
+    |partitions| * |q| * k rows.
+
+    Results match :func:`ivf_topk` up to BLAS summation-order ulps, with
+    one caveat: a query whose centroid cosines TIE across the nprobe
+    boundary may probe a different cell than the fold form (both orders
+    are valid nearest-cell sets; ties are broken cell-ASC in both).
+    ``id_col`` must be integral, as for the other BLAS routes. NULL /
+    wrong-width / unlabeled corpus rows drop out per batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivf_topk_blas collects the query set to the driver; got more "
+            f"than max_query_rows={max_query_rows} rows. Use ivf_topk (no "
+            "driver collect) for large query sets, or raise max_query_rows "
+            "explicitly if the driver can hold the matrix."
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    width = q_mat.shape[1] if q_mat.ndim == 2 else 0
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    # cell centroids: the SAME exploded avg aggregate as the fold form
+    # (bounded: cells x d doubles)
+    cent_rows = (
+        corpus.where(F.col(label_col).isNotNull())
+        .select(F.col(label_col).alias("cell"), F.posexplode(_dbl(F.col(vec_col))))
+        .groupBy("cell", "pos")
+        .agg(F.avg("col").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e"))
+        .select("cell", F.expr("transform(e, x -> x.m)").alias("centroid"))
+        .collect()
+    )
+    cells = np.array([r["cell"] for r in cent_rows])
+    cmat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ccos = (q_mat @ cmat.T) / np.outer(q_norm, cnorm)
+    np.nan_to_num(ccos, copy=False, nan=-np.inf, neginf=-np.inf)
+    # top-nprobe cells per query, ties broken cell ASC (the fold form's
+    # row_number orderBy ccos DESC, cell ASC)
+    order = np.lexsort((cells[None, :].repeat(len(q_ids), 0), -ccos), axis=1)
+    probe_cells = cells[order[:, : min(nprobe, len(cells))]]
+    cell_to_q: dict = {}
+    for qi, row in enumerate(probe_cells):
+        for c in row:
+            cell_to_q.setdefault(c, []).append(qi)
+
+    out_schema = "query_id long, neighbor_id long, cos double"
+
+    def score(batches):
+        for pdf in batches:
+            ok = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == width
+            ) & pdf[label_col].map(lambda c: c in cell_to_q)
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            labels = pdf[label_col].to_numpy()
+            norms = np.linalg.norm(mat, axis=1)
+            # the shared local-top-k kernel runs PER CELL on a dense
+            # (cell rows x cell queries) submatrix — every entry is a
+            # real candidate score, so the k-th-score threshold never
+            # degenerates to -inf (a dense batch x |q| matrix would be
+            # mostly -inf here and the widen step would select it all)
+            outs = []
+            for c in np.unique(labels):
+                ri_c = np.nonzero(labels == c)[0]
+                qi_c = np.asarray(cell_to_q[c], dtype=np.int64)
+                denom = np.outer(norms[ri_c], q_norm[qi_c])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sub = np.where(
+                        denom > 0.0, (mat[ri_c] @ q_mat[qi_c].T) / denom,
+                        -np.inf,
+                    )
+                np.nan_to_num(sub, copy=False, nan=-np.inf, neginf=-np.inf)
+                take = min(k + 1, sub.shape[0])
+                qi, ri = _local_topk_batch(
+                    ids[ri_c], q_ids[qi_c], sub, take, require_finite=True
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi_c][qi],
+                            "neighbor_id": ids[ri_c][ri],
+                            "cos": sub[ri, qi],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        score, schema=out_schema
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

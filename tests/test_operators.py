@@ -2106,3 +2106,44 @@ def test_ivf_topk_quantized_route(spark):
         qdf.repartition(7), q_q, k=3, nprobe=2, codes_col="qcodes"
     )
     assert sorted(tuple(r) for r in again.collect()) == base
+
+
+def test_ivf_topk_blas_matches_fold_form(spark):
+    """ivf_topk_blas must return the same (query, neighbor) sets as the
+    Catalyst fold form on well-separated cells (cos values agree to BLAS
+    ulps; probe selection identical when centroid cosines don't tie), be
+    partition-invariant, and drop NULL/ragged/zero-norm rows."""
+    import random
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(240):
+        cell = i % 4
+        # orthogonal cell directions (5 * e_{2*cell} + noise): centroid
+        # cosines are well separated, so probe selection can't flip on
+        # BLAS-vs-fold ulp differences (colinear offsets would tie)
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        base[2 * cell] += 5.0
+        rows.append((i, base, cell))
+    rows.append((900, None, 0))  # NULL vector
+    rows.append((901, [1.0, 2.0], 1))  # ragged
+    rows.append((902, [0.0] * 8, 2))  # zero norm
+    rows.append((903, [1.0] * 8, None))  # unlabeled
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).repartition(5)
+    q = df.where((F.col("vec_id") % 30 == 0) & F.col("embedding").isNotNull())
+
+    fold = similarity.ivf_topk(df, q, k=4, nprobe=2)
+    blas = similarity.ivf_topk_blas(df, q, k=4, nprobe=2)
+    assert blas.columns == fold.columns
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in fold.collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank) for r in blas.collect())
+    assert a == b
+    ids = {r.neighbor_id for r in blas.collect()}
+    assert not ids & {900, 901, 902, 903}
+    again = similarity.ivf_topk_blas(df.repartition(2), q, k=4, nprobe=2)
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in again.collect()) == b
+
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.ivf_topk_blas(df, q, k=4, max_query_rows=2)
