@@ -905,7 +905,7 @@ def run_spark_families(spark, result: dict) -> None:
         from duckdb_ddsketch_spark.operators import similarity
 
         vec = "array(" + ", ".join(
-            f"CAST(((id * {p}) % 1024) / 64.0 + 0.5 AS DOUBLE)"
+            f"CAST(((id * {p}) % 1024) / 64.0D + 0.5D AS DOUBLE)"
             for p in ANN_PRIMES
         ) + ")"
         corpus = gen(N_ANN_CORPUS, [("vec_id", "id"), ("embedding", vec)])
@@ -924,7 +924,7 @@ def run_spark_families(spark, result: dict) -> None:
         from duckdb_ddsketch_spark.operators import similarity
 
         vec = "array(" + ", ".join(
-            f"CAST(((id * {p}) % 1024) / 64.0 + 0.5 AS DOUBLE)"
+            f"CAST(((id * {p}) % 1024) / 64.0D + 0.5D AS DOUBLE)"
             for p in ANN_PRIMES
         ) + ")"
         corpus = gen(N_ANN_CORPUS, [("vec_id", "id"), ("embedding", vec)])
@@ -1034,7 +1034,7 @@ def run_spark_families(spark, result: dict) -> None:
         from duckdb_ddsketch_spark.operators import clustering
 
         vec = "array(" + ", ".join(
-            f"CAST(((id * {p}) % 1024) / 64.0 AS FLOAT)" for p in KM_PRIMES
+            f"CAST(((id * {p}) % 1024) / 64.0D AS FLOAT)" for p in KM_PRIMES
         ) + ")"
         df = gen(N_60M, [("vec_id", "id"), ("embedding", vec)])
         clustering.kmeans_summary(
@@ -1051,7 +1051,7 @@ def run_spark_families(spark, result: dict) -> None:
         from duckdb_ddsketch_spark.operators import clustering
 
         vec = "array(" + ", ".join(
-            f"CAST(((id * {p}) % 1024) / 64.0 AS FLOAT)"
+            f"CAST(((id * {p}) % 1024) / 64.0D AS FLOAT)"
             for p in KM_WIDE_PRIMES
         ) + ")"
         df = gen(N_KM_WIDE, [("vec_id", "id"), ("embedding", vec)])
