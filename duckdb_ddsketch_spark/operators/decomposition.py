@@ -46,11 +46,24 @@ __all__ = [
 ]
 
 
+def _width_of(df: DataFrame, vec_col: str, dims: Optional[int]) -> int:
+    """Embedding width for the Gram/PCA operators. An EXPLICIT ``dims``
+    is authoritative (no probe job): wrong-width rows are skipped per
+    batch anyway, so validating against one arbitrarily-probed row would
+    turn a single ragged row into a partition-order-dependent job
+    failure — the opposite of the skip contract. ``dims=None`` derives
+    the width from an arbitrary non-NULL row (pass ``dims`` on ragged
+    corpora, as :func:`~.similarity._resolve_dims` documents)."""
+    if dims is not None:
+        return int(dims)
+    return _resolve_dims(df, vec_col, None)
+
+
 def _gram_partials_fn(vec_col: str, width: int, integer: bool):
     """The per-partition Gram collapse shared by the batch operator and
     the streaming tracker: returns (pandas-iterator fn, output schema).
     Each Arrow batch becomes ONE d x d partial (a single numpy matmul);
-    NULL / wrong-width rows are skipped."""
+    NULL / wrong-width / non-finite rows are skipped."""
     out_type = "long" if integer else "double"
     schema = f"i int, j int, g {out_type}"
 
@@ -65,15 +78,28 @@ def _gram_partials_fn(vec_col: str, width: int, integer: bool):
             if not len(vecs):
                 continue
             mat = np.array(list(vecs), dtype=np.float64)
+            # one NaN/inf component would poison every G[i][j] through the
+            # accumulated matmul (and np.rint(NaN).astype(int64) is
+            # undefined in integer mode) — drop those rows like
+            # NULL/ragged ones: one corrupt row must never take out the
+            # whole matrix
+            finite = np.isfinite(mat).all(axis=1)
+            if not finite.all():
+                mat = mat[finite]
+                if not len(mat):
+                    continue
             g = mat.T @ mat
+            if integer:
+                # cast PER BATCH: the exactness bound (batch rows x
+                # max_code^2 < 2^53) holds per Arrow batch; a float64
+                # accumulator across a whole partition could drift past
+                # 2^53 and break bit-reproducibility across partitionings
+                g = np.rint(g).astype(np.int64)
             acc = g if acc is None else acc + g
         if acc is None:
             return
         ii, jj = np.indices(acc.shape)
-        g = acc.ravel()
-        if integer:
-            g = np.rint(g).astype(np.int64)
-        yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "g": g})
+        yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "g": acc.ravel()})
 
     return part, schema
 
@@ -86,17 +112,20 @@ def gram_matrix(
 ) -> DataFrame:
     """d x d Gram matrix ``G[i][j] = sum_rows(x_i * x_j)`` as (i, j, g) rows.
 
-    NULL / wrong-width rows are skipped per batch (one malformed row must
-    never fail a 100 TB job — mirrors the ANN BLAS kernels). With
-    ``integer=True`` the input must hold integral codes; sums are exact
-    BIGINTs (column ``g`` is ``long``), else ``g`` is ``double``.
+    NULL / wrong-width / non-finite rows are skipped per batch (one
+    malformed row must never fail — or poison — a 100 TB job; mirrors the
+    ANN BLAS kernels). With ``integer=True`` the input must hold integral
+    codes; sums are exact BIGINTs (column ``g`` is ``long``), else ``g``
+    is ``double``.
 
     The per-batch matmul runs in float64 even in integer mode — BLAS speed
     with exact results: |code| <= 32767 even at 16-bit quantization keeps
     every per-batch sum far below 2^53 (batch rows x 127^2 for 8-bit), and
-    the cast back to int64 happens before the exact integer groupBy sum.
+    each batch's partial is cast back to int64 BEFORE accumulating across
+    batches, so the per-batch bound is the only exactness requirement and
+    the result is bit-identical under any partitioning.
     """
-    width = _resolve_dims(df, vec_col, dims)
+    width = _width_of(df, vec_col, dims)
     part, schema = _gram_partials_fn(vec_col, width, integer)
     out_type = "long" if integer else "double"
     partials = df.select(vec_col).mapInPandas(part, schema=schema)
@@ -131,7 +160,7 @@ def pca_components(
     """
     import numpy as np
 
-    width = _resolve_dims(df, vec_col, dims)
+    width = _width_of(df, vec_col, dims)
     if not 1 <= k <= width:
         raise ValueError(f"k must be in [1, dims={width}], got {k}")
     aug = df.where(F.col(vec_col).isNotNull()).select(
@@ -267,7 +296,7 @@ def mahalanobis_scores(
     threshold (chi-squared quantile at d dof for Gaussian-ish spaces),
     filter ``maha_sq <= t`` stays map-only and pushes down.
     """
-    width = _resolve_dims(df, vec_col, dims)
+    width = _width_of(df, vec_col, dims)
     mean, comps, ev = pca_components(df, vec_col, k=width, dims=width)
     keep = [i for i, v in enumerate(ev) if v > variance_floor]
     comps = [comps[i] for i in keep]

@@ -530,6 +530,29 @@ def _plane_component(p: int, d: int) -> float:
     return int(h, 16) / float(1 << 59) - 1.0
 
 
+def _cell_centroids(
+    corpus: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-cell mean vectors for the IVF routes: (cell, centroid) rows,
+    bounded at cells x d doubles. Shared by :func:`ivf_topk` and
+    :func:`ivf_topk_blas` so their probe selection stays
+    expression-identical (the documented fold/BLAS parity depends on it).
+    NULL-label rows are excluded: a NULL cell can never be probed (the
+    cell equi-join is null-rejecting), so including it would only waste
+    one of each query's ``nprobe`` slots."""
+    return (
+        corpus.where(F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).alias("cell"), F.posexplode(_dbl(F.col(vec_col)))
+        )
+        .groupBy("cell", "pos")
+        .agg(F.avg("col").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e"))
+        .select("cell", F.expr("transform(e, x -> x.m)").alias("centroid"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -547,7 +570,9 @@ def ivf_topk(
     the corpus is (or can be stored) clustered by cell, so a probe reads
     ``nprobe/num_cells`` of the data instead of all of it. Here cells come
     from the existing label column; with unlabeled data, plug any clustering
-    that yields a (id, cell) assignment. Deterministic end to end, so the
+    that yields a (id, cell) assignment. NULL-label rows form no cell and
+    are never searched (the cell equi-join is null-rejecting — both here
+    and in :func:`ivf_topk_blas`). Deterministic end to end, so the
     DuckDB oracle reproduces it exactly. Output schema matches
     ``brute_force_topk``.
 
@@ -561,7 +586,9 @@ def ivf_topk(
     """
     col = codes_col if codes_col is not None else vec_col
     if codes_col is not None:
-        exploded = corpus.select(
+        # NULL-label rows excluded as in _cell_centroids: a NULL cell is
+        # unreachable through the null-rejecting cell join below
+        exploded = corpus.where(F.col(label_col).isNotNull()).select(
             F.col(label_col).alias("cell"), F.posexplode(F.col(col))
         )
         # exact BIGINT component sums, ONE correctly-rounded division —
@@ -573,23 +600,24 @@ def ivf_topk(
             int_normsq(F.col("qvec")),
             F.col("nnorm"),
         )
-    else:
-        exploded = corpus.select(
-            F.col(label_col).alias("cell"), F.posexplode(_dbl(F.col(col)))
+        centroids = (
+            exploded.groupBy("cell", "pos")
+            .agg(cell_mean)
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e")
+            )
+            .select(
+                "cell", F.expr("transform(e, x -> x.m)").alias("centroid")
+            )
         )
-        cell_mean = F.avg("col").alias("m")
+    else:
         neigh_norm = norm(F.col(col))
         score = F.try_divide(
             dot(F.col("qvec"), F.col("nvec")),
             norm(F.col("qvec")) * F.col("nnorm"),
         )
-    centroids = (
-        exploded.groupBy("cell", "pos")
-        .agg(cell_mean)
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e"))
-        .select("cell", F.expr("transform(e, x -> x.m)").alias("centroid"))
-    )
+        centroids = _cell_centroids(corpus, col, label_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(col).alias("qvec"))
     probes = (
         q.crossJoin(F.broadcast(centroids))
@@ -665,10 +693,23 @@ def ivf_topk_blas(
     boundary may probe a different cell than the fold form (both orders
     are valid nearest-cell sets; ties are broken cell-ASC in both).
     ``id_col`` must be integral, as for the other BLAS routes. NULL /
-    wrong-width / unlabeled corpus rows drop out per batch.
+    wrong-width / unlabeled corpus rows drop out per batch; an empty (or
+    all-NULL) query or corpus side yields an empty result, not an error.
+    Ragged inputs degrade rather than crash: the reference width is the
+    modal width of the collected queries (ties -> smaller), other-width
+    queries return no rows (they score NULL on the fold form), and a
+    cell whose centroid width disagrees (it held an over-long corpus
+    row) is never probed — the fold form ranks such cells last via NULL
+    centroid cosines, so the two routes only diverge on corpora where
+    malformed cells would have been probed anyway.
     """
     import numpy as np
     import pandas as pd
+
+    out_full = "query_id long, neighbor_id long, cos double, rank int"
+
+    def _empty():
+        return corpus.sparkSession.createDataFrame([], out_full)
 
     q_rows = (
         queries.where(F.col(vec_col).isNotNull())
@@ -683,23 +724,32 @@ def ivf_topk_blas(
             "driver collect) for large query sets, or raise max_query_rows "
             "explicitly if the driver can hold the matrix."
         )
+    if not q_rows:
+        return _empty()
+    # modal width (ties -> smaller): one ragged query must not decide the
+    # width for everyone, and np.array on ragged rows would raise
+    widths = sorted({len(r[1]) for r in q_rows})
+    counts = {w: 0 for w in widths}
+    for r in q_rows:
+        counts[len(r[1])] += 1
+    width = max(widths, key=lambda w: (counts[w], -w))
+    if width == 0:
+        return _empty()
+    q_rows = [r for r in q_rows if len(r[1]) == width]
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    width = q_mat.shape[1] if q_mat.ndim == 2 else 0
     q_norm = np.linalg.norm(q_mat, axis=1)
 
-    # cell centroids: the SAME exploded avg aggregate as the fold form
-    # (bounded: cells x d doubles)
-    cent_rows = (
-        corpus.where(F.col(label_col).isNotNull())
-        .select(F.col(label_col).alias("cell"), F.posexplode(_dbl(F.col(vec_col))))
-        .groupBy("cell", "pos")
-        .agg(F.avg("col").alias("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e"))
-        .select("cell", F.expr("transform(e, x -> x.m)").alias("centroid"))
-        .collect()
-    )
+    # cell centroids: the SAME bounded aggregate as the fold form
+    # (cells x d doubles); cells whose centroid width disagrees held an
+    # over-long corpus row — dropped here (see docstring)
+    cent_rows = [
+        r
+        for r in _cell_centroids(corpus, vec_col, label_col).collect()
+        if len(r["centroid"]) == width
+    ]
+    if not cent_rows:
+        return _empty()
     cells = np.array([r["cell"] for r in cent_rows])
     cmat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)

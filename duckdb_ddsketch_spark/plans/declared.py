@@ -1386,6 +1386,7 @@ _Q28_COS_QB = (
     WITH cent AS (
         SELECT label AS cell, i AS pos, AVG(CAST(embedding[i] AS DOUBLE)) AS m
         FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+        WHERE label IS NOT NULL
         GROUP BY 1, 2
     ),
     centroids AS (

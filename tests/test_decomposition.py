@@ -161,3 +161,56 @@ def test_gram_property_random_matrices(spark):
         assert len(g) == d * d, (trial, n, d, parts)
         bad = [(i, j) for i in range(d) for j in range(d) if g[(i, j)] != G[i, j]]
         assert not bad, (trial, n, d, parts, bad[:3])
+
+
+def test_gram_matrix_nonfinite_rows_dropped(spark):
+    """A NaN/inf component must drop ITS row, not poison every G[i][j]
+    through the accumulated matmul (and in integer mode np.rint(NaN)
+    .astype(int64) is undefined — silent INT64_MIN garbage)."""
+    clean = [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0])]
+    dirty = clean + [
+        (3, [1.0, float("nan")]),
+        (4, [float("inf"), 1.0]),
+        (5, [1.0, float("-inf")]),
+    ]
+    Xc = np.array([v for _, v in clean])
+    G = Xc.T @ Xc
+    df = spark.createDataFrame(
+        dirty, "vec_id long, embedding array<double>"
+    ).repartition(2)
+    g = {(r.i, r.j): r.g for r in dec.gram_matrix(df, dims=2).collect()}
+    assert all(
+        g[(i, j)] == pytest.approx(G[i, j]) for i in range(2) for j in range(2)
+    )
+    gi = {
+        (r.i, r.j): r.g
+        for r in dec.gram_matrix(df, dims=2, integer=True).collect()
+    }
+    assert all(
+        gi[(i, j)] == int(G[i, j]) for i in range(2) for j in range(2)
+    )
+    # mahalanobis over the same dirty frame: finite rows score finite,
+    # non-finite rows score NaN/NULL-ish, nothing raises
+    scored = dec.mahalanobis_scores(df, dims=2).collect()
+    finite = {r.vec_id: r.maha_sq for r in scored if r.vec_id <= 2}
+    assert all(v is not None and np.isfinite(v) for v in finite.values())
+
+
+def test_gram_matrix_explicit_dims_skips_ragged_probe(spark):
+    """dims= is authoritative: a ragged row must be skipped per batch,
+    never turned into a partition-order-dependent ValueError by the
+    width probe (the probe only runs when dims is None)."""
+    rows = [(0, [9.0, 9.0, 9.0])] + [
+        (i, [float(i), float(2 * i)]) for i in range(1, 6)
+    ]
+    # single partition with the ragged width-3 row FIRST: the old
+    # probe-then-validate path raised here
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    X = np.array([v for _, v in rows[1:]])
+    G = X.T @ X
+    g = {(r.i, r.j): r.g for r in dec.gram_matrix(df, dims=2).collect()}
+    assert all(
+        g[(i, j)] == pytest.approx(G[i, j]) for i in range(2) for j in range(2)
+    )

@@ -2147,3 +2147,46 @@ def test_ivf_topk_blas_matches_fold_form(spark):
 
     with pytest.raises(ValueError, match="max_query_rows"):
         similarity.ivf_topk_blas(df, q, k=4, max_query_rows=2)
+
+
+def test_ivf_topk_blas_degenerate_inputs(spark):
+    """Empty/all-NULL query sets and over-long corpus rows must degrade
+    (empty result / cell never probed), not crash with numpy shape
+    errors; ragged queries are dropped at the modal width."""
+    rows = [
+        (i, [1.0 + i, 2.0, 1.0, 0.5], i % 2) for i in range(20)
+    ]
+    rows.append((800, [1.0] * 5, 0))  # over-long row inflates cell 0's centroid
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).repartition(3)
+
+    # empty query set -> empty frame with the full output schema
+    q_none = df.where(F.lit(False))
+    out = similarity.ivf_topk_blas(df, q_none, k=3)
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+    assert out.count() == 0
+
+    # all-NULL queries -> empty
+    q_null = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    assert similarity.ivf_topk_blas(df, q_null, k=3).count() == 0
+
+    # over-long corpus row: cell 0's centroid is width 5 -> never probed
+    # on the blas route; cell 1 still searchable, job doesn't crash
+    q = spark.createDataFrame(
+        [(500, [2.0, 2.0, 1.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    got = similarity.ivf_topk_blas(df, q, k=3, nprobe=2).collect()
+    assert got, "healthy cell must still return neighbors"
+    assert all(r.neighbor_id % 2 == 1 for r in got)  # only cell 1 rows
+
+    # ragged queries: modal width wins (ties -> smaller), others dropped
+    q_mixed = spark.createDataFrame(
+        [(500, [2.0, 2.0, 1.0, 0.5]), (501, [1.0, 1.0]), (502, [3.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got2 = similarity.ivf_topk_blas(df, q_mixed, k=2, nprobe=2).collect()
+    qids = {r.query_id for r in got2}
+    assert 501 not in qids and {500, 502} <= qids
