@@ -156,7 +156,14 @@ FROM ({O['q89_multi_metric_quantiles']}) m""",
             F.col("e.y").alias("y"),
             "n",
         )
-        return cdf_rows.unionByName(hist).unionByName(tm_rows)
+        pct = Q["q91_percentile_rank_by_type"](spark, sf_dir).select(
+            "event_type",
+            F.lit("pct").alias("part"),
+            "x",
+            F.col("pct").cast("float").alias("y"),
+            "n",
+        )
+        return cdf_rows.unionByName(hist).unionByName(tm_rows).unionByName(pct)
 
     _cdf_sql = "\nUNION ALL\n".join(
         f"SELECT event_type, 'cdf' AS part, CAST({t!r} AS REAL) AS x,"
@@ -177,7 +184,10 @@ UNION ALL
 SELECT event_type, 'hist' AS part, bin_lo AS x, bin_hi AS y, count AS n
 FROM ({O['q38_sketch_histogram']}) h0
 UNION ALL
-{_tm_sql}""",
+{_tm_sql}
+UNION ALL
+SELECT event_type, 'pct' AS part, x, CAST(pct AS REAL) AS y, n
+FROM ({O['q91_percentile_rank_by_type']}) p0""",
     )
 
     ren("q16_sketch_range_bucket", "q50_sketch_range_bucket")

@@ -458,3 +458,90 @@ def test_struct_trimmed_mean_matches_kernel(spark):
         .m
         is None
     )
+
+
+def _pct_ref(vals, v, gamma):
+    """Bin-granular CDF reference: P[x <= upper edge of v's bin]."""
+    import math as _m
+
+    def b(x):
+        return _m.ceil(_m.log(x) / _m.log(gamma))
+
+    if v is None or not _m.isfinite(v):
+        return None
+    finite = [x for x in vals if x is not None and _m.isfinite(x)]
+    neg = [x for x in finite if x < 0]
+    zero = [x for x in finite if x == 0]
+    pos = [x for x in finite if x > 0]
+    if v > 0:
+        le = len(neg) + len(zero) + sum(1 for x in pos if b(x) <= b(v))
+    elif v == 0:
+        le = len(neg) + len(zero)
+    else:
+        le = sum(1 for x in neg if b(-x) >= b(-v))
+    return le / len(finite)
+
+
+def test_percentile_rank_matches_reference(spark):
+    """percentile_rank = bin-granular within-group CDF position: exact
+    count ratios, NULL/NaN rank NULL, all three sign classes, grouped
+    and ungrouped forms."""
+    gamma = native.gamma_of(0.02)
+    groups = {
+        "a": [1.0, 2.0, 2.01, 50.0, -3.0, 0.0, None],
+        "b": [5.0, 5.0, -1.0, -1.001, 0.0, float("nan")],
+    }
+    rows = [
+        (g, i, v)
+        for g, vs in groups.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "grp string, i int, v double").repartition(3)
+    got = {
+        (r.grp, r.i): r.pr
+        for r in native.percentile_rank(
+            df, "v", ["grp"], alpha=0.02, out_col="pr"
+        ).collect()
+    }
+    for g, vs in groups.items():
+        for i, v in enumerate(vs):
+            ref = _pct_ref(vs, v, gamma)
+            if ref is None:
+                assert got[(g, i)] is None, (g, i, v)
+            else:
+                assert got[(g, i)] == ref, (g, i, v, got[(g, i)], ref)
+
+    # ungrouped: one global distribution
+    flat = [v for vs in groups.values() for v in vs]
+    gf = {
+        r.i: r.pr
+        for r in native.percentile_rank(
+            spark.createDataFrame(
+                [(i, v) for i, v in enumerate(flat)], "i int, v double"
+            ),
+            "v",
+            out_col="pr",
+        ).collect()
+    }
+    for i, v in enumerate(flat):
+        ref = _pct_ref(flat, v, native.gamma_of())
+        assert gf[i] == ref or (ref is None and gf[i] is None), (i, v)
+
+
+def test_percentile_rank_weighted_and_collision(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (10.0, 1.0), (100.0, 0.0)], "v double, w double"
+    )
+    # weight 0 row excluded from the distribution; its bin (100) absent
+    # -> NULL rank, while v=1 (2/3 of mass) and v=10 (3/3) rank exactly
+    got = {
+        r.v: r.pr
+        for r in native.percentile_rank(
+            df, "v", weight="w", out_col="pr"
+        ).collect()
+    }
+    assert got[1.0] == pytest.approx(2.0 / 3.0)
+    assert got[10.0] == 1.0
+    assert got[100.0] is None
+    with pytest.raises(ValueError, match="already exists"):
+        native.percentile_rank(df, "v", out_col="w")
