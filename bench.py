@@ -56,6 +56,20 @@ N_60M = 60_000_000
 
 FAMILIES = os.environ.get("SPARK_GRAFT_BENCH_FAMILIES", "1") != "0"
 
+# Attribution tooling: SPARK_GRAFT_BENCH_ONLY=fam1,fam2 runs just those
+# families (both engines), skipping the rest AND their warm-ups — a fresh
+# single-family process is how within-session JVM-state effects are told
+# apart from plan changes. Official driver runs leave this unset.
+_ONLY = {
+    s.strip()
+    for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+    if s.strip()
+}
+
+
+def _fam_on(name: str) -> bool:
+    return not _ONLY or name in _ONLY
+
 # Round-over-round continuity contract: these keys appeared in the official
 # BENCH_r05.json `spark_families_60m_sec` and MUST keep their names —
 # renaming one silently breaks every cross-round comparison the judge and
@@ -286,7 +300,10 @@ def _timed_family(fn, rerun_under: float = 20.0, key=None) -> float:
     bench session (JVM/page-cache state from preceding families); the
     conditional second run bounds the added wall to ~a minute while the
     expensive families — already >> the noise floor — stay single-shot.
-    Applied SYMMETRICALLY to the Spark and DuckDB sides."""
+    Applied SYMMETRICALLY to the Spark and DuckDB sides. Families not
+    selected by SPARK_GRAFT_BENCH_ONLY return None (caller strips)."""
+    if key and ":" in key and not _fam_on(key.split(":", 1)[1]):
+        return None
     t = _timed(fn, key=key)
     if t < rerun_under:
         t = min(t, _timed(fn, key=key))
@@ -370,6 +387,8 @@ def run_duckdb(result: dict) -> None:
         _ensure_stream_src()
         fam = {}
         for name, sql in _duckdb_family_sqls().items():
+            if not _fam_on(name):
+                continue
             if callable(sql):
                 fam[name] = _timed_family(lambda f=sql: f(con), key=f"duckdb_fam:{name}")
             else:
@@ -379,7 +398,7 @@ def run_duckdb(result: dict) -> None:
                     # number measures the aggregation, not first-touch
                     con.execute(sql).fetchall()
                 fam[name] = _timed_family(lambda s=sql: con.execute(s).fetchall(), key=f"duckdb_fam:{name}")
-        result["duckdb_families_60m_sec"] = fam
+        result["duckdb_families_60m_sec"] = {k: v for k, v in fam.items() if v is not None}
     con.close()
 
 
@@ -1160,19 +1179,22 @@ def run_spark_families(spark, result: dict) -> None:
             F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("c")
         ).collect()
 
-    _ensure_stream_src()
+    if _fam_on("streaming_windows") or _fam_on("streaming_windows_full_recompute"):
+        _ensure_stream_src()
     # one-file warm-up: the streaming machinery (state store, micro-batch
     # planner, streaming codegen) appears nowhere else in the session, so
     # its one-time JIT would otherwise be billed to this family alone —
     # the headline section applies the same steady-state policy.
-    _run_streaming(glob_filter="part-00.parquet")
+    if _fam_on("streaming_windows"):
+        _run_streaming(glob_filter="part-00.parquet")
     fam["streaming_windows"] = _timed_family(streaming_windows, key="spark_fam:streaming_windows")
     # steady-state policy (mirrored on the DuckDB side): warm once so the
     # recorded number measures the aggregation, not batch-plan JIT
-    streaming_full_recompute()
+    if _fam_on("streaming_windows_full_recompute"):
+        streaming_full_recompute()
     fam["streaming_windows_full_recompute"] = _timed_family(streaming_full_recompute, key="spark_fam:streaming_windows_full_recompute")
 
-    result["spark_families_60m_sec"] = fam
+    result["spark_families_60m_sec"] = {k: v for k, v in fam.items() if v is not None}
 
 
 def main() -> None:
