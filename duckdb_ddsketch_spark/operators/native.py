@@ -50,6 +50,8 @@ __all__ = [
     "sketch_quantile_agg",
     "sketch_quantile_agg_multi",
     "trailing_sketch_quantile_agg",
+    "percentile_bins",
+    "percentile_lookup",
     "percentile_rank",
     "sketch_range_bucket",
     "sketch_struct_agg",
@@ -832,46 +834,27 @@ def sketch_range_bucket(
     return out.drop(*bcols)
 
 
-def percentile_rank(
+def percentile_bins(
     df: DataFrame,
     value: str,
     keys: Sequence[str] = (),
     alpha: float = DEFAULT_RELATIVE_ACCURACY,
     weight: Optional[str] = None,
-    out_col: str = "pct_rank",
-    broadcast: bool = True,
 ) -> DataFrame:
-    """Append each row's bin-granular percentile rank ``P[x <= v]``
-    within its ``keys`` group — sketch-driven score normalization
-    (per-domain quality calibration for mixture balancing: raw scores
-    from different domains aren't comparable; their within-domain
-    percentiles are).
+    """Calibration half of :func:`percentile_rank`: the per-group
+    cumulative bin table ``(keys..., sign, bin, le, total)`` where
+    ``le`` = count of values <= the bin's upper edge and ``total`` the
+    group's finite count. ONE partially-aggregated pass
+    (:func:`binned_counts` — the shuffle carries |groups| x |bins| rows,
+    never the input) plus a window cumsum over that TINY table.
 
-    The scale shape: ONE partially-aggregated pass builds the per-group
-    DDSketch bin table (:func:`binned_counts` — the shuffle carries
-    |groups| x |bins| rows, never the input), a window cumsum over that
-    TINY table turns it into "count <= upper bin edge", and the ranks
-    come back through a broadcast equi-join on (keys, sign, bin): the
-    probe side is map-only, there is no per-row fold over the sketch and
-    no global sort. The rank of a row's value is a ratio of exact
-    count sums (one division), so it is engine-reproducible wherever the
-    bin assignment is (the same ``ceil(ln(v)/ln(gamma))`` contract every
-    sketch slot relies on).
-
-    Semantics match :func:`struct_cdf_sql` bin granularity: all values
-    in a bin share the rank of the bin's upper edge; NULL / non-finite
-    values rank NULL. With ``weight``, ranks are weighted CDF positions;
-    a row excluded from the distribution (weight <= 0) still ranks if
-    its bin occurs in the distribution, else NULL. ``broadcast=False``
-    drops the hint for group x bin tables too large for one executor
-    (AQE may still promote).
+    Build it once on the reference data (yesterday's corpus, the
+    training mix), persist or write it out, then score any number of
+    frames — batch or STREAMING (stream-static join) — with
+    :func:`percentile_lookup`. :func:`percentile_rank` is exactly
+    bins + lookup on the same frame.
     """
-    if out_col in df.columns:
-        raise ValueError(f"out_col {out_col!r} already exists in the frame")
     keys = list(keys)
-    gamma = gamma_of(alpha)
-    lg = repr(math.log(gamma)) + "D"
-    v = f"d.`{value}`"
     kq = ", ".join(f"`{k}`" for k in keys)
     part_by = f"PARTITION BY {kq}" if keys else ""
     binned = _binned_sql(keys, value, alpha, weight, "{df}")
@@ -879,6 +862,43 @@ def percentile_rank(
     # zero, positives (bin ASC) -> inclusive running sum IS "count of
     # values <= this bin's upper edge"
     ord_expr = "sign, coalesce(CASE WHEN sign = -1 THEN -bin ELSE bin END, 0)"
+    kq_pre = f"{kq}, " if keys else ""
+    sql = (
+        f"WITH binned AS ({binned})\n"
+        f"SELECT {kq_pre}sign, bin,\n"
+        f"  SUM(cnt) OVER ({part_by} ORDER BY {ord_expr}"
+        f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le,\n"
+        f"  SUM(cnt) OVER ({part_by}) AS total FROM binned"
+    )
+    return df.sparkSession.sql(sql, df=df)
+
+
+def percentile_lookup(
+    df: DataFrame,
+    bins: DataFrame,
+    value: str,
+    keys: Sequence[str] = (),
+    alpha: float = DEFAULT_RELATIVE_ACCURACY,
+    out_col: str = "pct_rank",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Scoring half of :func:`percentile_rank`: append each row's rank
+    against a PREBUILT :func:`percentile_bins` table. Map-only probe
+    side + one equi-join on (keys, sign, bin) — no aggregation over
+    ``df``, so it composes with Structured Streaming as a stream-static
+    join (score a live stream against yesterday's calibration).
+
+    ``alpha`` must match the value the bins were built with (it fixes
+    the bin width); values whose bin is absent from the table rank NULL
+    (for same-frame use every finite row's bin is present by
+    construction).
+    """
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the frame")
+    keys = list(keys)
+    gamma = gamma_of(alpha)
+    lg = repr(math.log(gamma)) + "D"
+    v = f"d.`{value}`"
     sign_d = f"CASE WHEN {v} > 0 THEN 1 WHEN {v} < 0 THEN -1 ELSE 0 END"
     bin_d = (
         f"CASE WHEN {v} > 0 THEN CAST(CEIL(LN({v}) / {lg}) AS INT)"
@@ -892,15 +912,51 @@ def percentile_rank(
     if keys:
         on += " AND " + " AND ".join(f"d.`{k}` <=> c.`{k}`" for k in keys)
     hint = "/*+ BROADCAST(c) */ " if broadcast else ""
-    kq_pre = f"{kq}, " if keys else ""
     sql = (
-        f"WITH binned AS ({binned}),\n"
-        f"cum AS (SELECT {kq_pre}sign, bin,\n"
-        f"  SUM(cnt) OVER ({part_by} ORDER BY {ord_expr}"
-        f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le,\n"
-        f"  SUM(cnt) OVER ({part_by}) AS total FROM binned)\n"
         f"SELECT {hint}d.*, CASE WHEN {finite} THEN c.le / c.total END"
         f" AS `{out_col}`\n"
-        f"FROM {{df}} d LEFT JOIN cum c ON {on}"
+        f"FROM {{df}} d LEFT JOIN {{bins}} c ON {on}"
     )
-    return df.sparkSession.sql(sql, df=df)
+    return df.sparkSession.sql(sql, df=df, bins=bins)
+
+
+def percentile_rank(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str] = (),
+    alpha: float = DEFAULT_RELATIVE_ACCURACY,
+    weight: Optional[str] = None,
+    out_col: str = "pct_rank",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Append each row's bin-granular percentile rank ``P[x <= v]``
+    within its ``keys`` group — sketch-driven score normalization
+    (per-domain quality calibration for mixture balancing: raw scores
+    from different domains aren't comparable; their within-domain
+    percentiles are). Exactly :func:`percentile_bins` +
+    :func:`percentile_lookup` on the same frame; split the halves to
+    calibrate once and score many frames (or a stream).
+
+    The scale shape: ONE partially-aggregated pass builds the per-group
+    DDSketch bin table (the shuffle carries |groups| x |bins| rows,
+    never the input), a window cumsum over that TINY table turns it
+    into "count <= upper bin edge", and the ranks come back through a
+    broadcast equi-join on (keys, sign, bin): the probe side is
+    map-only, there is no per-row fold over the sketch and no global
+    sort. The rank of a row's value is a ratio of exact count sums
+    (one division), so it is engine-reproducible wherever the bin
+    assignment is (the same ``ceil(ln(v)/ln(gamma))`` contract every
+    sketch slot relies on).
+
+    Semantics match :func:`struct_cdf_sql` bin granularity: all values
+    in a bin share the rank of the bin's upper edge; NULL / non-finite
+    values rank NULL. With ``weight``, ranks are weighted CDF positions;
+    a row excluded from the distribution (weight <= 0) still ranks if
+    its bin occurs in the distribution, else NULL. ``broadcast=False``
+    drops the hint for group x bin tables too large for one executor
+    (AQE may still promote).
+    """
+    bins = percentile_bins(df, value, keys, alpha, weight)
+    return percentile_lookup(
+        df, bins, value, keys, alpha, out_col, broadcast
+    )

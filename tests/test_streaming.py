@@ -666,3 +666,45 @@ def test_streaming_gram_validation(spark, tmp_path):
         streaming_gram(stream, "qcodes")
     with pytest.raises(ValueError, match="integer=False"):
         streaming_gram(stream, "qcodes", dims=4, integer=True, augment=True)
+
+
+def test_percentile_lookup_stream_static_matches_batch(spark, tmp_path):
+    """percentile_lookup is a stream-static join: scoring a live stream
+    against a prebuilt percentile_bins calibration must yield exactly
+    the batch ranks for the same rows (calibrate once, score forever)."""
+    from duckdb_ddsketch_spark.operators import native
+
+    calib_rows = [
+        ("a", float(v)) for v in (1, 2, 2, 5, 50, -3, 0)
+    ] + [("b", float(v)) for v in (10, 10, 20, -1)]
+    calib = spark.createDataFrame(calib_rows, "grp string, v double")
+    bins = native.percentile_bins(calib, "v", ["grp"], alpha=0.02)
+
+    src = str(tmp_path / "pct_src")
+    score_rows = [
+        (0, "a", 2.0), (1, "a", 50.0), (2, "a", -3.0), (3, "a", 0.0),
+        (4, "b", 10.0), (5, "b", 999.0),  # bin absent -> NULL rank
+        (6, "b", None),
+    ]
+    spark.createDataFrame(
+        score_rows, "i long, grp string, v double"
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("i long, grp string, v double").parquet(src)
+    ranked = native.percentile_lookup(stream, bins, "v", ["grp"], alpha=0.02)
+    got = {
+        r.i: r.pct_rank
+        for r in _collect_stream(ranked, str(tmp_path / "ck_pct"))
+    }
+
+    batch = spark.createDataFrame(score_rows, "i long, grp string, v double")
+    expected = {
+        r.i: r.pct_rank
+        for r in native.percentile_lookup(
+            batch, bins, "v", ["grp"], alpha=0.02
+        ).collect()
+    }
+    assert got == expected and len(got) == len(score_rows)
+    assert got[1] == 1.0          # group max ranks 1.0
+    assert got[5] is None         # unseen bin -> NULL
+    assert got[6] is None         # NULL value -> NULL
