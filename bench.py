@@ -384,7 +384,10 @@ def run_duckdb(result: dict) -> None:
     result["duckdb_60m_sec"] = round(time.perf_counter() - t0, 3)
 
     if FAMILIES:
-        _ensure_stream_src()
+        if _fam_on("streaming_windows") or _fam_on(
+            "streaming_windows_full_recompute"
+        ):
+            _ensure_stream_src()
         fam = {}
         for name, sql in _duckdb_family_sqls().items():
             if not _fam_on(name):

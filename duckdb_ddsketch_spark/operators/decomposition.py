@@ -174,7 +174,11 @@ def pca_components(
         g[r["i"], r["j"]] = r["g"]
     n = g[width, width]
     if n < 2:
-        raise ValueError(f"need >= 2 non-NULL '{vec_col}' rows, got {int(n)}")
+        raise ValueError(
+            f"need >= 2 finite width-{width} '{vec_col}' rows, got {int(n)}"
+            " (an explicit dims= that matches no row contributes zero rows"
+            " — wrong-width rows are skipped, not errors)"
+        )
     sums = g[width, :width]
     mean = sums / n
     # sample covariance from the Gram block: (X^T X - n mu mu^T) / (n-1)

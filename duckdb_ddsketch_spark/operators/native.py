@@ -117,6 +117,31 @@ def binned_counts(
     )
 
 
+_DBL_MAX = "1.7976931348623157E308D"
+
+
+def _sign_sql(v: str) -> str:
+    """Sign-class SQL shared by the build (:func:`_binned_sql`) and probe
+    (:func:`percentile_lookup`) sides — the two must stay byte-identical
+    or probe bins silently stop matching calibration bins."""
+    return f"CASE WHEN {v} > 0 THEN 1 WHEN {v} < 0 THEN -1 ELSE 0 END"
+
+
+def _bin_sql(v: str, lg: str) -> str:
+    """Guarded ``ceil(ln(|v|)/ln(gamma))`` bin SQL (NULL for zero and for
+    non-finite values). The finite guards matter on the PROBE side, where
+    no WHERE clause pre-filters rows: under ANSI mode ``CAST(CEIL(LN(inf)
+    ...) AS INT)`` overflows and one malformed row would fail the whole
+    job (NaN compares greater than everything in both engines, so it
+    falls through both branches to NULL)."""
+    return (
+        f"CASE WHEN {v} > 0 AND {v} <= {_DBL_MAX}"
+        f" THEN CAST(CEIL(LN({v}) / {lg}) AS INT)"
+        f" WHEN {v} < 0 AND {v} >= -{_DBL_MAX}"
+        f" THEN CAST(CEIL(LN(-{v}) / {lg}) AS INT) END"
+    )
+
+
 def _binned_sql(
     keys: Sequence[str],
     value: str,
@@ -139,8 +164,7 @@ def _binned_sql(
     # DuckDB (both order NaN above +inf), matching the kernel's
     # skip-non-finite rule; without it, ANSI CAST(inf AS INT) throws.
     cond = (
-        f"{v} IS NOT NULL AND"
-        f" {v} BETWEEN -1.7976931348623157E308D AND 1.7976931348623157E308D"
+        f"{v} IS NOT NULL AND {v} BETWEEN -{_DBL_MAX} AND {_DBL_MAX}"
     )
     if weight is not None:
         cond += f" AND `{weight}` > 0"
@@ -151,9 +175,8 @@ def _binned_sql(
         f"SELECT {kq_pre}sign, bin, sum(w) AS cnt, sum(v * w) AS vsum,"
         " min(v) AS vmin, max(v) AS vmax"
         f" FROM (SELECT {kq_pre}"
-        f" CASE WHEN {v} > 0 THEN 1 WHEN {v} < 0 THEN -1 ELSE 0 END AS sign,"
-        f" CASE WHEN {v} > 0 THEN CAST(CEIL(LN({v}) / {lg}) AS INT)"
-        f" WHEN {v} < 0 THEN CAST(CEIL(LN(-{v}) / {lg}) AS INT) END AS bin,"
+        f" {_sign_sql(v)} AS sign,"
+        f" {_bin_sql(v, lg)} AS bin,"
         f" {w} AS w, CAST({v} AS DOUBLE) AS v"
         f" FROM {from_clause} WHERE {cond})"
         f" GROUP BY {kq_pre}sign, bin"
@@ -899,14 +922,10 @@ def percentile_lookup(
     gamma = gamma_of(alpha)
     lg = repr(math.log(gamma)) + "D"
     v = f"d.`{value}`"
-    sign_d = f"CASE WHEN {v} > 0 THEN 1 WHEN {v} < 0 THEN -1 ELSE 0 END"
-    bin_d = (
-        f"CASE WHEN {v} > 0 THEN CAST(CEIL(LN({v}) / {lg}) AS INT)"
-        f" WHEN {v} < 0 THEN CAST(CEIL(LN(-{v}) / {lg}) AS INT) END"
-    )
+    sign_d = _sign_sql(v)
+    bin_d = _bin_sql(v, lg)
     finite = (
-        f"{v} IS NOT NULL AND {v} BETWEEN -1.7976931348623157E308D"
-        f" AND 1.7976931348623157E308D"
+        f"{v} IS NOT NULL AND {v} BETWEEN -{_DBL_MAX} AND {_DBL_MAX}"
     )
     on = f"c.sign = ({sign_d}) AND c.bin <=> ({bin_d})"
     if keys:

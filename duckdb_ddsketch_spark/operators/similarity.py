@@ -531,22 +531,30 @@ def _plane_component(p: int, d: int) -> float:
 
 
 def _cell_centroids(
-    corpus: DataFrame, vec_col: str, label_col: str
+    corpus: DataFrame, vec_col: str, label_col: str, integer: bool = False
 ) -> DataFrame:
     """Per-cell mean vectors for the IVF routes: (cell, centroid) rows,
-    bounded at cells x d doubles. Shared by :func:`ivf_topk` and
-    :func:`ivf_topk_blas` so their probe selection stays
-    expression-identical (the documented fold/BLAS parity depends on it).
-    NULL-label rows are excluded: a NULL cell can never be probed (the
-    cell equi-join is null-rejecting), so including it would only waste
-    one of each query's ``nprobe`` slots."""
+    bounded at cells x d doubles. Shared by :func:`ivf_topk` (both the
+    float and ``codes_col`` branches) and :func:`ivf_topk_blas` so the
+    probe-selection aggregate stays expression-identical in one place
+    (the documented fold/BLAS parity depends on it). NULL-label rows are
+    excluded: a NULL cell can never be probed (the cell equi-join is
+    null-rejecting), so including it would only waste one of each
+    query's ``nprobe`` slots. ``integer=True`` (the quantized-codes
+    route) averages via exact BIGINT component sums and ONE
+    correctly-rounded division — engine-reproducible, unlike an
+    order-sensitive float avg."""
+    if integer:
+        src = F.col(vec_col)
+        mean = (F.sum("col").cast("double") / F.count("col")).alias("m")
+    else:
+        src = _dbl(F.col(vec_col))
+        mean = F.avg("col").alias("m")
     return (
         corpus.where(F.col(label_col).isNotNull())
-        .select(
-            F.col(label_col).alias("cell"), F.posexplode(_dbl(F.col(vec_col)))
-        )
+        .select(F.col(label_col).alias("cell"), F.posexplode(src))
         .groupBy("cell", "pos")
-        .agg(F.avg("col").alias("m"))
+        .agg(mean)
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e"))
         .select("cell", F.expr("transform(e, x -> x.m)").alias("centroid"))
@@ -586,31 +594,13 @@ def ivf_topk(
     """
     col = codes_col if codes_col is not None else vec_col
     if codes_col is not None:
-        # NULL-label rows excluded as in _cell_centroids: a NULL cell is
-        # unreachable through the null-rejecting cell join below
-        exploded = corpus.where(F.col(label_col).isNotNull()).select(
-            F.col(label_col).alias("cell"), F.posexplode(F.col(col))
-        )
-        # exact BIGINT component sums, ONE correctly-rounded division —
-        # engine-reproducible, unlike an order-sensitive float avg
-        cell_mean = (F.sum("col").cast("double") / F.count("col")).alias("m")
         neigh_norm = int_normsq(F.col(col))
         score = _int_cos(
             int_dot(F.col("qvec"), F.col("nvec")),
             int_normsq(F.col("qvec")),
             F.col("nnorm"),
         )
-        centroids = (
-            exploded.groupBy("cell", "pos")
-            .agg(cell_mean)
-            .groupBy("cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("e")
-            )
-            .select(
-                "cell", F.expr("transform(e, x -> x.m)").alias("centroid")
-            )
-        )
+        centroids = _cell_centroids(corpus, col, label_col, integer=True)
     else:
         neigh_norm = norm(F.col(col))
         score = F.try_divide(

@@ -4518,8 +4518,10 @@ def _q91_oracle() -> str:
       ON c.event_type IS NOT DISTINCT FROM d.event_type
      AND c.sign = (CASE WHEN d.v > 0 THEN 1 WHEN d.v < 0 THEN -1 ELSE 0 END)
      AND c.bin IS NOT DISTINCT FROM
-         (CASE WHEN d.v > 0 THEN CAST(CEIL(LN(d.v) / {lg}) AS INTEGER)
-               WHEN d.v < 0 THEN CAST(CEIL(LN(-d.v) / {lg}) AS INTEGER) END)
+         (CASE WHEN d.v > 0 AND d.v <= 1.7976931348623157E308
+               THEN CAST(CEIL(LN(d.v) / {lg}) AS INTEGER)
+               WHEN d.v < 0 AND d.v >= -1.7976931348623157E308
+               THEN CAST(CEIL(LN(-d.v) / {lg}) AS INTEGER) END)
     WHERE d.event_id % 101 = 0
     """
 

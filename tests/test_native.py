@@ -545,3 +545,22 @@ def test_percentile_rank_weighted_and_collision(spark):
     assert got[100.0] is None
     with pytest.raises(ValueError, match="already exists"):
         native.percentile_rank(df, "v", out_col="w")
+
+
+def test_percentile_rank_nonfinite_values_rank_null(spark):
+    """+/-inf and NaN must rank NULL, not fail the job: the probe-side
+    bin CAST is finite-guarded (ANSI CAST(CEIL(LN(inf)..) AS INT)
+    overflows — one malformed row must never take out a 100 TB pass)."""
+    df = spark.createDataFrame(
+        [
+            (1, 1.0),
+            (2, float("inf")),
+            (3, float("nan")),
+            (4, float("-inf")),
+            (5, 2.0),
+        ],
+        "i long, v double",
+    )
+    got = {r.i: r.pct_rank for r in native.percentile_rank(df, "v").collect()}
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert got[1] == 0.5 and got[5] == 1.0
