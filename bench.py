@@ -171,6 +171,14 @@ KM_WIDE_PRIMES = (
     293, 307, 311, 313, 317, 331, 337, 347,
 )
 
+# percentile-rank family (round 7): sketch-driven score normalization at
+# 60M rows x 25 groups — one partially-aggregated binned pass, a window
+# cumsum over the tiny groups x bins table, and the broadcast
+# (grp, sign, bin) join back onto the stream. Values are dyadic
+# rationals spanning all three sign classes, identical doubles in both
+# engines; DuckDB runs the same cumsum + join.
+PCT_V = "((id * 48271) % 2001 - 1000)"
+
 # Gram-matrix family (round 7): the PCA stats pass at 2M x 64 int8 codes.
 # Spark runs the one-matmul-per-Arrow-batch partial-aggregate shape
 # (operators/decomposition.gram_matrix, integer mode — exact BIGINTs);
@@ -757,6 +765,48 @@ def _duckdb_family_sqls() -> dict:
 
     sqls["gram_2m_x64"] = _duck_gram
 
+    import math as _math_pct
+
+    _pct_lg = repr(_math_pct.log(1.0 + 2.0 * 0.01 / 0.99))
+    _pct_v = PCT_V.replace("id", "range")
+    _pct_bin_d = (
+        f"CASE WHEN d.v > 0 THEN CAST(CEIL(LN(d.v) / {_pct_lg}) AS INTEGER)"
+        f" WHEN d.v < 0 THEN CAST(CEIL(LN(-d.v) / {_pct_lg}) AS INTEGER) END"
+    )
+    sqls["pctrank_60m"] = f"""
+    WITH vals AS (
+        SELECT range % 25 AS grp, CAST({_pct_v} AS DOUBLE) / 32.0 AS v
+        FROM range({N_60M})
+    ),
+    b AS (
+        SELECT grp,
+            CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+            CASE WHEN v > 0 THEN CAST(CEIL(LN(v) / {_pct_lg}) AS INTEGER)
+                 WHEN v < 0 THEN CAST(CEIL(LN(-v) / {_pct_lg}) AS INTEGER)
+                 END AS bin,
+            COUNT(*) AS cnt
+        FROM vals GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT grp, sign, bin,
+            SUM(cnt) OVER (
+                PARTITION BY grp
+                ORDER BY sign,
+                    coalesce(CASE WHEN sign = -1 THEN -bin ELSE bin END, 0)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS le,
+            SUM(cnt) OVER (PARTITION BY grp) AS total
+        FROM b
+    )
+    SELECT COUNT(*) AS n_ranked,
+           AVG(CAST(c.le AS DOUBLE) / CAST(c.total AS DOUBLE)) AS mean_pct
+    FROM vals d
+    JOIN cum c
+      ON c.grp = d.grp
+     AND c.sign = (CASE WHEN d.v > 0 THEN 1 WHEN d.v < 0 THEN -1 ELSE 0 END)
+     AND c.bin IS NOT DISTINCT FROM ({_pct_bin_d})
+    """
+
     # streaming windows: the same (hour window, key, sign, bin) state the
     # Spark streaming operator maintains, kept incrementally per arriving
     # file — the IVM loop a batch engine needs for a continuous workload.
@@ -1098,6 +1148,21 @@ def run_spark_families(spark, result: dict) -> None:
         dec.gram_matrix(df, "qcodes", dims=GRAM_D, integer=True).collect()
 
     fam["gram_2m_x64"] = _timed_family(gram_2m_x64, key="spark_fam:gram_2m_x64")
+
+    def pctrank_60m():
+        from duckdb_ddsketch_spark.operators import native
+
+        df = gen(
+            N_60M,
+            [("grp", "id % 25"), ("v", f"{PCT_V} / 32.0D")],
+        )
+        ranked = native.percentile_rank(df, "v", ["grp"])
+        ranked.agg(
+            F.count("pct_rank").alias("n_ranked"),
+            F.avg("pct_rank").alias("mean_pct"),
+        ).collect()
+
+    fam["pctrank_60m"] = _timed_family(pctrank_60m, key="spark_fam:pctrank_60m")
 
     def _run_streaming(glob_filter=None):
         import shutil

@@ -77,6 +77,7 @@ def test_all_spark_families_execute(spark, bench_small):
         "ann_quantized_2m_x128",  # round 6
         "kmeans_15m_d64",  # round 7: wide-dims BLAS-routed k-means
         "gram_2m_x64",  # round 7: PCA Gram stats pass, exact int codes
+        "pctrank_60m",  # round 7: percentile-rank score normalization
     }
     assert all(t >= 0 for t in fam.values())
 
@@ -248,5 +249,36 @@ def test_gram_mirror_agrees(spark, bench_small):
             (i, j) for i in range(b.GRAM_D) for j in range(b.GRAM_D)
         ):
             assert g[(i, j)] == drow[idx], (i, j)
+    finally:
+        con.close()
+
+
+def test_pctrank_mirror_agrees(spark, bench_small):
+    """The pctrank mirror must compute the SAME (n_ranked, mean_pct) as
+    the Spark operator at small N (the round-4 silently-different-
+    workload lesson); mean is a float reduction, compared to 1e-9 rel."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import native
+
+    b = bench_small
+    con = duckdb.connect()
+    try:
+        df = spark.range(b.N_60M).selectExpr(
+            "id % 25 AS grp", f"{b.PCT_V} / 32.0D AS v"
+        )
+        srow = (
+            native.percentile_rank(df, "v", ["grp"])
+            .agg(
+                F.count("pct_rank").alias("n_ranked"),
+                F.avg("pct_rank").alias("mean_pct"),
+            )
+            .collect()[0]
+        )
+        drow = con.execute(
+            b._duckdb_family_sqls()["pctrank_60m"]
+        ).fetchall()[0]
+        assert int(srow[0]) == int(drow[0]) == b.N_60M
+        assert abs(srow[1] - drow[1]) <= 1e-9 * abs(drow[1])
     finally:
         con.close()
