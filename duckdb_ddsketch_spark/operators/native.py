@@ -53,6 +53,7 @@ __all__ = [
     "percentile_bins",
     "percentile_lookup",
     "percentile_rank",
+    "quantile_normalize",
     "sketch_range_bucket",
     "sketch_struct_agg",
     "struct_quantile",
@@ -916,23 +917,42 @@ def percentile_lookup(
     (for same-frame use every finite row's bin is present by
     construction).
     """
+    return _bin_probe_join(
+        df, bins, value, keys, alpha, "c.le / c.total", out_col, broadcast
+    )
+
+
+def _bin_probe_join(
+    df: DataFrame,
+    bins: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    alpha: float,
+    out_expr: str,
+    out_col: str,
+    broadcast: bool,
+) -> DataFrame:
+    """The shared probe side of :func:`percentile_lookup` and
+    :func:`quantile_normalize`: map-only sign/bin derivation on ``df``
+    plus one (keys, sign, bin) equi-join against a structure-sized
+    table aliased ``c``; ``out_expr`` projects the appended column.
+    Non-finite values produce NULL (finite-gated CASE; the bin CAST
+    itself is guarded in :func:`_bin_sql`)."""
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists in the frame")
     keys = list(keys)
     gamma = gamma_of(alpha)
     lg = repr(math.log(gamma)) + "D"
     v = f"d.`{value}`"
-    sign_d = _sign_sql(v)
-    bin_d = _bin_sql(v, lg)
     finite = (
         f"{v} IS NOT NULL AND {v} BETWEEN -{_DBL_MAX} AND {_DBL_MAX}"
     )
-    on = f"c.sign = ({sign_d}) AND c.bin <=> ({bin_d})"
+    on = f"c.sign = ({_sign_sql(v)}) AND c.bin <=> ({_bin_sql(v, lg)})"
     if keys:
         on += " AND " + " AND ".join(f"d.`{k}` <=> c.`{k}`" for k in keys)
     hint = "/*+ BROADCAST(c) */ " if broadcast else ""
     sql = (
-        f"SELECT {hint}d.*, CASE WHEN {finite} THEN c.le / c.total END"
+        f"SELECT {hint}d.*, CASE WHEN {finite} THEN {out_expr} END"
         f" AS `{out_col}`\n"
         f"FROM {{df}} d LEFT JOIN {{bins}} c ON {on}"
     )
@@ -978,4 +998,96 @@ def percentile_rank(
     bins = percentile_bins(df, value, keys, alpha, weight)
     return percentile_lookup(
         df, bins, value, keys, alpha, out_col, broadcast
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str] = (),
+    ref_bins: Optional[DataFrame] = None,
+    alpha: float = DEFAULT_RELATIVE_ACCURACY,
+    weight: Optional[str] = None,
+    out_col: str = "qnorm",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Map each row's value onto the REFERENCE distribution's value at
+    the same within-group percentile — full quantile normalization, the
+    step after :func:`percentile_rank` when a pipeline needs scores on a
+    common SCALE rather than ranks (per-domain quality scores projected
+    onto the global distribution before one global threshold / mixture
+    weight applies).
+
+    ``ref_bins`` is an UNGROUPED :func:`percentile_bins` table (columns
+    sign, bin, le, total) — build it once on the reference corpus;
+    ``None`` uses the whole input as its own reference (each group
+    normalized onto the global distribution).
+
+    The 100 TB shape — every step is structure-sized except two map-only
+    passes over ``df``:
+
+    1. source bins: one partially-aggregated pass (groups x bins rows).
+    2. CDF inversion WITHOUT a range join: source rows (carrying
+       fraction q = le/total) and reference rows (carrying fraction f
+       and the bin's representative value) are unioned and sorted by
+       (fraction, tag); because the representative value is monotone in
+       f, ``min(value) OVER (rows from CURRENT to end)`` at each source
+       row IS the first reference bin with f >= q. One window over a
+       tiny union — no nested-loop join, no per-row search. Sorting is
+       global (no partition) deliberately: the table is groups x bins +
+       bins rows, structure-sized by construction.
+    3. the appended column comes back through the same broadcast
+       (keys, sign, bin) probe join as :func:`percentile_lookup`.
+
+    Output: the representative value (``bin_to_value``) of the matched
+    reference bin, exactly the granularity DDSketch quantiles return.
+    NULL / non-finite values map to NULL; an empty reference maps
+    everything to NULL. Deterministic and engine-reproducible (exact
+    count ratios + the same POWER(gamma, bin) representative both
+    engines already agree on for histograms).
+    """
+    src = percentile_bins(df, value, keys, alpha, weight)
+    if ref_bins is None:
+        ref_bins = percentile_bins(df, value, (), alpha, weight)
+    extra = [c for c in ref_bins.columns if c not in ("sign", "bin", "le", "total")]
+    if extra:
+        raise ValueError(
+            f"ref_bins must be an UNGROUPED percentile_bins table; found "
+            f"extra columns {extra} (normalize onto ONE reference "
+            "distribution; pass keys=() when building it)"
+        )
+    keys = list(keys)
+    gamma = gamma_of(alpha)
+    mult = repr(1.0 + (1.0 - 2.0 / (1.0 + gamma))) + "D"
+    g = repr(gamma) + "D"
+    kq = ", ".join(f"`{k}`" for k in keys)
+    kq_pre = f"{kq}, " if keys else ""
+    # ref-side key placeholders must carry the SOURCE key types: a
+    # mistyped NULL would coerce the whole unioned key column (and then
+    # the probe join would compare against the coerced type)
+    src_types = dict(src.dtypes)
+    k_nulls = "".join(
+        f"CAST(NULL AS {src_types[k]}) AS `{k}`, " for k in keys
+    )
+    rep = (
+        f"CASE WHEN sign = 1 THEN POWER({g}, CAST(bin AS DOUBLE)) * {mult}"
+        f" WHEN sign = -1 THEN -POWER({g}, CAST(bin AS DOUBLE)) * {mult}"
+        f" ELSE 0.0D END"
+    )
+    sql = (
+        f"WITH u AS (\n"
+        f"  SELECT {kq_pre}sign, bin, 0 AS tag,"
+        f" le / total AS f, CAST(NULL AS DOUBLE) AS rv FROM {{src}}\n"
+        f"  UNION ALL\n"
+        f"  SELECT {k_nulls}sign, bin, 1 AS tag, le / total AS f,"
+        f" {rep} AS rv FROM {{ref}}\n"
+        f"),\n"
+        f"m AS (SELECT *, MIN(rv) OVER (ORDER BY f, tag"
+        f" ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS qv"
+        f" FROM u)\n"
+        f"SELECT {kq_pre}sign, bin, qv FROM m WHERE tag = 0"
+    )
+    mapping = df.sparkSession.sql(sql, src=src, ref=ref_bins)
+    return _bin_probe_join(
+        df, mapping, value, keys, alpha, "c.qv", out_col, broadcast
     )

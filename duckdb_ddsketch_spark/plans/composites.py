@@ -163,7 +163,19 @@ FROM ({O['q89_multi_metric_quantiles']}) m""",
             F.col("pct").cast("float").alias("y"),
             "n",
         )
-        return cdf_rows.unionByName(hist).unionByName(tm_rows).unionByName(pct)
+        qn = Q["q92_quantile_normalize_by_type"](spark, sf_dir).select(
+            "event_type",
+            F.lit("qn").alias("part"),
+            "x",
+            F.col("qn").cast("float").alias("y"),
+            "n",
+        )
+        return (
+            cdf_rows.unionByName(hist)
+            .unionByName(tm_rows)
+            .unionByName(pct)
+            .unionByName(qn)
+        )
 
     _cdf_sql = "\nUNION ALL\n".join(
         f"SELECT event_type, 'cdf' AS part, CAST({t!r} AS REAL) AS x,"
@@ -187,7 +199,10 @@ UNION ALL
 {_tm_sql}
 UNION ALL
 SELECT event_type, 'pct' AS part, x, CAST(pct AS REAL) AS y, n
-FROM ({O['q91_percentile_rank_by_type']}) p0""",
+FROM ({O['q91_percentile_rank_by_type']}) p0
+UNION ALL
+SELECT event_type, 'qn' AS part, x, CAST(qn AS REAL) AS y, n
+FROM ({O['q92_quantile_normalize_by_type']}) n0""",
     )
 
     ren("q16_sketch_range_bucket", "q50_sketch_range_bucket")

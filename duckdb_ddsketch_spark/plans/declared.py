@@ -4560,6 +4560,129 @@ def q91(spark, sf_dir):
     )
 
 
+def _q92_oracle() -> str:
+    lg = repr(_C01["log_gamma"])
+    g = repr(_C01["gamma"])
+    mult = repr(1.0 + (1.0 - 2.0 / (1.0 + _C01["gamma"])))
+    bin_probe = f"""(CASE WHEN d.v > 0 AND d.v <= 1.7976931348623157E308
+               THEN CAST(CEIL(LN(d.v) / {lg}) AS INTEGER)
+               WHEN d.v < 0 AND d.v >= -1.7976931348623157E308
+               THEN CAST(CEIL(LN(-d.v) / {lg}) AS INTEGER) END)"""
+    return f"""
+    WITH vals AS (
+        SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events
+    ),
+    fin AS (
+        SELECT event_type, v,
+            CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+            CASE WHEN v > 0 THEN CAST(CEIL(LN(v) / {lg}) AS INTEGER)
+                 WHEN v < 0 THEN CAST(CEIL(LN(-v) / {lg}) AS INTEGER)
+                 END AS bin
+        FROM vals
+        WHERE v IS NOT NULL
+          AND v BETWEEN -1.7976931348623157E308 AND 1.7976931348623157E308
+    ),
+    b AS (
+        SELECT event_type, sign, bin, COUNT(*) AS cnt
+        FROM fin GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT event_type, sign, bin,
+            SUM(cnt) OVER (
+                PARTITION BY event_type
+                ORDER BY sign,
+                    coalesce(CASE WHEN sign = -1 THEN -bin ELSE bin END, 0)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS le,
+            SUM(cnt) OVER (PARTITION BY event_type) AS total
+        FROM b
+    ),
+    rb AS (SELECT sign, bin, COUNT(*) AS cnt FROM fin GROUP BY 1, 2),
+    rcum AS (
+        SELECT sign, bin,
+            SUM(cnt) OVER (
+                ORDER BY sign,
+                    coalesce(CASE WHEN sign = -1 THEN -bin ELSE bin END, 0)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS le,
+            SUM(cnt) OVER () AS total
+        FROM rb
+    ),
+    u AS (
+        SELECT event_type, sign, bin, 0 AS tag,
+            CAST(le AS DOUBLE) / CAST(total AS DOUBLE) AS f,
+            CAST(NULL AS DOUBLE) AS rv
+        FROM cum
+        UNION ALL
+        SELECT NULL, sign, bin, 1,
+            CAST(le AS DOUBLE) / CAST(total AS DOUBLE),
+            CASE WHEN sign = 1 THEN POWER({g}, CAST(bin AS DOUBLE)) * {mult}
+                 WHEN sign = -1
+                 THEN -POWER({g}, CAST(bin AS DOUBLE)) * {mult}
+                 ELSE 0.0 END
+        FROM rcum
+    ),
+    m AS (
+        SELECT *, MIN(rv) OVER (
+            ORDER BY f, tag
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+        ) AS qv
+        FROM u
+    ),
+    mp AS (SELECT event_type, sign, bin, qv FROM m WHERE tag = 0),
+    totals AS (
+        SELECT event_type, COUNT(*) AS total FROM fin GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, CAST(d.v AS REAL) AS x,
+        CASE WHEN d.v IS NOT NULL
+              AND d.v BETWEEN -1.7976931348623157E308
+                          AND 1.7976931348623157E308
+             THEN c.qv END AS qn,
+        CAST(t.total AS BIGINT) AS n
+    FROM vals d
+    LEFT JOIN totals t ON t.event_type IS NOT DISTINCT FROM d.event_type
+    LEFT JOIN mp c
+      ON c.event_type IS NOT DISTINCT FROM d.event_type
+     AND c.sign = (CASE WHEN d.v > 0 THEN 1 WHEN d.v < 0 THEN -1 ELSE 0 END)
+     AND c.bin IS NOT DISTINCT FROM {bin_probe}
+    WHERE d.event_id % 101 = 0
+    """
+
+
+@_declare("q92_quantile_normalize_by_type", _q92_oracle())
+def q92(spark, sf_dir):
+    """Quantile normalization (cross-domain score calibration): each
+    probed event's value projected onto the GLOBAL value distribution at
+    its within-event_type percentile — the union+window CDF inversion
+    over structure-sized bin tables, no range join. Bin-granular
+    representative values, so POWER/exact-count parity gates it."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = native.quantile_normalize(
+        ev.select("event_id", "event_type", "value"),
+        "value",
+        ["event_type"],
+        alpha=0.01,
+        out_col="qn",
+    )
+    totals = ev.where(
+        F.col("value").isNotNull()
+        & F.col("value").between(
+            -1.7976931348623157e308, 1.7976931348623157e308
+        )
+    ).groupBy("event_type").agg(F.count("*").alias("n"))
+    out = out.where(F.col("event_id") % 101 == 0).join(
+        F.broadcast(totals), ["event_type"], "left"
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("value").cast("float").alias("x"),
+        F.col("qn").cast("double").alias("qn"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 # ===========================================================================
 # Final registry: the driver grades at most 50 queries, so the staged
 # per-operator declarations above are curated into exactly 50 slots

@@ -564,3 +564,97 @@ def test_percentile_rank_nonfinite_values_rank_null(spark):
     got = {r.i: r.pct_rank for r in native.percentile_rank(df, "v").collect()}
     assert got[2] is None and got[3] is None and got[4] is None
     assert got[1] == 0.5 and got[5] == 1.0
+
+
+def test_quantile_normalize_matches_reference(spark):
+    """quantile_normalize = reference value at the row's within-group
+    percentile: for each source row, the representative value of the
+    FIRST reference bin whose CDF fraction >= the row's fraction."""
+    import math as _m
+
+    gamma = native.gamma_of(0.02)
+    mult = 1.0 + (1.0 - 2.0 / (1.0 + gamma))
+
+    def b(x):
+        return _m.ceil(_m.log(x) / _m.log(gamma))
+
+    def rep(sign, bn):
+        if sign == 0:
+            return 0.0
+        return sign * (gamma ** float(bn)) * mult
+
+    def ref_table(vals):
+        finite = sorted(
+            [x for x in vals if x is not None and _m.isfinite(x)]
+        )
+        bins = []  # value-ordered (sign, bin) with counts
+        for x in finite:
+            key = (
+                (1, b(x)) if x > 0 else ((-1, b(-x)) if x < 0 else (0, None))
+            )
+            if bins and bins[-1][0] == key:
+                bins[-1][1] += 1
+            else:
+                bins.append([key, 1])
+        out, cum = [], 0
+        for key, cnt in bins:
+            cum += cnt
+            out.append((cum / len(finite), rep(key[0], key[1])))
+        return out
+
+    def expect(vals_group, v, ref):
+        q = _pct_ref(vals_group, v, gamma)
+        if q is None:
+            return None
+        return next(rv for f, rv in ref if f >= q)
+
+    groups = {
+        "a": [1.0, 2.0, 2.01, 50.0, -3.0, 0.0, None],
+        "b": [5.0, 5.0, -1.0, -1.001, 0.0, float("nan")],
+    }
+    ref_vals = [10.0, 20.0, 30.0, -4.0, 0.0, 40.0, 41.0, 42.0]
+    rows = [
+        (g, i, v) for g, vs in groups.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "grp string, i int, v double").repartition(3)
+    ref_df = spark.createDataFrame(
+        [(float(v),) for v in ref_vals], "v double"
+    )
+    rb = native.percentile_bins(ref_df, "v", alpha=0.02)
+    got = {
+        (r.grp, r.i): r.qn
+        for r in native.quantile_normalize(
+            df, "v", ["grp"], ref_bins=rb, alpha=0.02, out_col="qn"
+        ).collect()
+    }
+    ref = ref_table(ref_vals)
+    for g, vs in groups.items():
+        for i, v in enumerate(vs):
+            exp = expect(vs, v, ref)
+            if exp is None:
+                assert got[(g, i)] is None, (g, i, v)
+            else:
+                assert got[(g, i)] == pytest.approx(exp, rel=1e-12), (
+                    g, i, v, got[(g, i)], exp,
+                )
+
+    # self-reference, single group: normalizing onto itself maps every
+    # value to its OWN bin's representative (rank-preserving identity at
+    # bin granularity)
+    flat = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1.0, 4.0, 9.0, 16.0, 25.0])],
+        "i int, v double",
+    )
+    own = {
+        r.i: r.qn
+        for r in native.quantile_normalize(
+            flat, "v", alpha=0.02, out_col="qn"
+        ).collect()
+    }
+    for i, v in enumerate([1.0, 4.0, 9.0, 16.0, 25.0]):
+        assert own[i] == pytest.approx(rep(1, b(v)), rel=1e-12)
+
+    # ungrouped ref typing mismatch guard
+    grouped_bins = native.percentile_bins(df, "v", ["grp"], alpha=0.02)
+    with pytest.raises(ValueError, match="UNGROUPED"):
+        native.quantile_normalize(df, "v", ["grp"], ref_bins=grouped_bins)
