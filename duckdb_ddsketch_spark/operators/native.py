@@ -858,6 +858,44 @@ def sketch_range_bucket(
     return out.drop(*bcols)
 
 
+# column names the percentile machinery generates internally: a key with
+# one of these names would alias-collide inside the assembled SQL
+_PCT_RESERVED = frozenset(
+    {"sign", "bin", "le", "total", "gamma", "cnt", "w", "v",
+     "vsum", "vmin", "vmax", "tag", "f", "rv", "qv"}
+)
+
+
+def _check_pct_keys(keys: Sequence[str]) -> None:
+    bad = sorted(set(keys) & _PCT_RESERVED)
+    if bad:
+        raise ValueError(
+            f"key column(s) {bad} collide with the percentile machinery's"
+            f" internal names {sorted(_PCT_RESERVED)}; rename them first"
+        )
+
+
+def _cum_bins_sql(keys: Sequence[str], gamma: float, from_clause: str) -> str:
+    """Window cumsum turning a (keys, sign, bin, cnt) table into the
+    cumulative (keys, sign, bin, le, total, gamma) calibration shape.
+    Total order of bins by represented value: negatives (bin DESC),
+    zero, positives (bin ASC) -> the inclusive running sum IS "count of
+    values <= this bin's upper edge". ``gamma`` rides along so consumers
+    can decode bin indices without trusting the caller's alpha."""
+    keys = list(keys)
+    kq = ", ".join(f"`{k}`" for k in keys)
+    part_by = f"PARTITION BY {kq}" if keys else ""
+    ord_expr = "sign, coalesce(CASE WHEN sign = -1 THEN -bin ELSE bin END, 0)"
+    kq_pre = f"{kq}, " if keys else ""
+    return (
+        f"SELECT {kq_pre}sign, bin,\n"
+        f"  SUM(cnt) OVER ({part_by} ORDER BY {ord_expr}"
+        f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le,\n"
+        f"  SUM(cnt) OVER ({part_by}) AS total,"
+        f" {gamma!r}D AS gamma FROM {from_clause}"
+    )
+
+
 def percentile_bins(
     df: DataFrame,
     value: str,
@@ -866,9 +904,11 @@ def percentile_bins(
     weight: Optional[str] = None,
 ) -> DataFrame:
     """Calibration half of :func:`percentile_rank`: the per-group
-    cumulative bin table ``(keys..., sign, bin, le, total)`` where
-    ``le`` = count of values <= the bin's upper edge and ``total`` the
-    group's finite count. ONE partially-aggregated pass
+    cumulative bin table ``(keys..., sign, bin, le, total, gamma)``
+    where ``le`` = count of values <= the bin's upper edge, ``total``
+    the group's finite count, and ``gamma`` the bin base (so consumers
+    decode bin indices with the table's OWN base — see
+    :func:`quantile_normalize`). ONE partially-aggregated pass
     (:func:`binned_counts` — the shuffle carries |groups| x |bins| rows,
     never the input) plus a window cumsum over that TINY table.
 
@@ -879,20 +919,11 @@ def percentile_bins(
     bins + lookup on the same frame.
     """
     keys = list(keys)
-    kq = ", ".join(f"`{k}`" for k in keys)
-    part_by = f"PARTITION BY {kq}" if keys else ""
+    _check_pct_keys(keys)
     binned = _binned_sql(keys, value, alpha, weight, "{df}")
-    # total order of bins by represented value: negatives (bin DESC),
-    # zero, positives (bin ASC) -> inclusive running sum IS "count of
-    # values <= this bin's upper edge"
-    ord_expr = "sign, coalesce(CASE WHEN sign = -1 THEN -bin ELSE bin END, 0)"
-    kq_pre = f"{kq}, " if keys else ""
     sql = (
         f"WITH binned AS ({binned})\n"
-        f"SELECT {kq_pre}sign, bin,\n"
-        f"  SUM(cnt) OVER ({part_by} ORDER BY {ord_expr}"
-        f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le,\n"
-        f"  SUM(cnt) OVER ({part_by}) AS total FROM binned"
+        + _cum_bins_sql(keys, gamma_of(alpha), "binned")
     )
     return df.sparkSession.sql(sql, df=df)
 
@@ -1019,14 +1050,20 @@ def quantile_normalize(
     weight applies).
 
     ``ref_bins`` is an UNGROUPED :func:`percentile_bins` table (columns
-    sign, bin, le, total) — build it once on the reference corpus;
-    ``None`` uses the whole input as its own reference (each group
-    normalized onto the global distribution).
+    sign, bin, le, total, gamma) — build it once on the reference
+    corpus; ``None`` uses the whole input as its own reference (each
+    group normalized onto the global distribution, derived from the
+    SAME binned aggregate as the source side — no second input pass).
+    Reference bin indices are decoded with the table's OWN ``gamma``
+    column, so a reference built at a different ``alpha`` still maps to
+    correct values (fractions are alpha-independent; only the
+    granularity differs).
 
-    The 100 TB shape — every step is structure-sized except two map-only
-    passes over ``df``:
+    The 100 TB shape — every step is structure-sized except the one
+    binned aggregation pass and the map-only probe side:
 
-    1. source bins: one partially-aggregated pass (groups x bins rows).
+    1. source bins: one partially-aggregated pass (groups x bins rows);
+       the self-reference table re-aggregates those same partials.
     2. CDF inversion WITHOUT a range join: source rows (carrying
        fraction q = le/total) and reference rows (carrying fraction f
        and the bin's representative value) are unioned and sorted by
@@ -1046,20 +1083,38 @@ def quantile_normalize(
     count ratios + the same POWER(gamma, bin) representative both
     engines already agree on for histograms).
     """
-    src = percentile_bins(df, value, keys, alpha, weight)
-    if ref_bins is None:
-        ref_bins = percentile_bins(df, value, (), alpha, weight)
-    extra = [c for c in ref_bins.columns if c not in ("sign", "bin", "le", "total")]
-    if extra:
-        raise ValueError(
-            f"ref_bins must be an UNGROUPED percentile_bins table; found "
-            f"extra columns {extra} (normalize onto ONE reference "
-            "distribution; pass keys=() when building it)"
-        )
     keys = list(keys)
+    _check_pct_keys(keys)
+    spark = df.sparkSession
     gamma = gamma_of(alpha)
-    mult = repr(1.0 + (1.0 - 2.0 / (1.0 + gamma))) + "D"
-    g = repr(gamma) + "D"
+    if ref_bins is None:
+        binned = spark.sql(
+            _binned_sql(keys, value, alpha, weight, "{df}"), df=df
+        )
+        src = spark.sql(_cum_bins_sql(keys, gamma, "{b}"), b=binned)
+        if keys:
+            # global reference from the SAME structure-sized partials —
+            # the shared aggregate subplan is deduplicated by Catalyst's
+            # ReuseExchange, so the input is still scanned once
+            refagg = binned.groupBy("sign", "bin").agg(
+                F.sum("cnt").alias("cnt")
+            )
+            ref_bins = spark.sql(
+                _cum_bins_sql((), gamma, "{b}"), b=refagg
+            )
+        else:
+            ref_bins = src
+    else:
+        src = percentile_bins(df, value, keys, alpha, weight)
+        need = {"sign", "bin", "le", "total", "gamma"}
+        cols = set(ref_bins.columns)
+        if cols != need:
+            raise ValueError(
+                f"ref_bins must be an UNGROUPED percentile_bins table with"
+                f" columns {sorted(need)}; got {sorted(cols)} (normalize"
+                " onto ONE reference distribution: pass keys=() when"
+                " building it, and rebuild pre-gamma tables)"
+            )
     kq = ", ".join(f"`{k}`" for k in keys)
     kq_pre = f"{kq}, " if keys else ""
     # ref-side key placeholders must carry the SOURCE key types: a
@@ -1069,9 +1124,14 @@ def quantile_normalize(
     k_nulls = "".join(
         f"CAST(NULL AS {src_types[k]}) AS `{k}`, " for k in keys
     )
+    # representative value decoded from the reference table's OWN gamma
+    # (same arithmetic shape in the DuckDB mirrors: IEEE ops on the same
+    # doubles fold to the same constants)
+    mult = "(1.0D + (1.0D - 2.0D / (1.0D + gamma)))"
     rep = (
-        f"CASE WHEN sign = 1 THEN POWER({g}, CAST(bin AS DOUBLE)) * {mult}"
-        f" WHEN sign = -1 THEN -POWER({g}, CAST(bin AS DOUBLE)) * {mult}"
+        f"CASE WHEN sign = 1 THEN POWER(gamma, CAST(bin AS DOUBLE)) * {mult}"
+        f" WHEN sign = -1"
+        f" THEN -POWER(gamma, CAST(bin AS DOUBLE)) * {mult}"
         f" ELSE 0.0D END"
     )
     sql = (
@@ -1087,7 +1147,7 @@ def quantile_normalize(
         f" FROM u)\n"
         f"SELECT {kq_pre}sign, bin, qv FROM m WHERE tag = 0"
     )
-    mapping = df.sparkSession.sql(sql, src=src, ref=ref_bins)
+    mapping = spark.sql(sql, src=src, ref=ref_bins)
     return _bin_probe_join(
         df, mapping, value, keys, alpha, "c.qv", out_col, broadcast
     )

@@ -4548,9 +4548,15 @@ def q91(spark, sf_dir):
         F.col("value").isNotNull()
         & F.col("value").between(-1.7976931348623157e308, 1.7976931348623157e308)
     ).groupBy("event_type").agg(F.count("*").alias("n"))
-    out = ranked.where(F.col("event_id") % 101 == 0).join(
-        F.broadcast(totals), ["event_type"], "left"
-    )
+    probes = ranked.where(F.col("event_id") % 101 == 0)
+    # null-safe totals join: the oracle's IS NOT DISTINCT FROM gives the
+    # NULL-type group its count too; a plain equality join would yield
+    # n=NULL for those rows and hash-mismatch one NULL event_type away
+    out = probes.join(
+        F.broadcast(totals.withColumnRenamed("event_type", "__et")),
+        probes["event_type"].eqNullSafe(F.col("__et")),
+        "left",
+    ).drop("__et")
     return out.select(
         F.col("event_id").cast("long").alias("event_id"),
         "event_type",
@@ -4671,9 +4677,13 @@ def q92(spark, sf_dir):
             -1.7976931348623157e308, 1.7976931348623157e308
         )
     ).groupBy("event_type").agg(F.count("*").alias("n"))
-    out = out.where(F.col("event_id") % 101 == 0).join(
-        F.broadcast(totals), ["event_type"], "left"
-    )
+    probes = out.where(F.col("event_id") % 101 == 0)
+    # null-safe totals join — same reasoning as q91
+    out = probes.join(
+        F.broadcast(totals.withColumnRenamed("event_type", "__et")),
+        probes["event_type"].eqNullSafe(F.col("__et")),
+        "left",
+    ).drop("__et")
     return out.select(
         F.col("event_id").cast("long").alias("event_id"),
         "event_type",

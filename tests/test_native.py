@@ -658,3 +658,33 @@ def test_quantile_normalize_matches_reference(spark):
     grouped_bins = native.percentile_bins(df, "v", ["grp"], alpha=0.02)
     with pytest.raises(ValueError, match="UNGROUPED"):
         native.quantile_normalize(df, "v", ["grp"], ref_bins=grouped_bins)
+
+
+def test_quantile_normalize_mixed_alpha_reference(spark):
+    """A reference built at a DIFFERENT alpha must still decode correct
+    values: bin indices are decoded with the ref table's own gamma
+    column, not the call's alpha (fractions are alpha-independent)."""
+    import math as _m
+
+    ref_vals = [10.0, 100.0, 1000.0]
+    ref_df = spark.createDataFrame([(v,) for v in ref_vals], "v double")
+    rb = native.percentile_bins(ref_df, "v", alpha=0.001)  # fine bins
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0)], "i int, v double"
+    )
+    got = {
+        r.i: r.qn
+        for r in native.quantile_normalize(
+            df, "v", ref_bins=rb, alpha=0.01, out_col="qn"
+        ).collect()
+    }
+    g_ref = native.gamma_of(0.001)
+    mult = 1.0 + (1.0 - 2.0 / (1.0 + g_ref))
+
+    def rep(x):
+        return g_ref ** float(_m.ceil(_m.log(x) / _m.log(g_ref))) * mult
+
+    # i=0 -> q=1/3 -> first ref bin (10); i=1 -> 2/3 -> 100; i=2 -> 1000
+    assert got[0] == pytest.approx(rep(10.0), rel=1e-9)
+    assert got[1] == pytest.approx(rep(100.0), rel=1e-9)
+    assert got[2] == pytest.approx(rep(1000.0), rel=1e-9)
