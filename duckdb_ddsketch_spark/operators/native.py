@@ -867,7 +867,9 @@ _PCT_RESERVED = frozenset(
 
 
 def _check_pct_keys(keys: Sequence[str]) -> None:
-    bad = sorted(set(keys) & _PCT_RESERVED)
+    # case-insensitive: Spark resolves columns case-insensitively by
+    # default, so 'Total' collides with the generated `total` alias too
+    bad = sorted(k for k in set(keys) if k.lower() in _PCT_RESERVED)
     if bad:
         raise ValueError(
             f"key column(s) {bad} collide with the percentile machinery's"
@@ -943,14 +945,31 @@ def percentile_lookup(
     ``df``, so it composes with Structured Streaming as a stream-static
     join (score a live stream against yesterday's calibration).
 
-    ``alpha`` must match the value the bins were built with (it fixes
-    the bin width); values whose bin is absent from the table rank NULL
-    (for same-frame use every finite row's bin is present by
-    construction).
+    Probe values are binned with the TABLE's own ``gamma`` column (one
+    bounded peek), so a calibration built at a different accuracy than
+    the scoring call still matches; ``alpha`` is only the fallback for
+    tables without the column. Values whose bin is absent from the
+    table rank NULL (for same-frame use every finite row's bin is
+    present by construction).
     """
     return _bin_probe_join(
-        df, bins, value, keys, alpha, "c.le / c.total", out_col, broadcast
+        df, bins, value, keys, _bins_gamma(bins, alpha),
+        "c.le / c.total", out_col, broadcast,
     )
+
+
+def _bins_gamma(bins: DataFrame, alpha: float) -> float:
+    """The bin base to probe a calibration table with: the table's OWN
+    ``gamma`` column when it has one (so a table calibrated at a
+    different accuracy than the scoring call still matches instead of
+    ranking everything NULL), else ``gamma_of(alpha)``. The peek is one
+    bounded action over a structure-sized table; an empty table falls
+    back to the call's alpha (every rank is NULL either way)."""
+    if "gamma" in bins.columns:
+        row = bins.select("gamma").first()
+        if row is not None and row[0] is not None:
+            return float(row[0])
+    return gamma_of(alpha)
 
 
 def _bin_probe_join(
@@ -958,7 +977,7 @@ def _bin_probe_join(
     bins: DataFrame,
     value: str,
     keys: Sequence[str],
-    alpha: float,
+    gamma: float,
     out_expr: str,
     out_col: str,
     broadcast: bool,
@@ -972,7 +991,6 @@ def _bin_probe_join(
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists in the frame")
     keys = list(keys)
-    gamma = gamma_of(alpha)
     lg = repr(math.log(gamma)) + "D"
     v = f"d.`{value}`"
     finite = (
@@ -1149,5 +1167,5 @@ def quantile_normalize(
     )
     mapping = spark.sql(sql, src=src, ref=ref_bins)
     return _bin_probe_join(
-        df, mapping, value, keys, alpha, "c.qv", out_col, broadcast
+        df, mapping, value, keys, gamma, "c.qv", out_col, broadcast
     )

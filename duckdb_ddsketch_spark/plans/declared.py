@@ -4474,6 +4474,18 @@ def q90(spark, sf_dir):
     )
 
 
+def _nullsafe_totals_join(probes, totals):
+    """Broadcast totals onto probe rows with the oracle's IS NOT DISTINCT
+    FROM semantics: a NULL event_type group gets its count too (a plain
+    equality join would yield n=NULL for those rows and hash-mismatch
+    one NULL event_type away)."""
+    return probes.join(
+        F.broadcast(totals.withColumnRenamed("event_type", "__et")),
+        probes["event_type"].eqNullSafe(F.col("__et")),
+        "left",
+    ).drop("__et")
+
+
 def _q91_oracle() -> str:
     lg = repr(_C01["log_gamma"])
     return f"""
@@ -4548,15 +4560,9 @@ def q91(spark, sf_dir):
         F.col("value").isNotNull()
         & F.col("value").between(-1.7976931348623157e308, 1.7976931348623157e308)
     ).groupBy("event_type").agg(F.count("*").alias("n"))
-    probes = ranked.where(F.col("event_id") % 101 == 0)
-    # null-safe totals join: the oracle's IS NOT DISTINCT FROM gives the
-    # NULL-type group its count too; a plain equality join would yield
-    # n=NULL for those rows and hash-mismatch one NULL event_type away
-    out = probes.join(
-        F.broadcast(totals.withColumnRenamed("event_type", "__et")),
-        probes["event_type"].eqNullSafe(F.col("__et")),
-        "left",
-    ).drop("__et")
+    out = _nullsafe_totals_join(
+        ranked.where(F.col("event_id") % 101 == 0), totals
+    )
     return out.select(
         F.col("event_id").cast("long").alias("event_id"),
         "event_type",
@@ -4677,13 +4683,9 @@ def q92(spark, sf_dir):
             -1.7976931348623157e308, 1.7976931348623157e308
         )
     ).groupBy("event_type").agg(F.count("*").alias("n"))
-    probes = out.where(F.col("event_id") % 101 == 0)
-    # null-safe totals join — same reasoning as q91
-    out = probes.join(
-        F.broadcast(totals.withColumnRenamed("event_type", "__et")),
-        probes["event_type"].eqNullSafe(F.col("__et")),
-        "left",
-    ).drop("__et")
+    out = _nullsafe_totals_join(
+        out.where(F.col("event_id") % 101 == 0), totals
+    )
     return out.select(
         F.col("event_id").cast("long").alias("event_id"),
         "event_type",

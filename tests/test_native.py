@@ -741,3 +741,42 @@ def test_percentile_machinery_property_sweep(spark):
             ranks = [p for _, p in pairs]
             assert ranks == sorted(ranks), (trial, g, "monotonicity")
             assert ranks[-1] == 1.0, (trial, g, "max must rank 1.0")
+
+        # self-reference quantile_normalize (ungrouped): every POSITIVE
+        # value maps to its own bin's representative
+        mult = 1.0 + (1.0 - 2.0 / (1.0 + gamma))
+        qn = {
+            r.i: r.qn
+            for r in native.quantile_normalize(
+                df, "v", out_col="qn"
+            ).collect()
+        }
+        flat = [v for vs in vals.values() for v in vs]
+        for g, i, v in rows:
+            if v is not None and v > 0 and v >= max(
+                x for x in flat if x is not None
+            ):
+                b = _m.ceil(_m.log(v) / _m.log(gamma))
+                assert qn[i] == pytest.approx(
+                    gamma ** float(b) * mult, rel=1e-12
+                ), (trial, i, v)
+            if v is None:
+                assert qn[i] is None
+
+
+def test_percentile_lookup_uses_table_gamma(spark):
+    """A calibration built at a different alpha than the scoring call
+    must still match: probe bins derive from the table's own gamma
+    column (previously every rank silently came back NULL)."""
+    calib = spark.createDataFrame(
+        [(float(v),) for v in (1.0, 2.0, 4.0, 8.0)], "v double"
+    )
+    bins = native.percentile_bins(calib, "v", alpha=0.001)
+    df = spark.createDataFrame([(0, 2.0), (1, 8.0)], "i int, v double")
+    got = {
+        r.i: r.pr
+        for r in native.percentile_lookup(
+            df, bins, "v", alpha=0.05, out_col="pr"
+        ).collect()
+    }
+    assert got[0] == 0.5 and got[1] == 1.0
