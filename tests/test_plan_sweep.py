@@ -167,3 +167,38 @@ def test_zorder_layout_prunes_scan(spark, sf_dir, tmp_path):
     # the z-layout excludes at least half the files for a ~10%-selectivity
     # band on the second column
     assert z_match <= z_total // 2, (z_match, z_total)
+
+
+# Deliberate decimal arithmetic — each is an EXACTNESS choice on
+# structure-sized or gate-critical data, not an accident:
+#   q39: post-aggregation `max_lag_us / 1000000.0` — decimal gives the
+#        exact rational quotient with ONE rounding to REAL (a double
+#        division would double-round); one value per group, zero scale
+#        cost.
+#   q72: HLL fixed-point `sum(shiftleft(1, 61 - rho))` — 2^61 x 256
+#        registers overflows BIGINT; decimal(20,0) sums exactly over a
+#        256-row-per-group table.
+#   q81: TPC-H Q5 revenue in decimal(15,2)/(4,2) — the order-independent
+#        exact sum both engines reproduce bit-for-bit (a double sum is
+#        summation-order-dependent and would flap the hash gate). This
+#        one IS per-row over lineitem; the cost is the price of the
+#        cross-engine-exact gate and is confined to this coverage query.
+ALLOWED_DECIMAL = {
+    "q39_asof_join_click_error",
+    "q72_hll_audience_overlap",
+    "q81_tpch_q5_local_supplier_volume",
+}
+
+
+def test_no_accidental_decimal_arithmetic(plans):
+    """Bare fractional literals in Spark SQL strings type as DECIMAL and
+    push whole expressions into BigDecimal arithmetic — a ~30x
+    de-vectorization that cost the wide k-means generator 48 s/pass
+    before round 7's `64.0D` fix (SCALING.md, global levers). Any NEW
+    decimal in an optimized plan must either add the `D` suffix or
+    justify an ALLOWED_DECIMAL entry."""
+    hits = {n for n, p in plans.items() if "decimal(" in p}
+    assert hits <= ALLOWED_DECIMAL, (
+        f"decimal arithmetic crept into: {sorted(hits - ALLOWED_DECIMAL)}"
+        " — bare fractional literal in a SQL string? (use 64.0D)"
+    )
