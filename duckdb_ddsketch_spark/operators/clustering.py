@@ -56,7 +56,7 @@ _SCALE = 1048576.0
 # interpreted evaluation as the generated distance method outgrows the
 # JIT-friendly size — wall jumps 7-15x, exactly the regression the
 # expansion exists to avoid. Above the budget, "auto" routes through the
-# Arrow+numpy BLAS mapInPandas shape (distance matrix per batch; map-only,
+# Arrow+numpy BLAS mapInArrow shape (distance matrix per batch; map-only,
 # the corpus never shuffles), which is flat in k*dims until real FLOPs
 # dominate (64x256 at 2M rows: 22 s). The bit-identical-at-any-width
 # escape hatch is method="fold" (same left-to-right summation as the
@@ -144,12 +144,19 @@ def _assign_expr(
 def _rb_vec_matrix(col, nd):
     """Arrow list column -> (float64 matrix, valid-row mask) for the BLAS
     kernels. The fast path reinterprets the list values buffer ZERO-COPY
-    (dense, uniform-width, no nulls — what the upstream width/NULL
-    filters guarantee) and only then widens to float64; the fallback
-    materializes rows and masks NULL/ragged ones so a stray malformed
-    row degrades instead of desyncing the batch. Returns (None, mask)
-    when the batch holds no usable row; mask is None when every row is
-    valid (the fast path)."""
+    (uniform-width verified via offsets, no nulls — what the upstream
+    width/NULL filters guarantee) and only then widens to float64; the
+    fallback materializes rows and masks NULL-row/ragged ones so a
+    stray malformed row degrades instead of desyncing the batch.
+
+    An INTERIOR null element becomes NaN and its row is KEPT — exactly
+    what the Arrow->pandas conversion fed the previous pandas kernels:
+    a NaN row's distances are all NaN, argmin returns index 0 (the
+    smallest cid, matching the SQL paths' NULL-distance tie-break), and
+    ``_quantize_i64``'s CAST semantics count it with 0 contribution —
+    so the blas route stays update-identical to expand/fold on such
+    rows. Returns (None, mask) when the batch holds no usable row; mask
+    is None when every row is valid (the fast path)."""
     import numpy as np
 
     n = len(col)
@@ -158,26 +165,28 @@ def _rb_vec_matrix(col, nd):
     if col.null_count == 0:
         flat = col.flatten()
         if flat.null_count == 0 and len(flat) == n * nd:
-            X = (
-                flat.to_numpy(zero_copy_only=False)
-                .reshape(n, nd)
-                .astype(np.float64, copy=False)
-            )
-            return X, None
+            # per-row width check: two ragged rows whose lengths merely
+            # SUM to n*nd would otherwise reshape across row boundaries
+            offs = np.asarray(col.offsets)
+            if (offs[1:] - offs[:-1] == nd).all():
+                X = (
+                    flat.to_numpy(zero_copy_only=False)
+                    .reshape(n, nd)
+                    .astype(np.float64, copy=False)
+                )
+                return X, None
     rows = col.to_pylist()
     ok = np.array(
-        [
-            r is not None
-            and len(r) == nd
-            and all(x is not None for x in r)
-            for r in rows
-        ],
-        dtype=bool,
+        [r is not None and len(r) == nd for r in rows], dtype=bool
     )
     if not ok.any():
         return None, ok
-    X = np.asarray(
-        [rows[i] for i in np.flatnonzero(ok)], dtype=np.float64
+    X = np.array(
+        [
+            [np.nan if x is None else x for x in rows[i]]
+            for i in np.flatnonzero(ok)
+        ],
+        dtype=np.float64,
     )
     return X, ok
 

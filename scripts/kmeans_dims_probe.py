@@ -6,7 +6,7 @@ subexpressions; at realistic widths (k=64 x dims>=256) it would blow
 Janino's 64KB generated-method limit and fall back to interpreted eval
 (the measured 14 -> 267 s cliff shape). `_choose_method` now routes
 assignment above `_EXPAND_TERM_BUDGET` through the Arrow+numpy BLAS
-mapInPandas shape. This probe runs the SAME workload (k=64, 2 Lloyd
+mapInArrow shape. This probe runs the SAME workload (k=64, 2 Lloyd
 iterations + final assignment count) at dims=4 vs dims=256/768 and
 reports wall time: PASS = wide dims scale ~linearly in per-element work
 (no superlinear / interpreted cliff).

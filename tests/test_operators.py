@@ -2190,3 +2190,54 @@ def test_ivf_topk_blas_degenerate_inputs(spark):
     got2 = similarity.ivf_topk_blas(df, q_mixed, k=2, nprobe=2).collect()
     qids = {r.query_id for r in got2}
     assert 501 not in qids and {500, 502} <= qids
+
+
+def test_kmeans_blas_degraded_batches_match_expand(spark):
+    """The Arrow BLAS kernels' degraded paths: an interior-NULL element
+    becomes NaN and stays update-identical to the SQL expand route
+    (argmin -> smallest cid, quantize -> 0 contribution); NULL-row and
+    ragged rows assign NULL; ragged rows whose lengths sum to a clean
+    multiple must not reshape across row boundaries."""
+    from duckdb_ddsketch_spark.operators import clustering
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [1.0, None]),       # interior NULL -> NaN row, kept
+        (3, [9.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = clustering.kmeans_centroids(
+        df, "embedding", "vec_id", k=2, iters=1, method="expand"
+    )
+    cents_b = clustering.kmeans_centroids(
+        df, "embedding", "vec_id", k=2, iters=1, method="blas"
+    )
+    assert cents == cents_b  # bit-identical update incl. the NaN row
+    a = {
+        r.vec_id: r.cluster_id
+        for r in clustering.kmeans_assign(
+            df, cents, "embedding", method="expand"
+        ).collect()
+    }
+    b = {
+        r.vec_id: r.cluster_id
+        for r in clustering.kmeans_assign(
+            df, cents, "embedding", method="blas"
+        ).collect()
+    }
+    assert a == b and a[2] == 0  # NaN distances -> smallest cid, both routes
+
+    # ragged rows: lengths 1 + 3 sum to 2*2 — the offsets check must
+    # stop the zero-copy reshape from silently crossing row boundaries
+    ragged = spark.createDataFrame(
+        [(0, [5.0]), (1, [0.1, 0.2, 9.9, 9.8])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    got = {
+        r.vec_id: r.cluster_id
+        for r in clustering._assign_blas(
+            ragged, cents, "embedding"
+        ).collect()
+    }
+    assert got == {0: None, 1: None}  # masked, not desynced
