@@ -36,6 +36,7 @@ from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .clustering import _rb_vec_matrix
 from .similarity import _dbl, _resolve_dims
 
 __all__ = [
@@ -61,23 +62,24 @@ def _width_of(df: DataFrame, vec_col: str, dims: Optional[int]) -> int:
 
 def _gram_partials_fn(vec_col: str, width: int, integer: bool):
     """The per-partition Gram collapse shared by the batch operator and
-    the streaming tracker: returns (pandas-iterator fn, output schema).
-    Each Arrow batch becomes ONE d x d partial (a single numpy matmul);
-    NULL / wrong-width / non-finite rows are skipped."""
+    the streaming tracker: returns (arrow-iterator fn, output schema)
+    for ``mapInArrow``. Each Arrow batch becomes ONE d x d partial (a
+    single numpy matmul) read via the zero-copy list-buffer reshape
+    (:func:`~.clustering._rb_vec_matrix` — interior NULLs surface as
+    NaN, exactly what the pandas conversion produced); NULL /
+    wrong-width / non-finite rows are skipped."""
     out_type = "long" if integer else "double"
     schema = f"i int, j int, g {out_type}"
 
     def part(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         acc = None
-        for pdf in batches:
-            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == width)
-            vecs = pdf[vec_col][ok]
-            if not len(vecs):
+        for rb in batches:
+            mat, _ = _rb_vec_matrix(rb.column(0), width)
+            if mat is None:
                 continue
-            mat = np.array(list(vecs), dtype=np.float64)
             # one NaN/inf component would poison every G[i][j] through the
             # accumulated matmul (and np.rint(NaN).astype(int64) is
             # undefined in integer mode) — drop those rows like
@@ -99,7 +101,14 @@ def _gram_partials_fn(vec_col: str, width: int, integer: bool):
         if acc is None:
             return
         ii, jj = np.indices(acc.shape)
-        yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "g": acc.ravel()})
+        pa_type = pa.int64() if integer else pa.float64()
+        yield pa.RecordBatch.from_pydict(
+            {
+                "i": pa.array(ii.ravel(), pa.int32()),
+                "j": pa.array(jj.ravel(), pa.int32()),
+                "g": pa.array(acc.ravel(), pa_type),
+            }
+        )
 
     return part, schema
 
@@ -128,7 +137,7 @@ def gram_matrix(
     width = _width_of(df, vec_col, dims)
     part, schema = _gram_partials_fn(vec_col, width, integer)
     out_type = "long" if integer else "double"
-    partials = df.select(vec_col).mapInPandas(part, schema=schema)
+    partials = df.select(vec_col).mapInArrow(part, schema=schema)
     return partials.groupBy("i", "j").agg(
         F.sum("g").cast(out_type).alias("g")
     )

@@ -514,7 +514,7 @@ def streaming_gram(
     count via ``augment=True``'s homogeneous coordinate) continuously and
     derive mean/covariance/spectrum in the sink whenever wanted.
 
-    Scale shape: the stateless ``mapInPandas`` collapse from the batch
+    Scale shape: the stateless ``mapInArrow`` collapse from the batch
     operator (one numpy matmul per Arrow batch → one d x d partial) runs
     per micro-batch, and the global ``groupBy(i, j).sum`` keeps EXACTLY
     d^2 state cells regardless of stream volume — bounded state without a
@@ -555,7 +555,7 @@ def streaming_gram(
         dims = dims + 1
     part, schema = _gram_partials_fn(vec_col, dims, integer)
     out_type = "long" if integer else "double"
-    partials = stream.select(vec_col).mapInPandas(part, schema=schema)
+    partials = stream.select(vec_col).mapInArrow(part, schema=schema)
     return partials.groupBy("i", "j").agg(
         F.sum("g").cast(out_type).alias("g")
     )
