@@ -34,6 +34,8 @@ from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .similarity import _rb_vec_matrix
+
 __all__ = ["kmeans_centroids", "kmeans_assign", "kmeans_summary"]
 
 # 2^20 fixed-point scale: float32 inputs in [-1, 1] keep ~6 fractional
@@ -139,56 +141,6 @@ def _assign_expr(
         for cid, cvals in centroids
     )
     return f"array_min(array({entries})).cid"
-
-
-def _rb_vec_matrix(col, nd):
-    """Arrow list column -> (float64 matrix, valid-row mask) for the BLAS
-    kernels. The fast path reinterprets the list values buffer ZERO-COPY
-    (uniform-width verified via offsets, no nulls — what the upstream
-    width/NULL filters guarantee) and only then widens to float64; the
-    fallback materializes rows and masks NULL-row/ragged ones so a
-    stray malformed row degrades instead of desyncing the batch.
-
-    An INTERIOR null element becomes NaN and its row is KEPT — exactly
-    what the Arrow->pandas conversion fed the previous pandas kernels:
-    a NaN row's distances are all NaN, argmin returns index 0 (the
-    smallest cid, matching the SQL paths' NULL-distance tie-break), and
-    ``_quantize_i64``'s CAST semantics count it with 0 contribution —
-    so the blas route stays update-identical to expand/fold on such
-    rows. Returns (None, mask) when the batch holds no usable row; mask
-    is None when every row is valid (the fast path)."""
-    import numpy as np
-
-    n = len(col)
-    if n == 0:
-        return None, None
-    if col.null_count == 0:
-        flat = col.flatten()
-        if flat.null_count == 0 and len(flat) == n * nd:
-            # per-row width check: two ragged rows whose lengths merely
-            # SUM to n*nd would otherwise reshape across row boundaries
-            offs = np.asarray(col.offsets)
-            if (offs[1:] - offs[:-1] == nd).all():
-                X = (
-                    flat.to_numpy(zero_copy_only=False)
-                    .reshape(n, nd)
-                    .astype(np.float64, copy=False)
-                )
-                return X, None
-    rows = col.to_pylist()
-    ok = np.array(
-        [r is not None and len(r) == nd for r in rows], dtype=bool
-    )
-    if not ok.any():
-        return None, ok
-    X = np.array(
-        [
-            [np.nan if x is None else x for x in rows[i]]
-            for i in np.flatnonzero(ok)
-        ],
-        dtype=np.float64,
-    )
-    return X, ok
 
 
 def _assign_blas(

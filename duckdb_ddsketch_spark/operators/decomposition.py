@@ -36,8 +36,7 @@ from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .clustering import _rb_vec_matrix
-from .similarity import _dbl, _resolve_dims
+from .similarity import _dbl, _rb_vec_matrix, _resolve_dims
 
 __all__ = [
     "gram_matrix",

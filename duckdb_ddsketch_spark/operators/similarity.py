@@ -44,6 +44,75 @@ __all__ = [
 ]
 
 
+def _i64_ids(col):
+    """Arrow id column -> (int64 vector, valid mask or None). Integral
+    ids convert zero-copy; a NULL id yields a mask (the row is dropped —
+    through pandas it surfaced as NaN and raised; silently casting NaN
+    to int64 is undefined). Non-integral id types raise, as documented
+    on every BLAS route."""
+    import numpy as np
+
+    if col.null_count == 0:
+        return (
+            col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False),
+            None,
+        )
+    vals = col.to_pylist()
+    ok = np.array([v is not None for v in vals], dtype=bool)
+    ids = np.array([0 if v is None else v for v in vals], dtype=np.int64)
+    return ids, ok
+
+
+def _rb_vec_matrix(col, nd):
+    """Arrow list column -> (float64 matrix, valid-row mask) for the BLAS
+    kernels. The fast path reinterprets the list values buffer ZERO-COPY
+    (uniform-width verified via offsets, no nulls — what the upstream
+    width/NULL filters guarantee) and only then widens to float64; the
+    fallback materializes rows and masks NULL-row/ragged ones so a
+    stray malformed row degrades instead of desyncing the batch.
+
+    An INTERIOR null element becomes NaN and its row is KEPT — exactly
+    what the Arrow->pandas conversion fed the previous pandas kernels:
+    a NaN row's distances are all NaN, argmin returns index 0 (the
+    smallest cid, matching the SQL paths' NULL-distance tie-break), and
+    ``_quantize_i64``'s CAST semantics count it with 0 contribution —
+    so the blas route stays update-identical to expand/fold on such
+    rows. Returns (None, mask) when the batch holds no usable row; mask
+    is None when every row is valid (the fast path)."""
+    import numpy as np
+
+    n = len(col)
+    if n == 0:
+        return None, None
+    if col.null_count == 0:
+        flat = col.flatten()
+        if flat.null_count == 0 and len(flat) == n * nd:
+            # per-row width check: two ragged rows whose lengths merely
+            # SUM to n*nd would otherwise reshape across row boundaries
+            offs = np.asarray(col.offsets)
+            if (offs[1:] - offs[:-1] == nd).all():
+                X = (
+                    flat.to_numpy(zero_copy_only=False)
+                    .reshape(n, nd)
+                    .astype(np.float64, copy=False)
+                )
+                return X, None
+    rows = col.to_pylist()
+    ok = np.array(
+        [r is not None and len(r) == nd for r in rows], dtype=bool
+    )
+    if not ok.any():
+        return None, ok
+    X = np.array(
+        [
+            [np.nan if x is None else x for x in rows[i]]
+            for i in np.flatnonzero(ok)
+        ],
+        dtype=np.float64,
+    )
+    return X, ok
+
+
 def _dbl(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
@@ -407,20 +476,32 @@ def brute_force_topk_blas(
     width = q_mat.shape[1] if q_mat.ndim == 2 else 0
 
     def score(batches):
-        for pdf in batches:
-            # drop NULL / wrong-width corpus rows BEFORE stacking: a
+        import pyarrow as pa
+
+        for rb in batches:
+            # drop NULL / wrong-width corpus rows BEFORE the reshape: a
             # single malformed embedding otherwise makes the batch array
             # ragged and fails np.linalg.norm — one bad row must never
             # fail a 100 TB job (mirrors the Catalyst paths, where such
-            # rows produce NULL cos and fall out of top-k)
-            ok = pdf[vec_col].map(
-                lambda v: v is not None and len(v) == width
-            )
-            pdf = pdf[ok]
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if mat.size == 0:
+            # rows produce NULL cos and fall out of top-k). Zero-copy
+            # list-buffer reshape on the clean fast path; interior-NULL
+            # elements surface as NaN (scored -inf below), exactly what
+            # the pandas conversion fed the previous kernel.
+            mat, ok = _rb_vec_matrix(rb.column(1), width)
+            if mat is None:
                 continue
+            ids, ok_id = _i64_ids(rb.column(0))
+            if ok is not None:
+                ids = ids[ok]
+                if ok_id is not None:
+                    ok_id = ok_id[ok]
+            if ok_id is not None:
+                # NULL ids: drop the row (a NULL id would otherwise
+                # surface as NaN -> undefined int64)
+                mat = mat[ok_id]
+                ids = ids[ok_id]
+                if not len(mat):
+                    continue
             norms = np.linalg.norm(mat, axis=1)
             denom = np.outer(norms, q_norm)  # (batch, nq)
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -439,15 +520,15 @@ def brute_force_topk_blas(
             qi, ri = _local_topk_batch(
                 ids, q_ids, cos, take, require_finite=True
             )
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {
-                    "query_id": q_ids[qi],
-                    "neighbor_id": ids[ri],
-                    "cos": cos[ri, qi],
+                    "query_id": pa.array(q_ids[qi], pa.int64()),
+                    "neighbor_id": pa.array(ids[ri], pa.int64()),
+                    "cos": pa.array(cos[ri, qi], pa.float64()),
                 }
             )
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    scored = corpus.select(id_col, vec_col).mapInArrow(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -1239,30 +1320,49 @@ def quantized_topk_blas(
     width = q_mat.shape[1] if q_mat.ndim == 2 else 0
 
     def score(batches):
-        for pdf in batches:
-            ok = pdf[codes_col].map(
-                lambda v: v is not None and len(v) == width
-            )
-            pdf = pdf[ok]
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf[codes_col]), dtype=np.float64)
-            if mat.size == 0:
+        import pyarrow as pa
+
+        for rb in batches:
+            mat, ok = _rb_vec_matrix(rb.column(1), width)
+            if mat is None:
                 continue
+            ids, ok_id = _i64_ids(rb.column(0))
+            if ok is not None:
+                ids = ids[ok]
+                if ok_id is not None:
+                    ok_id = ok_id[ok]
+            if ok_id is not None:
+                mat = mat[ok_id]
+                ids = ids[ok_id]
+                if not len(mat):
+                    continue
+            # a code row with an interior NULL (NaN after the reshape)
+            # is malformed: drop it like the fold form, whose int_dot
+            # folds it to NULL — previously a NaN dot reached the
+            # int64 cast below with undefined astype semantics
+            finite = np.isfinite(mat).all(axis=1)
+            if not finite.all():
+                mat = mat[finite]
+                ids = ids[finite]
+                if not len(mat):
+                    continue
             dots = mat @ q_mat.T  # (batch, nq) — exact integers in f64
             take = min(k + 1, dots.shape[0])
             # integer dots: no -inf/NaN sentinel, skip the finite gather
             qi, ri = _local_topk_batch(
                 ids, q_ids, dots, take, require_finite=False
             )
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {
-                    "query_id": q_ids[qi],
-                    "neighbor_id": ids[ri],
-                    "qdot": dots[ri, qi].astype(np.int64),
+                    "query_id": pa.array(q_ids[qi], pa.int64()),
+                    "neighbor_id": pa.array(ids[ri], pa.int64()),
+                    "qdot": pa.array(
+                        dots[ri, qi].astype(np.int64), pa.int64()
+                    ),
                 }
             )
 
-    scored = corpus.select(id_col, codes_col).mapInPandas(
+    scored = corpus.select(id_col, codes_col).mapInArrow(
         score, schema="query_id long, neighbor_id long, qdot long"
     )
     w = Window.partitionBy("query_id").orderBy(
