@@ -754,7 +754,7 @@ def ivf_topk_blas(
     Shape: cell centroids come from ONE bounded Spark aggregate (cells x
     d doubles collected); queries are collected under ``max_query_rows``
     (the same driver-budget guard as the other BLAS routes); probe
-    selection runs in numpy; then a single ``mapInPandas`` pass scores
+    selection runs in numpy; then a single ``mapInArrow`` pass scores
     each partition's rows against only the queries probing their cell —
     the corpus never shuffles, and the final window sees
     |partitions| * |q| * k rows.
@@ -839,16 +839,31 @@ def ivf_topk_blas(
     out_schema = "query_id long, neighbor_id long, cos double"
 
     def score(batches):
-        for pdf in batches:
-            ok = pdf[vec_col].map(
-                lambda v: v is not None and len(v) == width
-            ) & pdf[label_col].map(lambda c: c in cell_to_q)
-            pdf = pdf[ok]
-            if not len(pdf):
+        import pyarrow as pa
+
+        for rb in batches:
+            mat, ok = _rb_vec_matrix(rb.column(1), width)
+            if mat is None:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            labels = pdf[label_col].to_numpy()
+            ids, ok_id = _i64_ids(rb.column(0))
+            labels = np.asarray(rb.column(2).to_pylist(), dtype=object)
+            if ok is not None:
+                ids = ids[ok]
+                labels = labels[ok]
+                if ok_id is not None:
+                    ok_id = ok_id[ok]
+            if ok_id is not None:
+                mat = mat[ok_id]
+                ids = ids[ok_id]
+                labels = labels[ok_id]
+            probed = np.array(
+                [c in cell_to_q for c in labels], dtype=bool
+            )
+            if not probed.any():
+                continue
+            mat = mat[probed]
+            ids = ids[probed]
+            labels = labels[probed]
             norms = np.linalg.norm(mat, axis=1)
             # the shared local-top-k kernel runs PER CELL on a dense
             # (cell rows x cell queries) submatrix — every entry is a
@@ -871,18 +886,25 @@ def ivf_topk_blas(
                     ids[ri_c], q_ids[qi_c], sub, take, require_finite=True
                 )
                 outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": q_ids[qi_c][qi],
-                            "neighbor_id": ids[ri_c][ri],
-                            "cos": sub[ri, qi],
-                        }
-                    )
+                    (q_ids[qi_c][qi], ids[ri_c][ri], sub[ri, qi])
                 )
             if outs:
-                yield pd.concat(outs, ignore_index=True)
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "query_id": pa.array(
+                            np.concatenate([o[0] for o in outs]), pa.int64()
+                        ),
+                        "neighbor_id": pa.array(
+                            np.concatenate([o[1] for o in outs]), pa.int64()
+                        ),
+                        "cos": pa.array(
+                            np.concatenate([o[2] for o in outs]),
+                            pa.float64(),
+                        ),
+                    }
+                )
 
-    scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
+    scored = corpus.select(id_col, vec_col, label_col).mapInArrow(
         score, schema=out_schema
     )
     w = Window.partitionBy("query_id").orderBy(
