@@ -1344,11 +1344,32 @@ def main() -> None:
     if FAMILIES:
         run_spark_families(spark, result)
 
-    # every raw repetition behind the best-of point estimates above —
-    # spread makes shared-runner noise distinguishable from regression
-    result["raw_runs_sec"] = _RAW_RUNS
-
     spark.stop()
+    # raw repetitions behind the best-of point estimates travel on their own
+    # stdout line + sidecar (see _emit) — spread makes shared-runner noise
+    # distinguishable from regression without bloating the summary line
+    _emit(result)
+
+
+def _emit(result: dict) -> None:
+    """Print the bench record so the driver's tail capture always parses.
+
+    The driver captures only the tail of stdout and parses the LAST line as
+    the official record. Round 7 lesson: folding ``raw_runs_sec`` into the
+    summary made that single line longer than the capture window, which
+    truncated the leading keys (headline block, oracle times) out of the
+    round record. So: raw runs go to a sidecar file AND an earlier stdout
+    line; the FINAL line is the compact summary alone, never the raw runs.
+    """
+    result.pop("raw_runs_sec", None)
+    raw = {"raw_runs_sec": _RAW_RUNS}
+    try:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_raw_runs.json")
+        with open(sidecar, "w") as f:
+            json.dump(raw, f)
+    except OSError:
+        pass  # read-only checkout: the stdout line below still carries the data
+    print(json.dumps(raw))
     print(json.dumps(result))
 
 

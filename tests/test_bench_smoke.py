@@ -225,6 +225,29 @@ def test_raw_run_spread_recorded(bench_small):
     bench_small._RAW_RUNS.clear()
 
 
+def test_emit_final_line_is_compact_summary(bench_small, capsys, tmp_path, monkeypatch):
+    """Round-7 verdict item 1: the driver parses the LAST stdout line with a
+    bounded tail capture, so the final line must be the compact summary
+    (no raw_runs_sec — that key made the r7 record unparseable); raw runs
+    travel on an earlier line and in a sidecar file."""
+    import json as _json
+
+    monkeypatch.setattr(bench_small, "__file__", str(tmp_path / "bench.py"))
+    bench_small._RAW_RUNS.clear()
+    bench_small._RAW_RUNS["spark:qx"] = [0.5, 0.4]
+    result = {"metric": "headline_queries_total", "value": 1.0, "raw_runs_sec": {"stale": []}}
+    bench_small._emit(result)
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    raw_line, summary_line = (_json.loads(ln) for ln in lines)
+    assert raw_line == {"raw_runs_sec": {"spark:qx": [0.5, 0.4]}}
+    assert "raw_runs_sec" not in summary_line
+    assert summary_line["metric"] == "headline_queries_total"
+    sidecar = _json.loads((tmp_path / "bench_raw_runs.json").read_text())
+    assert sidecar == raw_line
+    bench_small._RAW_RUNS.clear()
+
+
 def test_gram_mirror_agrees(spark, bench_small):
     """The gram family's DuckDB flat-aggregate mirror must produce the
     SAME 4096 exact integers as the Spark gram_matrix route at small N
