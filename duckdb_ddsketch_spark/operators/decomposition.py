@@ -64,7 +64,7 @@ def _gram_partials_fn(vec_col: str, width: int, integer: bool):
     the streaming tracker: returns (arrow-iterator fn, output schema)
     for ``mapInArrow``. Each Arrow batch becomes ONE d x d partial (a
     single numpy matmul) read via the zero-copy list-buffer reshape
-    (:func:`~.clustering._rb_vec_matrix` — interior NULLs surface as
+    (:func:`~.similarity._rb_vec_matrix` — interior NULLs surface as
     NaN, exactly what the pandas conversion produced); NULL /
     wrong-width / non-finite rows are skipped."""
     out_type = "long" if integer else "double"
@@ -232,6 +232,11 @@ def pca_project(
     (:func:`~.similarity.quantize_embeddings`) so the 4x byte cut applies
     to the reduced width.
     """
+    if out_col in df.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists in the frame"
+            " (withColumn would silently clobber it)"
+        )
     d = len(mean)
     if any(len(c) != d for c in components):
         raise ValueError("every component must have the same width as mean")
@@ -308,16 +313,26 @@ def mahalanobis_scores(
     threshold (chi-squared quantile at d dof for Gaussian-ish spaces),
     filter ``maha_sq <= t`` stays map-only and pushes down.
     """
+    if out_col in df.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists in the frame"
+            " (withColumn would silently clobber it)"
+        )
+    # collision-free internal temp: a frame that already carries a
+    # __maha_pc column (e.g. a prior projection) must not be clobbered
+    tmp = "__maha_pc"
+    while tmp in df.columns:
+        tmp += "_"
     width = _width_of(df, vec_col, dims)
     mean, comps, ev = pca_components(df, vec_col, k=width, dims=width)
     keep = [i for i, v in enumerate(ev) if v > variance_floor]
     comps = [comps[i] for i in keep]
     ev_kept = [ev[i] for i in keep]
     projected = pca_project(
-        df, mean, comps, vec_col=vec_col, out_col="__maha_pc",
+        df, mean, comps, vec_col=vec_col, out_col=tmp,
         whiten=ev_kept,
     )
     score = F.aggregate(
-        F.col("__maha_pc"), F.lit(0.0), lambda a, x: a + x * x
+        F.col(tmp), F.lit(0.0), lambda a, x: a + x * x
     )
-    return projected.withColumn(out_col, score).drop("__maha_pc")
+    return projected.withColumn(out_col, score).drop(tmp)

@@ -1045,8 +1045,15 @@ def percentile_rank(
     (AQE may still promote).
     """
     bins = percentile_bins(df, value, keys, alpha, weight)
-    return percentile_lookup(
-        df, bins, value, keys, alpha, out_col, broadcast
+    # Probe with gamma_of(alpha) directly instead of percentile_lookup's
+    # _bins_gamma peek: the bins were built HERE at this alpha, and the
+    # peek is a .first() ACTION that would execute the whole calibration
+    # aggregation over df once, then recompute it (uncached) when the
+    # probe join runs — two input scans where one suffices. The peek is
+    # only for externally supplied tables of unknown accuracy.
+    return _bin_probe_join(
+        df, bins, value, keys, gamma_of(alpha),
+        "c.le / c.total", out_col, broadcast,
     )
 
 

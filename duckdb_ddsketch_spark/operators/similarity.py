@@ -51,7 +51,14 @@ def _i64_ids(col):
     to int64 is undefined). Non-integral id types raise, as documented
     on every BLAS route."""
     import numpy as np
+    import pyarrow.types as patypes
 
+    if not patypes.is_integer(col.type):
+        raise TypeError(
+            f"id column must be an integer type for the BLAS routes;"
+            f" got {col.type} (a float id like 1.7 would silently"
+            f" truncate — cast the column to bigint upstream)"
+        )
     if col.null_count == 0:
         return (
             col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False),
@@ -417,14 +424,24 @@ def _local_topk_batch(ids, q_ids, scores, take, require_finite):
 
     n = scores.shape[0]
     thresh = np.partition(scores, n - take, axis=0)[n - take]
-    ri, qi = np.nonzero(scores >= thresh)
+    mask = scores >= thresh
+    if require_finite:
+        # Degenerate tied-band hazard: a query with fewer than ``take``
+        # finite-scoring rows has a -inf k-th score, and ``>= -inf``
+        # would widen the candidate set to EVERY degenerate (zero-norm /
+        # NaN->-inf) entry for that query — up to batch x queries index
+        # pairs on a mostly-degenerate corpus (~6e8 at 65k x 10k).
+        # Gating the widen itself on finiteness bounds the candidates to
+        # finite entries only; -inf rows sort after all finite rows, so
+        # the emitted set is unchanged and the post-cut finite filter
+        # becomes redundant.
+        mask &= np.isfinite(scores)
+    ri, qi = np.nonzero(mask)
     order = np.lexsort((ids[ri], -scores[ri, qi], qi))
     qi, ri = qi[order], ri[order]
     starts = np.searchsorted(qi, np.arange(len(q_ids)))
     pos = np.arange(len(qi)) - starts[qi]
     sel = (pos < take) & (ids[ri] != q_ids[qi])
-    if require_finite:
-        sel &= np.isfinite(scores[ri, qi])
     return qi[sel], ri[sel]
 
 

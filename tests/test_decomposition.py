@@ -108,6 +108,29 @@ def test_pca_whiten_unit_variance(spark, anisotropic):
         dec.pca_project(df, mean, comps, whiten=[1.0, 0.0, 1.0])
 
 
+def test_out_col_collisions_rejected(spark):
+    """ADVICE r7: pca_project silently clobbered an existing out_col via
+    withColumn, and mahalanobis_scores projected into a hardcoded
+    '__maha_pc' temp — both must reject (or avoid) collisions instead of
+    overwriting user data."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0], "keep")], "vec_id long, embedding array<double>, pc string"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        dec.pca_project(df, [0.0, 0.0], [[1.0, 0.0]], out_col="pc")
+    with pytest.raises(ValueError, match="already exists"):
+        dec.mahalanobis_scores(df.withColumnRenamed("pc", "maha_sq"))
+    # a pre-existing __maha_pc column is user data, not ours to clobber
+    rng = np.random.default_rng(5)
+    rows = [(int(i), [float(x) for x in rng.normal(size=2)], "u") for i in range(50)]
+    df2 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, __maha_pc string"
+    )
+    out = dec.mahalanobis_scores(df2)
+    assert set(out.columns) == {"vec_id", "embedding", "__maha_pc", "maha_sq"}
+    assert out.where("__maha_pc = 'u'").count() == 50
+
+
 def test_mahalanobis_matches_numpy(spark, anisotropic):
     X, df = anisotropic
     got = {r.vec_id: r.maha_sq for r in dec.mahalanobis_scores(df).collect()}

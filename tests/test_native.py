@@ -528,6 +528,27 @@ def test_percentile_rank_matches_reference(spark):
         assert gf[i] == ref or (ref is None and gf[i] is None), (i, v)
 
 
+def test_percentile_rank_is_plan_only(spark, monkeypatch):
+    """Building the percentile_rank frame must trigger NO Spark action:
+    the old path peeked the bins table's gamma via .first(), which
+    executed the whole calibration aggregation over the input once and
+    recomputed it (uncached) when the probe join ran — two input scans
+    where the docstring promises one. alpha is known here, so the probe
+    gamma is derived, not peeked (the peek stays for externally supplied
+    tables in percentile_lookup)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("percentile_rank must not run an action at plan time")
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "grp string, v double")
+    monkeypatch.setattr(DataFrame, "first", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    out = native.percentile_rank(df, "v", ["grp"], out_col="pr")
+    monkeypatch.undo()
+    assert {r.v: r.pr for r in out.collect()} == {1.0: 0.5, 2.0: 1.0}
+
+
 def test_percentile_rank_weighted_and_collision(spark):
     df = spark.createDataFrame(
         [(1.0, 2.0), (10.0, 1.0), (100.0, 0.0)], "v double, w double"
