@@ -28,6 +28,70 @@ from pyspark.sql import DataFrame, functions as F
 
 _CDF_PARTS = ((0.0, "cdf_0"), (2.0, "cdf_2"), (10.0, "cdf_10"), (50.0, "cdf_50"))
 
+# Fixed literal PCA basis for q38's 'proj' part (round 8): dyadic
+# (power-of-two-denominator) weights make every per-element product exact
+# in double on both engines, so the only cross-engine freedom is
+# summation-order ulps — absorbed by the float32 gate cast. Eigenvectors
+# from pca_components are NOT gateable (BLAS-build-dependent signs/ulps);
+# the projection ARITHMETIC is, and that is the path being graded.
+_PROJ_DIMS = 64
+_PROJ_MEAN = [((i % 7) - 3) * 0.125 for i in range(_PROJ_DIMS)]
+_PROJ_COMPS = [
+    [(((i * 3 + r * 7) % 5) - 2) * 0.25 for i in range(_PROJ_DIMS)]
+    for r in range(4)
+]
+# identical derivation to pca_project's folded centering offset
+_PROJ_OFFSETS = [
+    sum(float(c) * float(m) for c, m in zip(w, _PROJ_MEAN))
+    for w in _PROJ_COMPS
+]
+
+
+_Q_CODES = (
+    "list_transform(embedding, x -> GREATEST(-127, LEAST(127, "
+    "CAST(floor(CAST(x AS DOUBLE) / sc.s + 0.5) AS BIGINT))))"
+)
+
+
+def _gram_oracle_sql(part: str) -> str:
+    """DuckDB mirror of the exact-integer Gram over int8 codes, tagged
+    ``part`` — shared verbatim by q38's batch 'gram' part and its
+    streaming twin 'sgram' (the batch-equality contract: after the
+    replayed stream drains, the running state IS the batch matrix)."""
+    return f"""SELECT '{part}' AS part, CAST(d.i AS BIGINT) AS k1, CAST(d.j AS BIGINT) AS k2,
+       CAST(CAST(SUM(ga.codes[d.i + 1] * ga.codes[d.j + 1]) AS BIGINT)
+            AS REAL) AS v
+FROM (
+    WITH sc AS (
+        SELECT max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) / 127 AS s
+        FROM embeddings
+    )
+    SELECT {_Q_CODES} AS codes FROM embeddings, sc
+    WHERE embedding IS NOT NULL
+) ga, (SELECT i.range AS i, j.range AS j
+       FROM range(0, 64) i, range(0, 64) j) d
+GROUP BY d.i, d.j"""
+
+
+def _proj_oracle_sql() -> str:
+    """DuckDB mirror of the q38 'proj' part: list_dot_product on the
+    same literal components minus the same constant offset, float32-cast.
+    ::DOUBLE[] keeps the list literal out of DECIMAL arithmetic (bare
+    fractional literals are DECIMAL in DuckDB too)."""
+    selects = []
+    for r, (w, off) in enumerate(zip(_PROJ_COMPS, _PROJ_OFFSETS)):
+        lit = "[" + ", ".join(repr(float(c)) for c in w) + "]::DOUBLE[]"
+        selects.append(
+            f"SELECT 'proj' AS part, CAST(vec_id AS BIGINT) AS k1,"
+            f" CAST({r} AS BIGINT) AS k2,\n"
+            f"       CAST(list_dot_product(list_transform(embedding,"
+            f" x -> CAST(x AS DOUBLE)), {lit}) - {off!r} AS REAL) AS v\n"
+            f"FROM embeddings WHERE embedding IS NOT NULL"
+            f" AND len(embedding) = {_PROJ_DIMS}"
+        )
+    return "\nUNION ALL\n".join(selects)
+
 
 def build_final(
     Q: Dict[str, Callable], O: Dict[str, str]
@@ -441,17 +505,76 @@ FROM ({O['q22_minhash_lsh_neardups']}) b""",
             F.col("j").cast("long").alias("k2"),
             F.col("g").cast("float").alias("v"),
         )
+        # round 8: the PCA projection path (pca_project) driver-gated on
+        # FIXED literal components — eigenvectors are cross-engine
+        # drift-sensitive, the projection arithmetic is not: dyadic
+        # (power-of-two) weights make every product x_i * w_i EXACT in
+        # double, both engines fold sequentially, and the float32 gate
+        # cast absorbs any residual summation-order ulp. The centering
+        # offset W @ mean folds to an exactly-representable constant
+        # (same derivation in pca_project and the mirror below).
+        proj = (
+            dec.pca_project(
+                emb, _PROJ_MEAN, _PROJ_COMPS, out_col="__pc"
+            )
+            .select(
+                F.col("vec_id").cast("long").alias("k1"),
+                F.posexplode("__pc").alias("k2", "pv"),
+            )
+            .select(
+                F.lit("proj").alias("part"),
+                "k1",
+                F.col("k2").cast("long").alias("k2"),
+                F.col("pv").cast("float").alias("v"),
+            )
+        )
+        # round 8: the streaming Gram monitor driver-gated against the
+        # SAME exact-integer oracle as the batch 'gram' part — after the
+        # replayed stream drains, the d^2 running state must equal
+        # gram_matrix over the same rows bit-for-bit (integer mode, so a
+        # monitor restart is reproducible). The calibration scale comes
+        # from the batch table (calibrate-once / apply-many); the stream
+        # side is map-only quantization + the stateless per-batch
+        # collapse, state bounded at d^2 cells with no watermark.
+        import tempfile
+
+        from ..sources import load_stream
+        from ..streaming import streaming_gram
+
+        sqc = sim.quantize_embeddings(
+            load_stream(spark, sf_dir, "embeddings"), scale, bits=8
+        )
+        g = streaming_gram(sqc, "qcodes", dims=64, integer=True)
+        srows: list = []
+
+        def _sink(bdf, _id):
+            srows.clear()  # complete mode: the last trigger is full state
+            srows.extend(bdf.collect())
+
+        with tempfile.TemporaryDirectory() as ckpt:
+            sq = (
+                g.writeStream.foreachBatch(_sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination(300)
+        sgram = spark.createDataFrame(srows, "i int, j int, g long").select(
+            F.lit("sgram").alias("part"),
+            F.col("i").cast("long").alias("k1"),
+            F.col("j").cast("long").alias("k2"),
+            F.col("g").cast("float").alias("v"),
+        )
         return (
             pairs.unionByName(quant)
             .unionByName(topk)
             .unionByName(lshp)
             .unionByName(gram)
+            .unionByName(proj)
+            .unionByName(sgram)
         )
 
-    _Q_CODES = (
-        "list_transform(embedding, x -> GREATEST(-127, LEAST(127, "
-        "CAST(floor(CAST(x AS DOUBLE) / sc.s + 0.5) AS BIGINT))))"
-    )
     add(
         "q38_embedding_near_pairs",
         q38_embedding,
@@ -509,20 +632,11 @@ SELECT 'lshpairs' AS part, CAST(id_a AS BIGINT) AS k1,
        CAST(id_b AS BIGINT) AS k2, CAST(cos AS REAL) AS v
 FROM ({O['q24b_embedding_neardup_lsh']}) lp
 UNION ALL
-SELECT 'gram' AS part, CAST(d.i AS BIGINT) AS k1, CAST(d.j AS BIGINT) AS k2,
-       CAST(CAST(SUM(ga.codes[d.i + 1] * ga.codes[d.j + 1]) AS BIGINT)
-            AS REAL) AS v
-FROM (
-    WITH sc AS (
-        SELECT max(list_max(list_transform(embedding,
-                   x -> abs(CAST(x AS DOUBLE))))) / 127 AS s
-        FROM embeddings
-    )
-    SELECT {_Q_CODES} AS codes FROM embeddings, sc
-    WHERE embedding IS NOT NULL
-) ga, (SELECT i.range AS i, j.range AS j
-       FROM range(0, 64) i, range(0, 64) j) d
-GROUP BY d.i, d.j""",
+{_gram_oracle_sql('gram')}
+UNION ALL
+{_proj_oracle_sql()}
+UNION ALL
+{_gram_oracle_sql('sgram')}""",
     )
 
     # q39: ANN top-k four ways — brute-force (verification), LSH-bucketed
