@@ -25,7 +25,13 @@ rows between iterations, never the data). The update aggregates
 ``posexplode``d quantized components with map-side partial aggregation, so
 each iteration's shuffle is bounded by ``partitions * k * dims`` rows of
 BIGINTs regardless of input row count. The input is persisted across
-iterations (it is scanned ``iters + 1`` times).
+iterations (it is scanned ``iters + 1`` times). Round 8: the width probe
+and seed fetch share ONE scan (uniform-width fast path), and
+``kmeans_summary``'s wide/BLAS route persists one projected base across
+the iterations AND a partition-collapsed final pass
+(:func:`_summary_partials_blas`) — the wide-family profile showed the
+input scan, not the BLAS math, dominating every pass (4 full scans for
+2 iterations; now 1 cache fill + cached reads).
 """
 
 from __future__ import annotations
@@ -257,7 +263,9 @@ def _iterate_blas(
                 continue
             d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
             idx = np.argmin(d, axis=1)
-            np.add.at(s_acc, idx, _quantize_i64(X))
+            q = _quantize_i64(X)
+            _check_sat(q)
+            np.add.at(s_acc, idx, q)
             np.add.at(n_acc, idx, 1)
         nz = np.flatnonzero(n_acc)
         if not len(nz):
@@ -300,6 +308,105 @@ def _iterate_blas(
         )
         for r in sorted(rows, key=lambda r: r["cid"])
     ]
+
+
+def _summary_partials_blas(
+    df: DataFrame,
+    centroids: List[Tuple[int, List[float]]],
+    vec_col: str,
+    label_col: Optional[str],
+) -> DataFrame:
+    """kmeans_summary's final pass in the partition-collapsed BLAS shape:
+    assignment + the per-cluster (n, q0, q1[, lsum]) sums accumulate
+    inside the Arrow iterator, one emitted row per (partition, cluster)
+    — the shuffle carries <= partitions * k tiny rows instead of the
+    full corpus with an appended cluster_id (the assign-then-aggregate
+    form writes every embedding back through the Arrow boundary just to
+    immediately collapse it; at 15M x 64 that passthrough was the
+    single largest stage of the wide family). Bit-identical to the
+    assign+agg path: same _assign_blas distance/argmin tie-break, same
+    _quantize_i64 == SQL-CAST quantization (order-independent integer
+    sums), label sums exact int64 (the caller gates on integral label
+    types)."""
+    import numpy as np
+
+    centroids = sorted(centroids, key=lambda t: t[0])
+    cids = [cid for cid, _ in centroids]
+    cmat = [list(c) for _, c in centroids]
+    nd = len(cmat[0])
+    cols = [vec_col] + ([label_col] if label_col is not None else [])
+    schema = "cid int, n long, q0 long, q1 long" + (
+        ", lsum long" if label_col is not None else ""
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        C = np.asarray(cmat, dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+        k = C.shape[0]
+        n_acc = np.zeros(k, dtype=np.int64)
+        q_acc = np.zeros((k, 2), dtype=np.int64)
+        l_acc = np.zeros(k, dtype=np.int64)
+        for rb in batches:
+            X, ok = _rb_vec_matrix(rb.column(0), nd)
+            if X is None:
+                continue
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            idx = np.argmin(d, axis=1)
+            np.add.at(n_acc, idx, 1)
+            q = _quantize_i64(X[:, :2])
+            _check_sat(q)
+            np.add.at(q_acc, idx, q)
+            if label_col is not None:
+                # NULL labels contribute 0, exactly sum()'s NULL skip
+                lab = pc.fill_null(
+                    pc.cast(rb.column(1), pa.int64()), 0
+                ).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                if ok is not None:
+                    lab = lab[ok]
+                np.add.at(l_acc, idx, lab)
+        nz = np.flatnonzero(n_acc)
+        if not len(nz):
+            return
+        out = {
+            "cid": pa.array([int(cids[i]) for i in nz], pa.int32()),
+            "n": pa.array(n_acc[nz], pa.int64()),
+            "q0": pa.array(q_acc[nz, 0], pa.int64()),
+            "q1": pa.array(q_acc[nz, 1], pa.int64()),
+        }
+        if label_col is not None:
+            out["lsum"] = pa.array(l_acc[nz], pa.int64())
+        yield pa.RecordBatch.from_pydict(out)
+
+    return df.select(*cols).mapInArrow(fn, schema)
+
+
+# nearest float64s strictly inside the int64 range — _quantize_i64's
+# finite-overflow clamp bounds; Long.MAX/MIN (the inf saturations) lie
+# outside them, so one check covers both saturation kinds
+_SAT_HI = 9223372036854774784
+_SAT_LO = -9223372036854774784
+
+
+def _check_sat(q) -> None:
+    """Refuse saturated quantized values before an int64 accumulation.
+
+    A component with |x| >~ 8.8e12 (at 2^20 scale) quantizes at the
+    int64 clamp bound; summing it with anything wraps numpy's int64
+    accumulators SILENTLY, where the SQL twin raises
+    ARITHMETIC_OVERFLOW under ANSI. Loud beats wrong: raise with the
+    remedy. Values below the bound cannot wrap realistic partitions
+    (2^63 / 2^43 ≈ 10^6 rows of |x| = 8e6 per cluster per batch)."""
+    if ((q >= _SAT_HI) | (q <= _SAT_LO)).any():
+        raise ValueError(
+            "embedding component quantizes at the int64 saturation bound"
+            " (|x| >~ 8.8e12 at 2^20 scale); per-cluster integer sums"
+            " would overflow — the SQL path raises ARITHMETIC_OVERFLOW on"
+            " the same data. Clean or rescale the vector column first."
+        )
 
 
 def _quantize_i64(X):
@@ -352,96 +459,130 @@ def kmeans_centroids(
     if method != "auto" and method not in ("expand", "fold", "blas"):
         # fail before the width-probe job, not after it
         raise ValueError(f"method must be auto|expand|fold|blas, got {method!r}")
+    fdf, centroids = _probe_and_seeds(df, vec_col, id_col, k)
+    if not centroids:
+        return []
+    m = _choose_method(k, len(centroids[0][1]), method)
+    persisted = iters > 1
+    if persisted:
+        fdf = fdf.persist()
+    try:
+        return _lloyd(fdf, centroids, iters, m, vec_col)
+    finally:
+        if persisted:
+            fdf.unpersist()
+
+
+def _probe_and_seeds(
+    df: DataFrame, vec_col: str, id_col: str, k: int
+) -> Tuple[DataFrame, List[Tuple[int, List[float]]]]:
+    """Width probe + seed centroids, ONE scan in the common case.
+
+    Malformed-width rows (empty or ragged arrays) are excluded like
+    NULLs: the expanded distance/update arithmetic indexes elements
+    directly, and under ANSI mode ``vec[d]`` on a short array would fail
+    the job for one bad row. The reference width is the MODAL width of
+    the k smallest-id positive-width rows (ties -> smaller width):
+    deterministic across partitionings/runs, and one ragged or atypical
+    row among the probes cannot discard the whole corpus (a bare
+    first() probe could — it is partition-order-dependent and anchored
+    to one arbitrary row). Seeds are the quantized embeddings of the k
+    smallest modal-width ids, rank = cluster id.
+
+    When every probed row already has the modal width — every uniform
+    corpus — the probe rows ARE the seeds, so the historical second
+    seeds scan is skipped (probe + seeds were two of the four full
+    input passes in the wide-family profile; the quantize projection
+    runs on the k surviving rows only, after TakeOrdered). A mixed-width
+    probe falls back to the dedicated seeds scan on the filtered frame,
+    preserving the exact historical semantics.
+
+    Returns ``(width_filtered_df, centroids)``; centroids ``[]`` when
+    no positive-width row exists (or k < 1).
+    """
     df = df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
-    # Malformed-width rows (empty or ragged arrays) are excluded like
-    # NULLs: the expanded distance/update arithmetic indexes elements
-    # directly, and under ANSI mode `vec[d]` on a short array would fail
-    # the job for one bad row. The reference width is the MODAL width of
-    # the k smallest-id rows (ties -> smaller width): deterministic across
-    # partitionings/runs, and one ragged or atypical row among the probes
-    # cannot discard the whole corpus (a bare first() probe could — it is
-    # partition-order-dependent and anchored to one arbitrary row).
-    # probe only positive-width rows: if the k smallest ids all carried
-    # empty arrays, an unfiltered probe would yield no widths, SKIP the
-    # width filter, and let malformed rows reach the vec[d] arithmetic
+    seed_expr = F.expr(
+        f"transform({_quantize_expr(vec_col)},"
+        f" q -> CAST(q AS DOUBLE) / {_SCALE!r}D)"
+    ).alias("c")
     probe = (
         df.where(F.size(F.col(vec_col)) > 0)
-        .select(F.col(id_col), F.size(F.col(vec_col)).alias("d"))
+        .select(id_col, vec_col, F.size(F.col(vec_col)).alias("d"))
         .orderBy(F.col(id_col).asc())
         .limit(max(k, 1))
+        .select("d", seed_expr)
         .collect()
     )
     widths = [int(r["d"]) for r in probe if r["d"] is not None and r["d"] > 0]
     if not widths:
-        return []  # no row with a non-empty vector anywhere — no clusters
+        return df, []  # no row with a non-empty vector anywhere
     width = max(set(widths), key=lambda w: (widths.count(w), -w))
-    df = df.where(F.size(F.col(vec_col)) == width)
-    # Seed: quantized embeddings of the k smallest ids, rank = cluster id.
+    fdf = df.where(F.size(F.col(vec_col)) == width)
+    if k < 1:
+        return fdf, []
+    if all(w == width for w in widths):
+        return fdf, [(i, list(r["c"])) for i, r in enumerate(probe)]
     seeds = (
-        df.select(id_col, vec_col)
+        fdf.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(k)
-        .select(
-            F.expr(
-                f"transform({_quantize_expr(vec_col)},"
-                f" q -> CAST(q AS DOUBLE) / {_SCALE!r}D)"
-            ).alias("c")
-        )
+        .select(seed_expr)
         .collect()
     )
-    centroids = [(i, list(r["c"])) for i, r in enumerate(seeds)]
-    if not centroids:
-        return []
+    return fdf, [(i, list(r["c"])) for i, r in enumerate(seeds)]
 
-    persisted = iters > 1
-    if persisted:
-        df = df.persist()
-    try:
-        ndims = len(centroids[0][1])
-        m = _choose_method(k, ndims, method)
-        for _ in range(iters):
-            if m == "blas":
-                centroids = _iterate_blas(df, centroids, vec_col)
-                continue
-            # per-dim BIGINT sums as one wide aggregate: each element is
-            # quantized straight from the source array (O(dims) per row —
-            # a posexplode would shuffle rows x dims into the aggregate,
-            # and indexing a transform()'d column re-derives the whole
-            # array per dim under projection collapse, O(dims^2)).
-            # Order-independent integer sums, partial-aggregated, k rows out.
-            # plain [] indexing is safe HERE: this plan is self-contained
-            # (no joins, so no derived predicates can reorder ahead of
-            # the explicit size filter applied above)
-            qd = [
-                f"CAST(floor(CAST(`{vec_col}`[{d}] AS DOUBLE)"
-                f" * {_SCALE!r}D) AS BIGINT)"
-                for d in range(ndims)
-            ]
-            assigned = df.selectExpr(
-                f"{_assign_expr(vec_col, centroids, m)} AS cid",
-                *[f"{q} AS q{d}" for d, q in enumerate(qd)],
+
+def _lloyd(
+    df: DataFrame,
+    centroids: List[Tuple[int, List[float]]],
+    iters: int,
+    m: str,
+    vec_col: str,
+) -> List[Tuple[int, List[float]]]:
+    """``iters`` Lloyd updates over a pre-filtered (and ideally
+    persisted) frame — the loop body shared by :func:`kmeans_centroids`
+    and :func:`kmeans_summary`'s fused route."""
+    ndims = len(centroids[0][1])
+    for _ in range(iters):
+        if m == "blas":
+            centroids = _iterate_blas(df, centroids, vec_col)
+            continue
+        # per-dim BIGINT sums as one wide aggregate: each element is
+        # quantized straight from the source array (O(dims) per row —
+        # a posexplode would shuffle rows x dims into the aggregate,
+        # and indexing a transform()'d column re-derives the whole
+        # array per dim under projection collapse, O(dims^2)).
+        # Order-independent integer sums, partial-aggregated, k rows out.
+        # plain [] indexing is safe HERE: this plan is self-contained
+        # (no joins, so no derived predicates can reorder ahead of
+        # the explicit size filter applied above)
+        qd = [
+            f"CAST(floor(CAST(`{vec_col}`[{d}] AS DOUBLE)"
+            f" * {_SCALE!r}D) AS BIGINT)"
+            for d in range(ndims)
+        ]
+        assigned = df.selectExpr(
+            f"{_assign_expr(vec_col, centroids, m)} AS cid",
+            *[f"{q} AS q{d}" for d, q in enumerate(qd)],
+        )
+        sums = (
+            assigned.groupBy("cid")
+            .agg(
+                *[F.sum(f"q{d}").alias(f"s{d}") for d in range(ndims)],
+                F.count("*").alias("n"),
             )
-            sums = (
-                assigned.groupBy("cid")
-                .agg(
-                    *[F.sum(f"q{d}").alias(f"s{d}") for d in range(ndims)],
-                    F.count("*").alias("n"),
-                )
-                .collect()
+            .collect()
+        )
+        centroids = [
+            (
+                r["cid"],
+                [
+                    float(r[f"s{d}"]) / (float(r["n"]) * _SCALE)
+                    for d in range(ndims)
+                ],
             )
-            centroids = [
-                (
-                    r["cid"],
-                    [
-                        float(r[f"s{d}"]) / (float(r["n"]) * _SCALE)
-                        for d in range(ndims)
-                    ],
-                )
-                for r in sorted(sums, key=lambda r: r["cid"])
-            ]
-    finally:
-        if persisted:
-            df.unpersist()
+            for r in sorted(sums, key=lambda r: r["cid"])
+        ]
     return centroids
 
 
@@ -489,16 +630,78 @@ def kmeans_summary(
     The reported centroid components and mean label are pure functions of
     order-independent integer sums, so the output is exactly reproducible.
     """
-    centroids = kmeans_centroids(df, vec_col, id_col, k, iters, method)
-    assigned = kmeans_assign(df, centroids, vec_col, method)
-    aggs = [
-        F.count("*").alias("n_vecs"),
-        F.sum(F.expr(f"try_element_at({_quantize_expr(vec_col)}, 1)")).alias("_q0"),
-        F.sum(F.expr(f"try_element_at({_quantize_expr(vec_col)}, 2)")).alias("_q1"),
-    ]
-    if label_col is not None:
-        aggs.append(F.sum(F.col(label_col).cast("long")).alias("_lsum"))
-    out = assigned.groupBy("cluster_id").agg(*aggs)
+    if method != "auto" and method not in ("expand", "fold", "blas"):
+        raise ValueError(f"method must be auto|expand|fold|blas, got {method!r}")
+    label_ok = label_col is None or dict(df.dtypes).get(label_col) in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    need = [id_col, vec_col] + (
+        [label_col] if label_col is not None and label_col not in (id_col, vec_col) else []
+    )
+    base = df.select(*need)
+    fdf, centroids = _probe_and_seeds(base, vec_col, id_col, k)
+    dims = len(centroids[0][1]) if centroids else 0
+    if (
+        centroids
+        and dims >= 2
+        and label_ok
+        and _choose_method(len(centroids), dims, method) == "blas"
+    ):
+        # Fused BLAS route: the iterations AND the final pass read ONE
+        # persisted projected base (the summary's filter differs from the
+        # iterations' only by the id-notnull clause, but both plans
+        # contain the cached base subtree, so neither re-generates the
+        # source — the wide-family profile showed the input scan, not the
+        # BLAS math, dominating every pass). The final pass is the
+        # partition-collapsed _summary_partials_blas: no full-corpus
+        # Arrow passthrough of assign-then-agg. localCheckpoint
+        # materializes the tiny partials (partitions x k rows) so the
+        # cache can be dropped before the lazy result is consumed.
+        base = base.persist()
+        try:
+            centroids = _lloyd(
+                fdf, centroids, iters, _choose_method(k, dims, method), vec_col
+            )
+            valid = base.where(
+                F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dims)
+            )
+            part = _summary_partials_blas(
+                valid, centroids, vec_col, label_col
+            ).localCheckpoint()
+        finally:
+            base.unpersist()
+        out = part.groupBy(F.col("cid").alias("cluster_id")).agg(
+            F.sum("n").alias("n_vecs"),
+            F.sum("q0").alias("_q0"),
+            F.sum("q1").alias("_q1"),
+            *(
+                [F.sum("lsum").alias("_lsum")]
+                if label_col is not None
+                else []
+            ),
+        )
+    else:
+        if centroids:
+            persisted = iters > 1
+            if persisted:
+                fdf = fdf.persist()
+            try:
+                centroids = _lloyd(
+                    fdf, centroids, iters,
+                    _choose_method(k, dims, method), vec_col,
+                )
+            finally:
+                if persisted:
+                    fdf.unpersist()
+        assigned = kmeans_assign(df, centroids, vec_col, method)
+        aggs = [
+            F.count("*").alias("n_vecs"),
+            F.sum(F.expr(f"try_element_at({_quantize_expr(vec_col)}, 1)")).alias("_q0"),
+            F.sum(F.expr(f"try_element_at({_quantize_expr(vec_col)}, 2)")).alias("_q1"),
+        ]
+        if label_col is not None:
+            aggs.append(F.sum(F.col(label_col).cast("long")).alias("_lsum"))
+        out = assigned.groupBy("cluster_id").agg(*aggs)
     cols = [
         F.col("cluster_id").cast("int").alias("cluster_id"),
         F.col("n_vecs"),

@@ -670,6 +670,90 @@ def test_kmeans_recovers_separable_clusters(spark):
         assert abs(r.c0 - float(r.mean_label) * 10.0) < 0.1
 
 
+def test_kmeans_summary_fused_blas_matches_assign_agg(spark):
+    """Round 8: kmeans_summary's wide route fuses assignment + summary
+    sums into one partition-collapsed Arrow pass (no full-corpus
+    passthrough). It must be BIT-identical to the assign-then-aggregate
+    form on the same centroids — including NaN/inf components, interior
+    NULLs, ragged rows, and NULL labels — and partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import clustering
+
+    d = 20  # k*dims = 4*20 = 80 > 64 -> auto routes blas
+    rows = []
+    import math
+
+    for i in range(300):
+        vec = [math.sin(i * 0.1 + j) for j in range(d)]
+        rows.append((i, vec, i % 5))
+    rows.append((300, [float("nan")] * d, 2))          # NaN row: argmin -> cid 0
+    rows.append((301, [0.75] * d, None))                # NULL label: skipped in lsum
+    rows.append((302, None, 1))                         # NULL vec: excluded
+    rows.append((303, [1.0] * (d - 3), 1))              # ragged: excluded
+    rows.append((304, [0.5] * (d - 1) + [None], 4))     # interior NULL: NaN row
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    centroids = clustering.kmeans_centroids(df, k=4, iters=2)
+    assert clustering._choose_method(len(centroids), d, "auto") == "blas"
+
+    def ref(frame):
+        assigned = clustering.kmeans_assign(frame, centroids, "embedding", "blas")
+        q = clustering._quantize_expr("embedding")
+        return sorted(
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count("*").alias("n_vecs"),
+                F.sum(F.expr(f"try_element_at({q}, 1)")).alias("q0"),
+                F.sum(F.expr(f"try_element_at({q}, 2)")).alias("q1"),
+                F.sum(F.col("label").cast("long")).alias("lsum"),
+            )
+            .collect(),
+            key=lambda r: r.cluster_id,
+        )
+
+    expect = ref(df)
+    for frame in (df, df.repartition(7)):
+        got = sorted(
+            clustering.kmeans_summary(
+                frame, k=4, iters=2, label_col="label"
+            ).collect(),
+            key=lambda r: r.cluster_id,
+        )
+        assert [r.cluster_id for r in got] == [r.cluster_id for r in expect]
+        for g, e in zip(got, expect):
+            assert g.n_vecs == e.n_vecs
+            import numpy as np
+
+            assert g.c0 == np.float32(
+                float(e.q0) / (float(e.n_vecs) * clustering._SCALE)
+            )
+            assert g.c1 == np.float32(
+                float(e.q1) / (float(e.n_vecs) * clustering._SCALE)
+            )
+            assert abs(
+                g.mean_label - float(e.lsum) / float(e.n_vecs)
+            ) < 1e-6
+    # float labels fall back to the assign+agg path (CAST truncation
+    # semantics are not replicated in numpy) and still work
+    fdf = df.withColumn("flabel", F.col("label").cast("double") + 0.4)
+    out = clustering.kmeans_summary(fdf, k=4, iters=2, label_col="flabel")
+    assert out.count() == len(expect)
+    # a saturated component (|x| beyond the int64 quantization clamp)
+    # raises LOUDLY in the numpy accumulation — the SQL twin raises
+    # ARITHMETIC_OVERFLOW under ANSI; silent int64 wraparound is the one
+    # forbidden outcome
+    bad = df.unionByName(
+        spark.createDataFrame(
+            [(999, [float("inf")] + [0.0] * (d - 1), 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+    )
+    with pytest.raises(Exception, match="saturation"):
+        clustering.kmeans_summary(bad, k=4, iters=2, label_col="label").collect()
+
+
 def test_kmeans_deterministic_under_repartition(spark):
     from pyspark.sql import functions as F
 
