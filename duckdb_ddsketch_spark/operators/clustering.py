@@ -230,13 +230,15 @@ def _iterate_blas(
     <= partitions * k rows of int64 arrays — the same bound as the SQL
     update path. Quantization is ``floor(x * 2^20)`` on the identical
     doubles, so given the same assignment the update is bit-identical
-    to the SQL path (integer sums are order-independent). Non-finite
-    components follow the SQL path's saturating CAST: NaN -> 0 and
-    +/-inf -> Long.MAX/MIN exactly; a *finite* component whose scaled
-    value exceeds the int64 range (|x| > ~8.8e12 at 2^20 scale) clamps
-    to the nearest float64 below the bound, within 1024 of the SQL
-    saturation point -- deterministic either way, and numpy's
-    undefined-astype (silent INT64_MIN) never fires.
+    to the SQL path (integer sums are order-independent). NaN components
+    follow the SQL path's CAST exactly (NaN -> 0). Components that
+    quantize AT the int64 saturation bound (±inf, or finite
+    |x| > ~8.8e12 at 2^20 scale) raise :func:`_check_sat` instead of
+    entering the accumulation — numpy int64 sums would wrap SILENTLY on
+    such values where the SQL twin either saturates a lone value or
+    raises ARITHMETIC_OVERFLOW on the sum; loud beats either silent
+    outcome, and numpy's undefined-astype (silent INT64_MIN) never
+    fires (:func:`_quantize_i64`).
     """
     import numpy as np
 
@@ -327,9 +329,12 @@ def _summary_partials_blas(
     assign+agg path: same _assign_blas distance/argmin tie-break, same
     _quantize_i64 == SQL-CAST quantization (order-independent integer
     sums), label sums exact int64 (the caller gates on integral label
-    types)."""
-    import numpy as np
-
+    types), and SQL ``sum`` NULL semantics — a partition whose cluster
+    received no non-NULL element-0 / element-1 / label contribution
+    emits a NULL partial (:func:`_elem01_present`), so an all-NULL
+    cluster reports NULL exactly like ``sum(try_element_at(...))``
+    instead of a fabricated 0 (NULL partials then compose through the
+    final ``sum`` for free)."""
     centroids = sorted(centroids, key=lambda t: t[0])
     cids = [cid for cid, _ in centroids]
     cmat = [list(c) for _, c in centroids]
@@ -349,7 +354,9 @@ def _summary_partials_blas(
         k = C.shape[0]
         n_acc = np.zeros(k, dtype=np.int64)
         q_acc = np.zeros((k, 2), dtype=np.int64)
+        nn_acc = np.zeros((k, 2), dtype=np.int64)
         l_acc = np.zeros(k, dtype=np.int64)
+        nl_acc = np.zeros(k, dtype=np.int64)
         for rb in batches:
             X, ok = _rb_vec_matrix(rb.column(0), nd)
             if X is None:
@@ -360,28 +367,69 @@ def _summary_partials_blas(
             q = _quantize_i64(X[:, :2])
             _check_sat(q)
             np.add.at(q_acc, idx, q)
+            np.add.at(nn_acc, idx, _elem01_present(rb.column(0), ok, len(X)))
             if label_col is not None:
-                # NULL labels contribute 0, exactly sum()'s NULL skip
+                lab_col = rb.column(1)
+                # NULL labels contribute 0 to the sum (sum()'s NULL skip)
+                # but are tracked so an all-NULL cluster emits NULL
                 lab = pc.fill_null(
-                    pc.cast(rb.column(1), pa.int64()), 0
+                    pc.cast(lab_col, pa.int64()), 0
                 ).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                if lab_col.null_count == 0:
+                    lv = np.ones(len(lab_col), dtype=np.int64)
+                else:
+                    lv = lab_col.is_valid().to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
                 if ok is not None:
-                    lab = lab[ok]
+                    lab, lv = lab[ok], lv[ok]
                 np.add.at(l_acc, idx, lab)
+                np.add.at(nl_acc, idx, lv)
         nz = np.flatnonzero(n_acc)
         if not len(nz):
             return
         out = {
             "cid": pa.array([int(cids[i]) for i in nz], pa.int32()),
             "n": pa.array(n_acc[nz], pa.int64()),
-            "q0": pa.array(q_acc[nz, 0], pa.int64()),
-            "q1": pa.array(q_acc[nz, 1], pa.int64()),
+            "q0": pa.array(
+                [int(q_acc[i, 0]) if nn_acc[i, 0] else None for i in nz],
+                pa.int64(),
+            ),
+            "q1": pa.array(
+                [int(q_acc[i, 1]) if nn_acc[i, 1] else None for i in nz],
+                pa.int64(),
+            ),
         }
         if label_col is not None:
-            out["lsum"] = pa.array(l_acc[nz], pa.int64())
+            out["lsum"] = pa.array(
+                [int(l_acc[i]) if nl_acc[i] else None for i in nz],
+                pa.int64(),
+            )
         yield pa.RecordBatch.from_pydict(out)
 
     return df.select(*cols).mapInArrow(fn, schema)
+
+
+def _elem01_present(col, keep, n_kept):
+    """(n_kept, 2) int64 flags: list elements 0 and 1 non-NULL for the
+    kept rows — the nullity that ``sum(try_element_at(...))`` carries
+    but the NaN-projected matrix loses (a NULL element and a NaN element
+    both become NaN in :func:`_rb_vec_matrix`; only the NULL is skipped
+    by SQL ``sum``, though both contribute 0 numerically — so the flags
+    matter exactly when a cluster has NO non-NULL contribution)."""
+    import numpy as np
+
+    flat = col.flatten()
+    if flat.null_count == 0:
+        return np.ones((n_kept, 2), dtype=np.int64)
+    va = flat.is_valid().to_numpy(zero_copy_only=False)
+    offs = np.asarray(col.offsets)[:-1]
+    if keep is not None:
+        offs = offs[keep]
+    out = np.empty((len(offs), 2), dtype=np.int64)
+    out[:, 0] = va[offs]
+    out[:, 1] = va[offs + 1]
+    return out
 
 
 # nearest float64s strictly inside the int64 range — _quantize_i64's
@@ -396,16 +444,21 @@ def _check_sat(q) -> None:
 
     A component with |x| >~ 8.8e12 (at 2^20 scale) quantizes at the
     int64 clamp bound; summing it with anything wraps numpy's int64
-    accumulators SILENTLY, where the SQL twin raises
-    ARITHMETIC_OVERFLOW under ANSI. Loud beats wrong: raise with the
-    remedy. Values below the bound cannot wrap realistic partitions
-    (2^63 / 2^43 ≈ 10^6 rows of |x| = 8e6 per cluster per batch)."""
+    accumulators SILENTLY. The SQL twin on the same data either
+    saturates a LONE such value (Spark's ANSI CAST clamps ±inf to
+    Long.MAX/MIN without error) or raises ARITHMETIC_OVERFLOW once the
+    sum actually overflows — so the two SQL outcomes are
+    input-dependent, while silent wraparound is never one of them.
+    Loud beats either: raise with the remedy. Values below the bound
+    cannot wrap realistic partitions (2^63 / 2^43 ≈ 10^6 rows of
+    |x| = 8e6 per cluster per batch)."""
     if ((q >= _SAT_HI) | (q <= _SAT_LO)).any():
         raise ValueError(
             "embedding component quantizes at the int64 saturation bound"
             " (|x| >~ 8.8e12 at 2^20 scale); per-cluster integer sums"
-            " would overflow — the SQL path raises ARITHMETIC_OVERFLOW on"
-            " the same data. Clean or rescale the vector column first."
+            " would wrap numpy's accumulators silently (the SQL path"
+            " raises ARITHMETIC_OVERFLOW when such values are summed)."
+            " Clean or rescale the vector column first."
         )
 
 
@@ -463,6 +516,18 @@ def kmeans_centroids(
     if not centroids:
         return []
     m = _choose_method(k, len(centroids[0][1]), method)
+    return _lloyd_persisted(fdf, centroids, iters, m, vec_col)
+
+
+def _lloyd_persisted(
+    fdf: DataFrame,
+    centroids: List[Tuple[int, List[float]]],
+    iters: int,
+    m: str,
+    vec_col: str,
+) -> List[Tuple[int, List[float]]]:
+    """:func:`_lloyd` with the shared iteration caching policy: persist
+    the filtered frame only when more than one pass will read it."""
     persisted = iters > 1
     if persisted:
         fdf = fdf.persist()
@@ -505,15 +570,20 @@ def _probe_and_seeds(
         f"transform({_quantize_expr(vec_col)},"
         f" q -> CAST(q AS DOUBLE) / {_SCALE!r}D)"
     ).alias("c")
+    # collision-free width alias: a vector/id column literally named "d"
+    # would make the post-limit select ambiguous
+    d_al = "d"
+    while d_al in (vec_col, id_col):
+        d_al += "_"
     probe = (
         df.where(F.size(F.col(vec_col)) > 0)
-        .select(id_col, vec_col, F.size(F.col(vec_col)).alias("d"))
+        .select(id_col, vec_col, F.size(F.col(vec_col)).alias(d_al))
         .orderBy(F.col(id_col).asc())
         .limit(max(k, 1))
-        .select("d", seed_expr)
+        .select(d_al, seed_expr)
         .collect()
     )
-    widths = [int(r["d"]) for r in probe if r["d"] is not None and r["d"] > 0]
+    widths = [int(r[d_al]) for r in probe if r[d_al] is not None and r[d_al] > 0]
     if not widths:
         return df, []  # no row with a non-empty vector anywhere
     width = max(set(widths), key=lambda w: (widths.count(w), -w))
@@ -641,6 +711,7 @@ def kmeans_summary(
     base = df.select(*need)
     fdf, centroids = _probe_and_seeds(base, vec_col, id_col, k)
     dims = len(centroids[0][1]) if centroids else 0
+    part = None
     if (
         centroids
         and dims >= 2
@@ -662,14 +733,27 @@ def kmeans_summary(
             centroids = _lloyd(
                 fdf, centroids, iters, _choose_method(k, dims, method), vec_col
             )
-            valid = base.where(
-                F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dims)
-            )
-            part = _summary_partials_blas(
-                valid, centroids, vec_col, label_col
-            ).localCheckpoint()
+            # clusters can drop during Lloyd: re-choose on the FINAL
+            # count exactly like kmeans_assign, so a shrunken problem
+            # falls back to the bit-exact codegen'd assignment instead
+            # of numpy distances (part stays None -> legacy finish)
+            if centroids and _choose_method(
+                len(centroids), dims, method
+            ) == "blas":
+                valid = base.where(
+                    F.col(vec_col).isNotNull()
+                    & (F.size(F.col(vec_col)) == dims)
+                )
+                part = _summary_partials_blas(
+                    valid, centroids, vec_col, label_col
+                ).localCheckpoint()
         finally:
             base.unpersist()
+    elif centroids:
+        centroids = _lloyd_persisted(
+            fdf, centroids, iters, _choose_method(k, dims, method), vec_col
+        )
+    if part is not None:
         out = part.groupBy(F.col("cid").alias("cluster_id")).agg(
             F.sum("n").alias("n_vecs"),
             F.sum("q0").alias("_q0"),
@@ -681,18 +765,6 @@ def kmeans_summary(
             ),
         )
     else:
-        if centroids:
-            persisted = iters > 1
-            if persisted:
-                fdf = fdf.persist()
-            try:
-                centroids = _lloyd(
-                    fdf, centroids, iters,
-                    _choose_method(k, dims, method), vec_col,
-                )
-            finally:
-                if persisted:
-                    fdf.unpersist()
         assigned = kmeans_assign(df, centroids, vec_col, method)
         aggs = [
             F.count("*").alias("n_vecs"),

@@ -70,6 +70,21 @@ def _i64_ids(col):
     return ids, ok
 
 
+def _require_int_ids(df, id_col: str, caller: str) -> None:
+    """The BLAS routes stage ids as int64 vectors on BOTH sides; the
+    corpus side is guarded per batch by :func:`_i64_ids`, and this is
+    the query-side twin — without it a double id like 1.7 would silently
+    truncate through ``np.array(..., dtype=np.int64)`` into a wrong
+    ``query_id`` instead of raising."""
+    t = dict(df.dtypes).get(id_col)
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"{caller} stages {id_col!r} as an int64 vector; got type"
+            f" {t} (a float id like 1.7 would silently truncate — cast"
+            " the column to bigint upstream)"
+        )
+
+
 def _rb_vec_matrix(col, nd):
     """Arrow list column -> (float64 matrix, valid-row mask) for the BLAS
     kernels. The fast path reinterprets the list values buffer ZERO-COPY
@@ -474,6 +489,7 @@ def brute_force_topk_blas(
     import numpy as np
     import pandas as pd
 
+    _require_int_ids(queries, id_col, 'brute_force_topk_blas')
     q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
     if len(q_rows) > max_query_rows:
         raise ValueError(
@@ -799,6 +815,7 @@ def ivf_topk_blas(
     def _empty():
         return corpus.sparkSession.createDataFrame([], out_full)
 
+    _require_int_ids(queries, id_col, 'ivf_topk_blas')
     q_rows = (
         queries.where(F.col(vec_col).isNotNull())
         .select(id_col, vec_col)
@@ -1339,6 +1356,7 @@ def quantized_topk_blas(
     import numpy as np
     import pandas as pd
 
+    _require_int_ids(queries, id_col, 'quantized_topk_blas')
     q_rows = (
         queries.where(F.col(codes_col).isNotNull())
         .select(id_col, codes_col)

@@ -559,7 +559,15 @@ FROM ({O['q22_minhash_lsh_neardups']}) b""",
                 .trigger(availableNow=True)
                 .start()
             )
-            sq.awaitTermination(300)
+            try:
+                # a timed-out replay must raise, not feed a partial/empty
+                # state table to the cross-engine gate as if it drained
+                if not sq.awaitTermination(300):
+                    raise TimeoutError(
+                        "sgram replay did not drain within 300 s"
+                    )
+            finally:
+                sq.stop()  # never leave a query writing into a deleted ckpt
         sgram = spark.createDataFrame(srows, "i int, j int, g long").select(
             F.lit("sgram").alias("part"),
             F.col("i").cast("long").alias("k1"),

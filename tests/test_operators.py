@@ -754,6 +754,57 @@ def test_kmeans_summary_fused_blas_matches_assign_agg(spark):
         clustering.kmeans_summary(bad, k=4, iters=2, label_col="label").collect()
 
 
+def test_kmeans_fused_summary_null_semantics_and_aliases(spark):
+    """Code-review r8: (1) a cluster whose every member has a NULL
+    element 0 / NULL label must report NULL (SQL sum-over-NULL
+    semantics), not a fabricated 0, through the fused kernel; (2) a
+    vector column literally named 'd' must not collide with the probe's
+    width alias; (3) float query ids on the BLAS routes raise."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import clustering
+
+    # (1) direct kernel drive: all rows -> one centroid; elem0/labels NULL
+    df = spark.createDataFrame(
+        [(None, 2.0, None), (None, 4.0, None), (None, 6.0, None)],
+        "e0 double, e1 double, label int",
+    ).select(F.array("e0", "e1").alias("embedding"), "label")
+    part = clustering._summary_partials_blas(
+        df, [(7, [0.0, 0.0])], "embedding", "label"
+    )
+    agg = part.groupBy("cid").agg(
+        F.sum("n").alias("n"), F.sum("q0").alias("q0"),
+        F.sum("q1").alias("q1"), F.sum("lsum").alias("lsum"),
+    ).collect()
+    assert len(agg) == 1 and agg[0].n == 3
+    assert agg[0].q0 is None and agg[0].lsum is None
+    # floor(2*S) + floor(4*S) + floor(6*S) = 12*S exactly
+    assert agg[0].q1 == 12 * int(clustering._SCALE)
+
+    # (2) vec_col named 'd' (and id named 'c') — the probe aliases must
+    # not shadow user columns
+    dd = spark.range(30).select(
+        F.col("id").alias("c"),
+        F.array((F.col("id") % 3).cast("double"), F.lit(1.0)).alias("d"),
+    )
+    cents = clustering.kmeans_centroids(dd, vec_col="d", id_col="c", k=3, iters=1)
+    assert len(cents) == 3
+
+    # (3) float query ids raise on every BLAS route
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    fq = spark.createDataFrame(
+        [(1.7, [1.0, 0.0])], "vec_id double, embedding array<double>"
+    )
+    for fn in (
+        lambda: similarity.brute_force_topk_blas(corpus, fq, k=1),
+        lambda: similarity.ivf_topk_blas(corpus, fq, k=1),
+    ):
+        with pytest.raises(TypeError, match="bigint"):
+            fn()
+
+
 def test_kmeans_deterministic_under_repartition(spark):
     from pyspark.sql import functions as F
 
