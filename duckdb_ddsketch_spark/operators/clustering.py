@@ -363,11 +363,26 @@ def _summary_partials_blas(
                 continue
             d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
             idx = np.argmin(d, axis=1)
-            np.add.at(n_acc, idx, 1)
+            # counts ride np.bincount (buffered C); only the exact value
+            # sums need the unbuffered np.add.at scatter. Null-presence
+            # counts piggyback on bc in the no-nulls fast path and
+            # scatter only the (rare) missing rows otherwise.
+            bc = np.bincount(idx, minlength=k)
+            n_acc += bc
             q = _quantize_i64(X[:, :2])
             _check_sat(q)
             np.add.at(q_acc, idx, q)
-            np.add.at(nn_acc, idx, _elem01_present(rb.column(0), ok, len(X)))
+            nn = _elem01_present(rb.column(0), ok)
+            if nn is None:
+                nn_acc[:, 0] += bc
+                nn_acc[:, 1] += bc
+            else:
+                nn_acc[:, 0] += bc - np.bincount(
+                    idx[nn[:, 0] == 0], minlength=k
+                )
+                nn_acc[:, 1] += bc - np.bincount(
+                    idx[nn[:, 1] == 0], minlength=k
+                )
             if label_col is not None:
                 lab_col = rb.column(1)
                 # NULL labels contribute 0 to the sum (sum()'s NULL skip)
@@ -375,16 +390,20 @@ def _summary_partials_blas(
                 lab = pc.fill_null(
                     pc.cast(lab_col, pa.int64()), 0
                 ).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-                if lab_col.null_count == 0:
-                    lv = np.ones(len(lab_col), dtype=np.int64)
-                else:
-                    lv = lab_col.is_valid().to_numpy(
-                        zero_copy_only=False
-                    ).astype(np.int64)
+                lv = (
+                    None
+                    if lab_col.null_count == 0
+                    else lab_col.is_valid().to_numpy(zero_copy_only=False)
+                )
                 if ok is not None:
-                    lab, lv = lab[ok], lv[ok]
+                    lab = lab[ok]
+                    if lv is not None:
+                        lv = lv[ok]
                 np.add.at(l_acc, idx, lab)
-                np.add.at(nl_acc, idx, lv)
+                if lv is None:
+                    nl_acc += bc
+                else:
+                    nl_acc += bc - np.bincount(idx[~lv], minlength=k)
         nz = np.flatnonzero(n_acc)
         if not len(nz):
             return
@@ -410,19 +429,27 @@ def _summary_partials_blas(
     return df.select(*cols).mapInArrow(fn, schema)
 
 
-def _elem01_present(col, keep, n_kept):
-    """(n_kept, 2) int64 flags: list elements 0 and 1 non-NULL for the
-    kept rows — the nullity that ``sum(try_element_at(...))`` carries
-    but the NaN-projected matrix loses (a NULL element and a NaN element
-    both become NaN in :func:`_rb_vec_matrix`; only the NULL is skipped
-    by SQL ``sum``, though both contribute 0 numerically — so the flags
-    matter exactly when a cluster has NO non-NULL contribution)."""
+def _elem01_present(col, keep):
+    """Per-kept-row 0/1 flags for list elements 0 and 1 being non-NULL,
+    or ``None`` when the batch has no element nulls at all (the
+    overwhelmingly common case — callers then credit full counts without
+    a scatter). This is the nullity that ``sum(try_element_at(...))``
+    carries but the NaN-projected matrix loses (a NULL element and a NaN
+    element both become NaN in :func:`_rb_vec_matrix`; only the NULL is
+    skipped by SQL ``sum``, though both contribute 0 numerically — so
+    the flags matter exactly when a cluster has NO non-NULL
+    contribution).
+
+    Validity is read from ``col.values`` with the ABSOLUTE ``offsets`` —
+    ``col.flatten()`` compacts the slicing offset away and would
+    misalign the lookup on sliced batches (empirically pinned in
+    tests)."""
     import numpy as np
 
-    flat = col.flatten()
-    if flat.null_count == 0:
-        return np.ones((n_kept, 2), dtype=np.int64)
-    va = flat.is_valid().to_numpy(zero_copy_only=False)
+    vals = col.values
+    if vals.null_count == 0:
+        return None
+    va = vals.is_valid().to_numpy(zero_copy_only=False)
     offs = np.asarray(col.offsets)[:-1]
     if keep is not None:
         offs = offs[keep]

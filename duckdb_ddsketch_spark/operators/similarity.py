@@ -77,6 +77,11 @@ def _require_int_ids(df, id_col: str, caller: str) -> None:
     truncate through ``np.array(..., dtype=np.int64)`` into a wrong
     ``query_id`` instead of raising."""
     t = dict(df.dtypes).get(id_col)
+    if t is None:
+        raise TypeError(
+            f"{caller}: id column {id_col!r} does not exist in the query"
+            f" frame (columns: {df.columns})"
+        )
     if t not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(
             f"{caller} stages {id_col!r} as an int64 vector; got type"
@@ -498,6 +503,13 @@ def brute_force_topk_blas(
             "ivf_topk for large query sets (the scale paths), or raise "
             "max_query_rows explicitly if the driver can hold the matrix."
         )
+    # NULL ids drop like the corpus side's _i64_ids mask (np.int64
+    # staging would otherwise crash opaquely on None)
+    q_rows = [r for r in q_rows if r[0] is not None]
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -840,7 +852,10 @@ def ivf_topk_blas(
     width = max(widths, key=lambda w: (counts[w], -w))
     if width == 0:
         return _empty()
-    q_rows = [r for r in q_rows if len(r[1]) == width]
+    # NULL ids drop like the corpus side's _i64_ids mask
+    q_rows = [r for r in q_rows if len(r[1]) == width and r[0] is not None]
+    if not q_rows:
+        return _empty()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -1371,6 +1386,12 @@ def quantized_topk_blas(
             "dequantize and route through the lsh_topk/ivf_topk scale "
             "paths; or raise max_query_rows explicitly if the driver can "
             "hold the matrix."
+        )
+    # NULL ids drop like the corpus side's _i64_ids mask
+    q_rows = [r for r in q_rows if r[0] is not None]
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, qdot long, rank int"
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)

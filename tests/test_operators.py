@@ -797,12 +797,81 @@ def test_kmeans_fused_summary_null_semantics_and_aliases(spark):
     fq = spark.createDataFrame(
         [(1.7, [1.0, 0.0])], "vec_id double, embedding array<double>"
     )
+    qc = spark.createDataFrame(
+        [(1.7, [1, 0])], "vec_id double, qcodes array<int>"
+    )
     for fn in (
         lambda: similarity.brute_force_topk_blas(corpus, fq, k=1),
         lambda: similarity.ivf_topk_blas(corpus, fq, k=1),
+        lambda: similarity.quantized_topk_blas(
+            corpus.select("vec_id", F.transform("embedding", lambda x: x.cast("int")).alias("qcodes")),
+            qc, k=1,
+        ),
     ):
         with pytest.raises(TypeError, match="bigint"):
             fn()
+    # a missing id column names the real problem, not float truncation
+    with pytest.raises(TypeError, match="does not exist"):
+        similarity.brute_force_topk_blas(corpus, fq.withColumnRenamed("vec_id", "x"), k=1)
+
+
+def test_blas_null_query_ids_drop_instead_of_crashing(spark):
+    """Code-review r8 pass 2: a NULL query id crashed the np.int64
+    staging on all three BLAS routes with an opaque TypeError while the
+    corpus side drops NULL ids via _i64_ids — queries must get the same
+    drop semantics, and an all-NULL query set returns empty."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(None, [1.0, 0.0]), (9, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = similarity.brute_force_topk_blas(corpus, q, k=2).collect()
+    assert {r.query_id for r in got} == {9}
+    lcorp = corpus.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    got = similarity.ivf_topk_blas(lcorp, q, k=2, nprobe=2).collect()
+    assert {r.query_id for r in got} == {9}
+    qcorp = corpus.select(
+        "vec_id", F.transform("embedding", lambda x: (x * 10).cast("int")).alias("qcodes")
+    )
+    qq = q.select(
+        "vec_id", F.transform("embedding", lambda x: (x * 10).cast("int")).alias("qcodes")
+    )
+    got = similarity.quantized_topk_blas(qcorp, qq, k=2).collect()
+    assert {r.query_id for r in got} == {9}
+    # all-NULL query ids -> empty result with the right schema, no crash
+    zq = q.where(F.col("vec_id").isNull())
+    assert similarity.brute_force_topk_blas(corpus, zq, k=2).count() == 0
+    assert similarity.ivf_topk_blas(lcorp, zq, k=2).count() == 0
+    assert similarity.quantized_topk_blas(
+        qcorp, zq.select("vec_id", F.transform("embedding", lambda x: (x * 10).cast("int")).alias("qcodes")), k=2
+    ).count() == 0
+
+
+def test_elem01_present_sliced_and_null_slot_alignment():
+    """Code-review r8 pass 2: _elem01_present must read validity from
+    col.values with ABSOLUTE offsets — col.flatten() compacts the
+    slicing offset away and misaligns the lookup on sliced batches."""
+    import numpy as np
+    import pyarrow as pa
+
+    from duckdb_ddsketch_spark.operators.clustering import _elem01_present
+
+    a = pa.array(
+        [[1.0, None], [3.0, 4.0], [5.0, 6.0], [None, 8.0]],
+        pa.list_(pa.float64()),
+    )
+    s = a.slice(1, 3)  # rows [3,4], [5,6], [None,8]
+    out = _elem01_present(s, None)
+    assert out.tolist() == [[1, 1], [1, 1], [0, 1]]
+    # keep-mask path: drop the middle row
+    keep = np.array([True, False, True])
+    assert _elem01_present(s, keep).tolist() == [[1, 1], [0, 1]]
+    # no element nulls anywhere -> fast-path None (caller credits counts)
+    clean = pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64()))
+    assert _elem01_present(clean, None) is None
 
 
 def test_kmeans_deterministic_under_repartition(spark):
