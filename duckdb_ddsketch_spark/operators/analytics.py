@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["cohort_retention"]
+__all__ = ["cohort_retention", "funnel"]
 
 
 def cohort_retention(
@@ -47,9 +47,13 @@ def cohort_retention(
     )
     if max_offset is not None:
         joined = joined.where(F.col("offset") <= max_offset)
+    # plain count, not count_distinct: `active` is distinct (user,
+    # bucket) and offset is a bijection of bucket given the user's fixed
+    # cohort, so (cohort, offset, user) rows are already unique — a
+    # distinct-aggregate would pay a second expansion phase for nothing
     return (
         joined.groupBy("cohort", "offset")
-        .agg(F.count_distinct("__u").alias("n_users"))
+        .agg(F.count("__u").alias("n_users"))
     )
 
 

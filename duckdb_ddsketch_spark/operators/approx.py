@@ -51,7 +51,6 @@ __all__ = [
     "kmv_set_estimates",
 ]
 
-_HEX = "0123456789abcdef"
 
 
 def hll_alpha(m: int) -> float:

@@ -64,23 +64,49 @@ def retention_report(
     if n_days > 63:
         raise ValueError("retention_report covers single-word ranges (<= 63 days)")
     offs = list(offsets)
+    if any(o < 1 for o in offs):
+        # offset 0 is degenerate (n_ret == n_active) and a NEGATIVE offset
+        # would shift by a negative count, which the JVM masks mod 64 —
+        # silent wraparound, never a sensible retention question
+        raise ValueError(f"offsets must be >= 1, got {offs}")
+    extra = [c for c in bitmaps.columns if c not in ("user", "word_idx", "bits")]
+    if extra:
+        raise ValueError(
+            f"retention_report counts each 'user' row once; extra columns"
+            f" {extra} indicate a keyed index whose per-key rows would"
+            " double-count users — pre-merge first, e.g."
+            " bitmaps.groupBy('user', 'word_idx').agg(bit_or('bits'))"
+        )
+    # only word 0 holds days 0..62 — a multi-word index's later words
+    # would otherwise alias days >= 63 onto the report grid AND
+    # double-count their users (one row per word)
+    src = (
+        bitmaps.where(F.col("word_idx") == 0)
+        if "word_idx" in bitmaps.columns
+        else bitmaps
+    )
+    # an offset past the horizon has no (d, d+o) pair inside it: its
+    # column is exactly zero. Building its filter anyway would hit
+    # sequence(0, negative), which Spark generates DESCENDING — negative
+    # day indices and mod-64-masked shifts, i.e. garbage counts.
+    in_range = [o for o in offs if o <= n_days - 1]
     sets = [
         f"filter(sequence(0, {n_days - 1}),"
         " d -> (shiftright(bits, CAST(d AS INT)) & 1) = 1) AS a0"
     ]
-    for o in offs:
+    for o in in_range:
         sets.append(
             f"filter(sequence(0, {n_days - 1 - o}),"
             f" d -> (shiftright(bits, CAST(d AS INT)) & 1) = 1"
             f" AND (shiftright(bits, CAST(d + {o} AS INT)) & 1) = 1) AS a{o}"
         )
-    arrays = bitmaps.selectExpr("user", *sets)
+    arrays = src.selectExpr("user", *sets)
     out = (
         arrays.select(F.explode("a0").alias("day_idx"))
         .groupBy("day_idx")
         .agg(F.count("*").alias("n_active"))
     )
-    for o in offs:
+    for o in in_range:
         ret = (
             arrays.select(F.explode(f"a{o}").alias("day_idx"))
             .groupBy("day_idx")
@@ -94,6 +120,8 @@ def retention_report(
             F.coalesce(F.col(f"n_ret{o}"), F.lit(0).cast("long")).alias(
                 f"n_ret{o}"
             )
+            if o in in_range
+            else F.lit(0).cast("long").alias(f"n_ret{o}")
             for o in offs
         ],
     )

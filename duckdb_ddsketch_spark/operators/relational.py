@@ -62,7 +62,11 @@ def asof_join(
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
-    right_cols = list(right_cols)
+    # the match timestamp is ALWAYS emitted (as right_ts + suffix) from the
+    # payload struct's __rts slot; listing it in an explicit right_cols
+    # would emit a second column under the same name -> every downstream
+    # reference raises AMBIGUOUS_REFERENCE
+    right_cols = [c for c in right_cols if c != right_ts]
 
     # tag orders equal timestamps so the right row at ts == left ts is
     # visible to the left row (inclusive match) in both directions.

@@ -36,6 +36,12 @@ def hash_threshold_hex(fraction: float) -> str:
     hex->int cast differences)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        # 16**15 formats as SIXTEEN chars ('1000…0'); compared against a
+        # 15-char hash lexicographically that keeps only hashes starting
+        # with '0' (~1/16 of rows) instead of all of them. 'g' sorts
+        # above every hex digit, so every hash compares below it.
+        return "g"
     return format(int(fraction * (16**_HEX_DIGITS)), "015x")
 
 
@@ -213,7 +219,13 @@ def priority_sample(
     ).cast("double")
     u = (h + F.lit(0.5)) / F.lit(float(1 << 52))
     w = weight.cast("double")
-    key = F.when(w > 0, F.log(u) / w)  # NULL (never wins) otherwise
+    # NaN guard: Spark's NaN compares GREATER than every number, so a NaN
+    # weight (e.g. 0.0/0.0 upstream) passes `w > 0`, keys NaN, and NaN
+    # sorts ABOVE everything in the descending window — one corrupt row
+    # would win a slot in every stratum. NaN joins <= 0 / NULL as a loser.
+    key = F.when((w > 0) & ~F.isnan(w), F.log(u) / w)  # NULL otherwise
+    # (F.log(u) is always finite: u is strictly inside (0, 1) by the
+    # 52-bit construction above, so key itself cannot be NaN)
     scored = df.withColumn("__k", key).where(F.col("__k").isNotNull())
 
     def topn(frame: DataFrame, parts: Sequence) -> DataFrame:

@@ -9,6 +9,7 @@ schema quirks and centralize reads so filters/column pruning reach the scan.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -26,7 +27,10 @@ TABLES = (
 )
 
 
-_TABLE_CACHE: dict = {}
+# keyed on the live session OBJECT (weakly): an id()-keyed dict would
+# hand a NEW session a DataFrame bound to a STOPPED one whenever CPython
+# reuses the address, and would pin dead sessions' plans forever
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
@@ -58,15 +62,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table, normalizing the ``ts`` timestamp encoding
     (see :func:`_normalize_ts`). DataFrames (lazy plans — no data) are
     memoized per session so repeated queries skip file re-listing."""
-    key = (id(spark), sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_ts(df)
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 
@@ -191,11 +196,17 @@ def zorder_expr(ranges, bits: int = 12) -> F.Column:
     terms = []
     for i, (col, (lo, hi)) in enumerate(ranges.items()):
         span = float(hi) - float(lo)
-        if span <= 0:
-            continue  # constant column contributes nothing to ordering
+        if not span > 0:  # constant column — or NaN span from NaN bounds —
+            continue  # contributes nothing to ordering ('<= 0' would let
+            # span=NaN through: the scaled CAST then throws under ANSI)
         scaled = (
-            f"CAST(LEAST(GREATEST((CAST(`{col}` AS DOUBLE) - {float(lo)!r})"
-            f" / {span!r}, 0.0d), 1.0d) * {top} AS BIGINT)"
+            # nanvl INSIDE the clamp: a NaN value would otherwise ride
+            # GREATEST (NaN compares greatest) into LEAST and emerge as
+            # 1.0 — silently keying every NaN row to the TOP bucket;
+            # degenerate values belong with the bucket-0 edge instead
+            f"CAST(LEAST(GREATEST(nanvl((CAST(`{col}` AS DOUBLE)"
+            f" - {float(lo)!r}) / {span!r}, 0.0d), 0.0d), 1.0d)"
+            f" * {top} AS BIGINT)"
         )
         for b in range(bits):
             terms.append(
@@ -229,9 +240,14 @@ def zorder_write(
     cols = list(cols)
     aggs = []
     for c in cols:
+        # NaN-safe bounds: Spark's max() returns NaN when ANY value is NaN
+        # (NaN compares greatest), which would poison span for the whole
+        # column; NaN rows themselves key to bucket 0 in zorder_expr
+        cd = F.col(c).cast("double")
+        nn = F.when(~F.isnan(cd), cd)
         aggs += [
-            F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            F.min(nn).alias(f"__lo_{c}"),
+            F.max(nn).alias(f"__hi_{c}"),
         ]
     b = df.agg(*aggs).first()
     ranges = {c: (b[f"__lo_{c}"], b[f"__hi_{c}"]) for c in cols}

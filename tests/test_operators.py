@@ -1177,6 +1177,64 @@ def test_retention_report_known_pattern(spark):
     assert rows[14].n_active == 1 and rows[14].n_ret7 == 0
 
 
+def test_retention_report_review_r8_hardening(spark):
+    """Code-review r8 pass 3: (a) an offset >= n_days previously built
+    sequence(0, negative) — Spark generates it DESCENDING, so negative
+    day indices hit mod-64-masked shifts and reported garbage; it must
+    report exact zeros. (b) offsets < 1 raise. (c) a multi-word index's
+    later words must not alias days >= 63 onto the grid or double-count
+    users. (d) a keyed index raises instead of double-counting."""
+    from duckdb_ddsketch_spark.operators import bitmap
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 7), (2, 0), (3, 70)], "u LONG, d INT"
+    )
+    masks = bitmap.activity_bitmap(df, "u", "d")
+    # u3 is active only on day 70 (word 1): within a 20-day horizon it
+    # appears nowhere — previously its word-1 row aliased onto day 7
+    rows = {
+        r.day_idx: r
+        for r in bitmap.retention_report(masks, 20, (7, 25)).collect()
+    }
+    assert rows[0].n_active == 2 and rows[0].n_ret7 == 1
+    assert 7 in rows and rows[7].n_active == 1
+    assert all(r.n_ret25 == 0 for r in rows.values())  # horizon-exceeding
+    with pytest.raises(ValueError, match=">= 1"):
+        bitmap.retention_report(masks, 20, (0,))
+    keyed = bitmap.activity_bitmap(
+        df.withColumn("grp", F.col("u") % 2), "u", "d", keys=["grp"]
+    )
+    with pytest.raises(ValueError, match="double-count"):
+        bitmap.retention_report(keyed, 20, (7,))
+
+
+def test_hash_sample_fraction_one_keeps_everything(spark):
+    """Code-review r8 pass 3: fraction=1.0 formatted to a 16-char
+    threshold ('015x' is a MINIMUM width), and the 15-char hash compared
+    below it only when starting with '0' — ~94% of rows silently dropped
+    at the 'disable sampling' setting."""
+    from duckdb_ddsketch_spark.operators import sampling
+
+    df = spark.range(400).withColumnRenamed("id", "k")
+    assert sampling.hash_sample(df, 1.0, "k").count() == 400
+    assert sampling.hash_sample(df, 0.0, "k").count() == 0
+    mid = sampling.hash_sample(df, 0.5, "k").count()
+    assert 120 <= mid <= 280  # unchanged behavior for interior fractions
+
+
+def test_priority_sample_nan_weight_never_wins(spark):
+    """Code-review r8 pass 3: NaN > 0 is TRUE in Spark and NaN sorts
+    above every number, so a NaN weight (0.0/0.0 upstream) won a slot in
+    every stratum ahead of all legitimate rows."""
+    from duckdb_ddsketch_spark.operators import sampling
+
+    rows = [(i, "s", 1.0) for i in range(20)] + [(99, "s", float("nan"))]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = sampling.priority_sample(df, 5, F.col("w"), "id", strata=["g"])
+    assert 99 not in {r.id for r in out.collect()}
+    assert out.count() == 5
+
+
 def test_pack_sequences_budget_and_reconciliation(spark):
     """Greedy packing: seq assignment is by cumulative-tokens-before;
     manifest token totals reconcile exactly with the corpus."""

@@ -71,6 +71,20 @@ def test_asof_column_collision_gets_suffix(spark, frames):
     assert "v_r" in j.columns and "v" in j.columns
 
 
+def test_asof_explicit_right_cols_including_ts_not_ambiguous(spark, frames):
+    """Code-review r8 pass 3: listing the right timestamp in an explicit
+    right_cols emitted TWO columns under the same name (the __rts slot
+    plus the loop's copy) — every downstream reference then raised
+    AMBIGUOUS_REFERENCE. The match timestamp is always emitted; an
+    explicit list must exclude it like the None default does."""
+    left, right = frames
+    j = relational.asof_join(left, right, ["k"], right_cols=["ts", "v"])
+    assert j.columns.count("ts_r") == 1
+    # and it still carries the matched values
+    got = {r.k: r.v for r in j.collect() if r.v is not None}
+    assert got  # at least one backward match exists in the fixture
+
+
 def test_sessionize_gaps_and_ties(spark):
     rows = [
         (1, ts(0), 1),

@@ -360,6 +360,36 @@ def test_zorder_expr_matches_python_reference(spark):
     assert order == sorted(order)
 
 
+def test_zorder_nan_rows_key_low_and_bounds_stay_finite(spark, tmp_path):
+    """Code-review r8 pass 3: a single NaN in an ordering column made
+    max() return NaN (NaN compares greatest), poisoning span for the
+    whole column; and a NaN VALUE rode GREATEST->LEAST into the TOP
+    bucket. NaN rows must key to the bucket-0 edge and the layout job
+    must complete with finite per-column ranges."""
+    from duckdb_ddsketch_spark.sources import zorder_expr, zorder_write
+
+    rows = [(float(i), float(i % 7)) for i in range(100)]
+    rows[5] = (float("nan"), 3.0)
+    df = spark.createDataFrame(rows, "x double, y double")
+    # expression level: NaN keys like the low edge, not the top
+    z = {
+        i: r.z
+        for i, r in enumerate(
+            df.withColumn(
+                "z", zorder_expr({"x": (0.0, 99.0), "y": (0.0, 6.0)}, 4)
+            ).collect()
+        )
+    }
+    # NaN row's x-contribution must equal the x=0 row's x-contribution
+    x_bits_nan = z[5] & int("0101010101010101", 2)
+    x_bits_zero = z[0] & int("0101010101010101", 2)
+    assert x_bits_nan == x_bits_zero
+    # end-to-end: the write completes and all 100 rows round-trip
+    out = str(tmp_path / "znan")
+    zorder_write(df, out, ["x", "y"], bits=4, num_files=4)
+    assert spark.read.parquet(out).count() == 100
+
+
 def test_compact_sketch_table_idempotent(spark, sf_dir, tmp_path):
     """Re-compacting an already-compacted store at the same grain is a
     byte-identical no-op — safe for at-least-once compaction schedulers."""
