@@ -34,6 +34,13 @@ def _scan_token_spans(sql: str):
         if c == "'":
             j = i + 1
             while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    # Spark's default parser honors backslash escapes in
+                    # string literals ('don\'t'): skipping the escaped
+                    # char keeps the scanner from ending the string early
+                    # and inverting every later string/code region
+                    j += 2
+                    continue
                 if sql[j] == "'":
                     if j + 1 < n and sql[j + 1] == "'":  # escaped ''
                         j += 2

@@ -51,6 +51,7 @@ __all__ = [
     "ddsketch_stats",
     "ddsketch_stats_full",
     "ddsketch_prepare",
+    "ddsketch_prepare_sql",
     "STATS_SCHEMA",
     "STATS_FULL_SCHEMA",
 ]

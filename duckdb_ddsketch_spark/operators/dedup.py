@@ -3,10 +3,14 @@ embedding-cosine near-dup.
 
 Scale design notes (the 100 TB reasoning, per operator):
 
-* **exact**: ``groupBy(md5(normalized_text))`` — partial aggregation means
-  the shuffle carries one (hash, count, min_id) per map task per distinct
-  text. Never collects; canonical-id assignment is a broadcast-free
-  self-contained aggregate.
+* **exact**: the SUMMARY form (``exact_dedup_summary``) is the scale path —
+  ``groupBy(md5(normalized_text))`` with partial aggregation, so the shuffle
+  carries one (hash, count, min_id) per map task per distinct text and never
+  collects. The per-row labeling form (``exact_dedup``) necessarily moves
+  whole rows once (a window keyed on the hash — ANY per-row group label
+  does: a groupBy+join-back would shuffle the rows too, plus an extra
+  aggregate), so at corpus scale label with it once and write the result,
+  or filter through ``incremental_dedup``'s anti-join instead.
 * **MinHash**: signatures are computed *per row with no shuffle at all*
   (``array_min`` over md5-transformed shingles, one expression per hash
   seed); md5 is deterministic across engines and partitions. LSH banding
@@ -41,13 +45,17 @@ __all__ = [
     "normalize_text",
     "exact_dedup",
     "exact_dedup_summary",
+    "repeated_spans",
     "minhash_signature",
+    "minhash_signatures_df",
     "ngram_contamination",
     "incremental_dedup",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "minhash_lsh_dedup",
+    "duplicate_clusters",
     "simhash",
+    "simhash_df",
     "simhash_pairs",
 ]
 
@@ -201,6 +209,13 @@ def lsh_candidate_pairs(
     →bucket collect (size-capped against skew) →intra-bucket pairs →distinct.
     Returns (id_a, id_b), id_a < id_b.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: the"
+            f" trailing {num_hashes % bands} signature hashes would be"
+            " computed but silently never banded, shifting the LSH"
+            " threshold curve away from what was requested"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures_df(df, text, id_col, num_hashes, ngram)
     banded = sigs.select(
@@ -273,6 +288,21 @@ def jaccard_pairs(
             F.col("df_cnt") <= max_df
         )
         sh = sh.join(keep.select("s"), "s")
+    if candidates is not None:
+        # Restrict the shingle sides to candidate documents BEFORE the
+        # self-join: Catalyst cannot push the post-aggregate candidates
+        # join below the groupBy, so without this a single hot shingle
+        # (boilerplate footer in 100k docs) still exploded quadratically
+        # on the LSH-verify path despite max_bucket capping the buckets.
+        # Applied AFTER the max_df document-frequency filter so df_cnt
+        # keeps counting over the WHOLE corpus (same shingle universe,
+        # same Jaccard values — only non-candidate rows are pruned).
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, "id", "left_semi")
     # Sizes must come from the SAME shingle universe as the intersection
     # counts (i.e. after the max_df filter), or Jaccard is underestimated
     # whenever max_df drops shingles.
@@ -470,6 +500,13 @@ def simhash_pairs(
     bucket-join per block → verify with bit_count(xor). Same shuffle shape
     as MinHash-LSH: tiny keyed rows, never the text.
     """
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks={blocks} must exceed max_hamming={max_hamming}: the"
+            " pigeonhole guarantee needs more blocks than differing bits,"
+            " else pairs inside the bound can differ in every block and"
+            " silently vanish from the result"
+        )
     block_bits = bits // blocks
     base = simhash_df(df, text, id_col, bits).withColumnRenamed("sh", "sig")
     banded = base.select(

@@ -260,6 +260,11 @@ def sample_frames(
             out = []
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload) if row.payload is not None else b""
+                if not payload:
+                    # NULL/empty media yields ZERO frames — fabricating one
+                    # empty frame inflated downstream frame counts and
+                    # contradicted extract_features' NULL propagation
+                    continue
                 for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
                     out.append(
                         (row.media_id, i, payload[i * every_n_bytes : (i + 1) * every_n_bytes])

@@ -2094,6 +2094,7 @@ def q46(spark, sf_dir):
         FROM documents,
              (SELECT CAST(unnest(range(0, 8)) AS INT) AS frame_no) f
         WHERE f.frame_no < least(8, greatest(1, len(text) // 128))
+          AND len(text) > 0  -- empty media: zero frames (both engines)
     )
     SELECT media_id, CAST(frame_no AS INT) AS frame_no,
            md5(frame_text) AS frame_md5,

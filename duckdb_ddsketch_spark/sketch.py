@@ -235,6 +235,11 @@ class DDSketch:
             return None
         if v is None or math.isnan(v):
             return None
+        if math.isinf(v):
+            # mathematically exact, and value_to_bin(inf) would raise
+            # OverflowError (math.ceil(inf)) — the one probe value that
+            # previously crashed a job instead of answering
+            return 1.0 if v > 0.0 else 0.0
         negative_count = sum(self.negative_bins.values())
         if v > 0.0:
             b = self.value_to_bin(v)

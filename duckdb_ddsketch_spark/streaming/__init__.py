@@ -369,7 +369,12 @@ def sessionized_gap_stats(
     if tiebreak:
         cols.append(F.col(tiebreak).alias("__tb"))
     return (
-        stream.select(*cols)
+        # NULL key/timestamp rows drop like every other operator in this
+        # module: a NULL __us reaches pandas as NaN (nullable LongType ->
+        # float64) and int(NaN) would KILL the streaming query on one
+        # malformed row
+        stream.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(*cols)
         .groupBy("key")
         .applyInPandasWithState(
             update,

@@ -328,6 +328,27 @@ def test_rewrite_filter_string_and_comment_safety():
     assert rewrite_stats_agg(s) == s
 
 
+def test_rewrite_backslash_escaped_quote_in_literal(spark, fixtures):
+    """Code-review r8 pass 4: Spark's default parser honors backslash
+    escapes in string literals ('don\\'t'); the span scanner ended the
+    string at the escaped quote, inverting string/code regions so a
+    later ddsketch_stats_agg was never rewritten (undefined function)."""
+    from duckdb_ddsketch_spark.functions.rewrite import rewrite_stats_agg
+
+    sql = (
+        "SELECT 'don\\'t' AS note, ddsketch_stats_agg(latency_sketch) AS st"
+        " FROM hourly_latency_sketches"
+    )
+    out = rewrite_stats_agg(sql)
+    assert "ddsketch_stats_full(ddsketch_agg(latency_sketch))" in out
+    # and it executes end-to-end through the session wrapper
+    row = spark.sql(sql).collect()[0]
+    assert row.note == "don't" and row.st["count"] > 0
+    # conversely: the name INSIDE an escaped literal stays untouched
+    s2 = "SELECT 'it\\'s ddsketch_stats_agg(x)' AS doc FROM hourly_latency_sketches"
+    assert rewrite_stats_agg(s2) == s2
+
+
 def test_rewrite_filter_comment_edge_cases(spark, fixtures):
     """Round-6 review regressions: (1) a line comment inside the FILTER
     condition must not comment out the spliced THEN; (2) a comment

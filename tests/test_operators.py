@@ -90,9 +90,36 @@ def test_simhash_near_for_near_dups(spark, docs):
 def test_simhash_pairs_banding(spark, docs):
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in dedup.simhash_pairs(docs, max_hamming=10).collect()
+        for r in dedup.simhash_pairs(docs, max_hamming=10, blocks=12).collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    # r8 review: blocks <= max_hamming silently lost the pigeonhole
+    # recall guarantee (a qualifying pair can differ in every block) —
+    # the old max_hamming=10 / blocks=4 call must now fail loudly
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(docs, max_hamming=10)
+    # likewise LSH bands that do not divide num_hashes dropped trailing
+    # signature hashes silently
+    with pytest.raises(ValueError, match="divide"):
+        dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=5)
+
+
+def test_jaccard_candidates_prune_before_self_join(spark, docs):
+    """r8 review: the candidates restriction must reach the shingle sides
+    BEFORE the self-join (Catalyst cannot push a join below the pair
+    aggregate), or a hot boilerplate shingle still explodes
+    quadratically on the LSH-verify path. Plan-pinned: the aggregate's
+    subtree must contain the semi-join."""
+    cands = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    out = dedup.jaccard_pairs(docs, threshold=0.0, candidates=cands)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(1, 3)}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    agg_at = plan.find("Aggregate")
+    semi_at = plan.find("LeftSemi")
+    assert semi_at != -1 and agg_at != -1 and semi_at > agg_at, plan[:2000]
+    # (plan strings print top-down: the semi-join appearing BELOW the
+    # first Aggregate line means it executes before the pair count)
 
 
 def test_brute_force_topk(spark):
@@ -199,6 +226,14 @@ def test_multimodal_frame_sampling(spark):
     assert len(frames) == 5
     assert sorted(r.frame_no for r in frames) == [0, 1, 2, 3, 4]
     assert all(len(r.frame_payload) == 1024 for r in frames)
+    # r8 review: NULL/empty media yields ZERO frames (previously one
+    # fabricated empty frame via max(1, ...)); a short payload still
+    # yields its single partial frame
+    edge = spark.createDataFrame(
+        [(2, None), (3, b""), (4, b"abc")], "media_id long, payload binary"
+    )
+    got = multimodal.sample_frames(edge, every_n_bytes=1024, max_frames=8).collect()
+    assert [(r.media_id, bytes(r.frame_payload)) for r in got] == [(4, b"abc")]
 
 
 def test_multimodal_real_decoder_capability_gated():

@@ -179,6 +179,11 @@ def test_sessionized_gap_stats_multibatch(spark, tmp_path):
 
     early = [ev(1, 0, 1), ev(1, 10, 2), ev(2, 0, 3)]
     late = [ev(1, 20, 4), ev(1, 120, 5), ev(2, 200, 6), ev(3, 0, 7)]
+    clean = early + late
+    # r8 review: a NULL timestamp reached pandas as NaN (nullable long ->
+    # float64) and int(NaN) KILLED the streaming query; malformed rows
+    # must drop, not fail the job (and must not perturb the clean stats)
+    late = late + [(8, 1, None), (9, None, t0)]
     schema = "event_id long, user_id long, ts timestamp"
     src = str(tmp_path / "sess_src")
     spark.createDataFrame(early, schema).coalesce(1).write.mode("overwrite").parquet(src)
@@ -209,7 +214,7 @@ def test_sessionized_gap_stats_multibatch(spark, tmp_path):
     q.awaitTermination(120)
     assert len(n_batches) >= 2, "expected one micro-batch per file"
 
-    batch_df = spark.createDataFrame(early + late, schema)
+    batch_df = spark.createDataFrame(clean, schema)
     s = sessionize(batch_df, ["user_id"], "ts", 1800, tiebreak="event_id")
     per = s.groupBy("user_id", "session_idx").agg(
         F.expr("count(*) AS n_events"),
