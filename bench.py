@@ -337,29 +337,35 @@ def run_duckdb(result: dict) -> None:
 
     from duckdb_ddsketch_spark.plans import declared
 
+    from duckdb_ddsketch_spark.sources import TABLES
+
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events"
-        " documents embeddings"
-    ).split():
+    # thread parity with Spark's local[CPUS] from the FIRST query: the
+    # default (all hardware cores) would give the headline oracles a
+    # different core budget than the families section below
+    con.execute(f"SET threads={CPUS}")
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     oracles = declared.STAGED_ORACLES
     ducks = {}
-    for name in HEADLINE:
+    # single-family attribution runs skip the headline/60M sections on
+    # BOTH engines — the flag exists to measure one family in a process
+    # that has done nothing else
+    for name in HEADLINE if not _ONLY else ():
         if name in oracles:
             sql = oracles[name]
             con.execute(sql).fetchall()  # warm (parquet in page cache)
             ducks[name] = _best3(lambda: con.execute(sql).fetchall(), key=f"duckdb:{name}")
-    result["duckdb_oracle"] = ducks
+    if not _ONLY:
+        result["duckdb_oracle"] = ducks
 
     # Same 60M-row workload in DuckDB (generation + binned quantile
     # aggregation, one query, all threads) — the apples-to-apples
     # scale-proxy comparison for the native path.
     import math as _math
 
-    con.execute(f"SET threads={CPUS}")
     _gamma = 1.0 + 2.0 * 0.01 / 0.99
     _lg = repr(_math.log(_gamma))
     duck_60m = f"""
@@ -386,10 +392,11 @@ def run_duckdb(result: dict) -> None:
            MIN(CASE WHEN c.cum > 0.99 * (t.total - 1) THEN c.bin END)
     FROM cum c JOIN tot t USING (grp) GROUP BY 1
     """
-    con.execute(duck_60m).fetchall()
-    t0 = time.perf_counter()
-    con.execute(duck_60m).fetchall()
-    result["duckdb_60m_sec"] = round(time.perf_counter() - t0, 3)
+    if not _ONLY:
+        con.execute(duck_60m).fetchall()
+        t0 = time.perf_counter()
+        con.execute(duck_60m).fetchall()
+        result["duckdb_60m_sec"] = round(time.perf_counter() - t0, 3)
 
     if FAMILIES:
         if _fam_on("streaming_windows") or _fam_on(
@@ -1200,10 +1207,7 @@ def run_spark_families(spark, result: dict) -> None:
         # batch recompute over the same staged files — the symmetric
         # counterpart of the DuckDB full-recompute row, so the bench
         # records both streaming-vs-IVM and batch-vs-batch.
-        from duckdb_ddsketch_spark.operators.native import (
-            gamma_of,
-            value_to_bin_expr,
-        )
+        from duckdb_ddsketch_spark.operators.native import gamma_of
 
         gamma = gamma_of(0.01)
         df = spark.read.schema("ts TIMESTAMP, key INT, value DOUBLE").parquet(
@@ -1298,25 +1302,36 @@ def main() -> None:
     timings: dict[str, float] = {}
     # Warm-up pass: JVM JIT, parquet footers, Python UDF workers. Excluded
     # from timings — we measure steady-state throughput, which is what
-    # extrapolates to long-running cluster workloads.
-    for name in HEADLINE:
+    # extrapolates to long-running cluster workloads. Single-family
+    # attribution runs (SPARK_GRAFT_BENCH_ONLY) skip the headline + native
+    # sections entirely: the flag's purpose is a process that has executed
+    # NOTHING before the selected family.
+    for name in HEADLINE if not _ONLY else ():
         queries[name](spark, SF_DIR).collect()
 
-    for name in HEADLINE:
+    for name in HEADLINE if not _ONLY else ():
         fn = queries[name]
         timings[name] = _best3(lambda: fn(spark, SF_DIR).collect(), key=f"spark:{name}")
 
-    total = round(sum(timings.values()), 3)
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    result.update(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf else SF_DIR,
-        }
-    )
+    sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        # a non-'sf<number>' dir must not throw AFTER the measurement
+        # loops and lose the whole record — fall back to the raw path
+        sf_label = float(sf_label)
+    except ValueError:
+        sf_label = SF_DIR
+    if not _ONLY:
+        result.update(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_label,
+            }
+        )
+    else:
+        result.update({"metric": "bench_only_families", "sf": sf_label})
 
     # Marginal throughput of the native sketch path at 100x the bench rows —
     # the number that extrapolates to cluster scale (per-query times above are
@@ -1334,12 +1349,13 @@ def main() -> None:
         )
         return native.sketch_quantile_agg(gen, ["grp"], "v", 0.01, (0.5, 0.95, 0.99))
 
-    native_60m().collect()
-    t0 = time.perf_counter()
-    native_60m().collect()
-    dt = time.perf_counter() - t0
-    result["native_sketch_rows_per_sec"] = int(N_60M / dt)
-    result["native_sketch_60m_sec"] = round(dt, 3)
+    if not _ONLY:
+        native_60m().collect()
+        t0 = time.perf_counter()
+        native_60m().collect()
+        dt = time.perf_counter() - t0
+        result["native_sketch_rows_per_sec"] = int(N_60M / dt)
+        result["native_sketch_60m_sec"] = round(dt, 3)
 
     if FAMILIES:
         run_spark_families(spark, result)

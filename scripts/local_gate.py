@@ -20,9 +20,7 @@ from duckdb_ddsketch_spark.plans.parity import frame_mismatches, normalize
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2:]
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from duckdb_ddsketch_spark.sources import TABLES  # one fixture list, shared with bench.py
 
 
 def main() -> int:

@@ -57,6 +57,18 @@ FAMILY_DESC = {
         "batch full recompute of the streaming windows (one-shot scan+groupBy,"
         " 5.86 M groups — documented distributed-plan floor, SCALING.md)"
     ),
+    "kmeans_15m_d64": (
+        "wide k-means (k=8, 2 Lloyd iters, 15 M×64-dim; Arrow+BLAS route,"
+        " fused partition-collapsed summary)"
+    ),
+    "gram_2m_x64": (
+        "Gram matrix (2 M×64 int8 codes, exact-integer XᵀX;"
+        " per-batch d×d collapse)"
+    ),
+    "pctrank_60m": (
+        "percentile-rank score normalization (60 M×25 groups;"
+        " binned pass + broadcast probe join)"
+    ),
 }
 
 
@@ -71,8 +83,15 @@ def _load_bench(arg: str | None) -> tuple[str, dict]:
     with open(path) as f:
         raw = json.load(f)
     # driver files wrap the bench line under "parsed"; a bare bench.py
-    # output line is already the dict
+    # output line is already the dict. "parsed": null means the driver's
+    # capture failed to parse that round's line — not a usable record.
     data = raw.get("parsed", raw)
+    if data is None or "spark_families_60m_sec" not in data:
+        raise SystemExit(
+            f"{os.path.basename(path)} has no parsed bench record"
+            " (parsed: null or missing families) — pass an older"
+            " BENCH_r*.json or a bare bench.py output file explicitly"
+        )
     return os.path.basename(path), data
 
 
@@ -152,7 +171,9 @@ def _splice(path: str, tag: str, body: str) -> None:
     )
     if not pat.search(text):
         raise SystemExit(f"{path}: markers refresh-docs:{tag} not found")
-    text = pat.sub(begin + "\n" + body + "\n" + end, text)
+    # lambda replacement: re.sub would interpret backslashes / group refs
+    # inside the generated body as regex escapes and corrupt the splice
+    text = pat.sub(lambda _m: begin + "\n" + body + "\n" + end, text)
     with open(path, "w") as f:
         f.write(text)
     print(f"wrote {tag} block -> {path}")
