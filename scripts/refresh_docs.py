@@ -115,8 +115,8 @@ def _families_block(src: str, data: dict) -> str:
     under = sum(1 for r in rows if r[3] <= 1.25)
     beat = sum(1 for r in rows if r[3] < 1.0)
     lines = [
-        f"Official `{src}` run (regenerate with `python"
-        " scripts/refresh_docs.py`):",
+        f"{'Official' if src.startswith('BENCH_r') else 'Local end-of-round'}"
+        f" `{src}` run (regenerate with `python scripts/refresh_docs.py`):",
         "",
         "| family (60 M rows) | Spark | DuckDB | ratio |",
         "|---|---|---|---|",
@@ -148,7 +148,7 @@ def _coverage_block(src: str, data: dict) -> str:
     )
     q = data.get("queries", {})
     return (
-        f"Official performance numbers (from `{src}`; regenerate with"
+        f"{'Official' if src.startswith('BENCH_r') else 'Local end-of-round'} performance numbers (from `{src}`; regenerate with"
         " `python scripts/refresh_docs.py` — do not hand-edit):"
         f" headline {data.get('value')} s over {len(q)} queries"
         f" (DuckDB oracle total"
