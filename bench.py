@@ -1306,6 +1306,24 @@ def main() -> None:
     # attribution runs (SPARK_GRAFT_BENCH_ONLY) skip the headline + native
     # sections entirely: the flag's purpose is a process that has executed
     # NOTHING before the selected family.
+    if _ONLY:
+        # minimal standardized warm-up for attribution runs: absorb
+        # JVM/codegen/Arrow-worker cold-start WITHOUT executing any other
+        # workload — the flag measures the family, not first-touch JIT
+        # (families >= 20 s run once, so the spike would otherwise land
+        # inside their single timed run)
+        from pyspark.sql import functions as _wF
+
+        spark.range(1_000_000, numPartitions=8).select(
+            _wF.sum("id")
+        ).collect()
+
+        def _noop(batches):
+            yield from batches
+
+        spark.range(100_000).select(
+            _wF.col("id").cast("double").alias("x")
+        ).mapInArrow(_noop, "x double").select(_wF.sum("x")).collect()
     for name in HEADLINE if not _ONLY else ():
         queries[name](spark, SF_DIR).collect()
 
