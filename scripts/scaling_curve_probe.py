@@ -1,0 +1,227 @@
+"""Measured scaling curves: family runtime vs input rows at three scales.
+
+SCALING.md's 100 TB arguments are structural ("the shuffle is bounded by
+keys x registers", "the corpus never shuffles"). This probe adds the
+measured counterpart on the local 32-core box: each family runs on
+generated data at 0.25x / 0.5x / 1.0x of its bench row count with its
+PER-ROW CHARACTER held constant — cardinality moduli (distinct docs,
+users, HLL key space) scale with n while structure parameters (group
+count, k, dims, query count, shard count) stay fixed, exactly the split
+a cluster scale-up preserves. If the work is row-bounded, the marginal
+log-log slope between the two largest scales sits at ~1.0 or below
+(fixed stage-scheduling overhead pulls it under); a slope clearly above
+1 exposes a hidden all-pairs / global-sort term that would detonate at
+cluster scale long before 100 TB.
+
+Prints one JSON line:
+    {family: {"rows": [...], "sec": [...], "marginal_slope": s}, ...}
+
+Usage: python scripts/scaling_curve_probe.py [fam1,fam2,...]
+Families: exact_dedup hll_distinct text_metrics sessionize pctrank
+          ann_quantized pack_manifest kmeans
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (constants + generator expressions only)
+
+CPUS = bench.CPUS
+SCALES = (0.25, 0.5, 1.0)
+
+
+def _gen(spark, n, expr_pairs, partitions=64):
+    return spark.range(int(n), numPartitions=partitions).selectExpr(
+        *[f"{e} AS {a}" for a, e in expr_pairs]
+    )
+
+
+# each entry: base_rows, run(spark, n) — moduli that define per-row
+# cardinality scale with n/base so duplicate/distinct character is constant
+def _exact_dedup(spark, n):
+    from duckdb_ddsketch_spark.operators import dedup
+
+    mod = max(1, int(30_000_000 * n / bench.N_60M))  # keep ~2x dup factor
+    df = _gen(
+        spark, n,
+        [("src", "id % 4"),
+         ("text", f"'lorem ipsum dolor ' || CAST((id % {mod}) AS STRING)")],
+    )
+    dedup.exact_dedup_summary(df, ["src"], text="text", id_col="id").collect()
+
+
+def _hll(spark, n):
+    from duckdb_ddsketch_spark.operators import approx
+
+    mod = max(1, int(10_000_000 * n / bench.N_60M))
+    df = _gen(spark, n, [("grp", "id % 25"), ("u", f"(id * 2654435761) % {mod}")])
+    approx.hll_distinct(df, ["grp"], "u", p=8).collect()
+
+
+def _text(spark, n):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import text as text_ops
+
+    mod = max(1, int(bench.N_TEXT_D * n / bench.N_TEXT))
+    t = (
+        bench._minhash_text_sql(f"id % {mod}")
+        .replace("//", "div")
+        .replace("VARCHAR", "STRING")
+    )
+    docs = _gen(spark, n, [("doc_id", "id"), ("text", t)])
+    stats = text_ops.token_stats(docs, text="text", id_col="doc_id")
+    stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tok_sum")
+    ).collect()
+
+
+def _sessionize(spark, n):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import relational
+
+    users = max(1, int(bench.SESS_USERS * n / bench.N_60M))
+    df = _gen(
+        spark, n,
+        [("id", "id"), ("user", f"id % {users}"),
+         ("ts", f"timestamp_seconds({bench.SESS_TS})")],
+    )
+    sess = relational.sessionize(
+        df, ["user"], ts="ts", gap_seconds=bench.SESS_GAP_S, tiebreak="id"
+    )
+    sess.groupBy("user").agg((F.max("session_idx") + 1).alias("ns")).agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("ns").alias("n_sessions")
+    ).collect()
+
+
+def _pctrank(spark, n):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import native
+
+    df = _gen(spark, n, [("grp", "id % 25"), ("v", f"{bench.PCT_V} / 32.0D")])
+    native.percentile_rank(df, "v", ["grp"]).agg(
+        F.count("pct_rank").alias("n"), F.avg("pct_rank").alias("m")
+    ).collect()
+
+
+def _ann_quantized(spark, n):
+    from duckdb_ddsketch_spark.operators import similarity
+
+    vec = "array(" + ", ".join(
+        f"CAST(((id * {p}) % 1024) / 64.0D + 0.5D AS DOUBLE)"
+        for p in bench.ANN_PRIMES
+    ) + ")"
+    corpus = _gen(spark, n, [("vec_id", "id"), ("embedding", vec)])
+    queries = _gen(spark, bench.N_ANN_Q, [("vec_id", "id"), ("embedding", vec)])
+    scale = similarity.quantize_calibration(corpus, bits=8)
+    qc = similarity.quantize_embeddings(corpus, scale, bits=8)
+    qq = similarity.quantize_embeddings(queries, scale, bits=8)
+    similarity.quantized_topk_blas(
+        qc, qq, k=bench.ANN_K, max_query_rows=bench.N_ANN_Q
+    ).collect()
+
+
+def _pack(spark, n):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import sampling
+
+    df = _gen(
+        spark, n,
+        [("doc_id", "id"), ("shard", f"id % {bench.PACK_SHARDS}"),
+         ("tokens", bench.PACK_TOK)],
+    )
+    man = sampling.pack_manifest(
+        df, "tokens", bench.PACK_BUDGET, keys=["shard"], order_col="doc_id"
+    )
+    man.agg(
+        F.count(F.lit(1)).alias("n_seqs"), F.sum("token_sum").alias("toks")
+    ).collect()
+
+
+def _kmeans(spark, n):
+    from duckdb_ddsketch_spark.operators import clustering
+
+    vec = "array(" + ", ".join(
+        f"CAST(((id * {p}) % 1024) / 64.0D AS FLOAT)" for p in bench.KM_PRIMES
+    ) + ")"
+    df = _gen(spark, n, [("vec_id", "id"), ("embedding", vec)])
+    clustering.kmeans_summary(
+        df, "embedding", "vec_id", k=bench.KM_K, iters=bench.KM_ITERS
+    ).collect()
+
+
+PROBES = {
+    "exact_dedup": (bench.N_60M, _exact_dedup),
+    "hll_distinct": (bench.N_60M, _hll),
+    "text_metrics": (bench.N_TEXT, _text),
+    "sessionize": (bench.N_60M, _sessionize),
+    "pctrank": (bench.N_60M, _pctrank),
+    "ann_quantized": (bench.N_ANN_CORPUS, _ann_quantized),
+    "pack_manifest": (bench.N_PACK, _pack),
+    "kmeans": (bench.N_60M, _kmeans),
+}
+
+
+def main() -> None:
+    only = set(sys.argv[1].split(",")) if len(sys.argv) > 1 else None
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("ddsketch-scaling-probe")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # bench.py's standardized cold-start absorber (JIT, Arrow workers)
+    spark.range(1_000_000, numPartitions=8).select(F.sum("id")).collect()
+
+    def _noop(batches):
+        yield from batches
+
+    spark.range(100_000).select(
+        F.col("id").cast("double").alias("x")
+    ).mapInArrow(_noop, "x double").select(F.sum("x")).collect()
+
+    out = {}
+    for name, (base, fn) in PROBES.items():
+        if only and name not in only:
+            continue
+        fn(spark, int(base * SCALES[0]))  # per-family warm-up (untimed)
+        rows, secs = [], []
+        for s in SCALES:
+            n = int(base * s)
+            t0 = time.perf_counter()
+            fn(spark, n)
+            dt = time.perf_counter() - t0
+            rows.append(n)
+            secs.append(round(dt, 3))
+        # marginal slope between the two largest scales: the least
+        # overhead-polluted pairwise estimate (fixed ~0.3-0.5 s stage
+        # scheduling makes small scales read sublinear)
+        slope = math.log(secs[-1] / secs[-2]) / math.log(rows[-1] / rows[-2])
+        out[name] = {"rows": rows, "sec": secs, "marginal_slope": round(slope, 2)}
+        print(f"# {name}: {out[name]}", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
