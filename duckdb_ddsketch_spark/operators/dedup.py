@@ -51,6 +51,8 @@ __all__ = [
     "ngram_contamination",
     "incremental_dedup",
     "lsh_candidate_pairs",
+    "lsh_candidate_probability",
+    "lsh_plan",
     "jaccard_pairs",
     "minhash_lsh_dedup",
     "duplicate_clusters",
@@ -330,6 +332,80 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def lsh_candidate_probability(s: float, bands: int, rows_per_band: int) -> float:
+    """P[a pair with Jaccard ``s`` becomes an LSH candidate] under banding:
+    ``1 - (1 - s^r)^b`` — all r rows of at least one band must agree."""
+    return 1.0 - (1.0 - s**rows_per_band) ** bands
+
+
+def lsh_plan(
+    threshold: float,
+    num_hashes: int | None = None,
+    max_hashes: int = 64,
+    fn_weight: float = 3.0,
+) -> dict:
+    """Choose LSH banding parameters for a target Jaccard ``threshold``.
+
+    Searches (bands, rows_per_band) factorizations — of ``num_hashes`` when
+    pinned, else of every signature width up to ``max_hashes`` — and scores
+    each by the banding S-curve's total mis-selection mass against the ideal
+    step at ``threshold``: FP mass = ∫[0,t] P(s) ds (pairs below the
+    threshold that still become candidates, i.e. wasted verify work) and FN
+    mass = ∫[t,1] (1 - P(s)) ds (qualifying pairs LSH never surfaces —
+    permanent recall loss, since only candidates reach the exact-Jaccard
+    verify). ``fn_weight`` prices that asymmetry (default 3: a missed
+    duplicate is unfixable downstream; a false candidate just costs one
+    verify row). Pure driver-side arithmetic — nothing here touches data.
+
+    Returns ``{num_hashes, bands, rows_per_band, threshold_est, fp_mass,
+    fn_mass}`` ready to splat into :func:`lsh_candidate_pairs` /
+    :func:`minhash_lsh_dedup` (``threshold_est = (1/b)^(1/r)``, the
+    S-curve midpoint actually realized).
+
+    Wider signatures always score >= as well (the S-curve steepens), so with
+    ``num_hashes=None`` the chosen width is typically ``max_hashes`` —
+    budget-constrained callers pin ``num_hashes`` to what they can afford
+    (signature cost is one md5 per (shingle, seed)).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if fn_weight <= 0:
+        raise ValueError(f"fn_weight must be > 0, got {fn_weight}")
+    widths = [num_hashes] if num_hashes is not None else list(range(2, max_hashes + 1))
+    grid = 2048
+    best = None
+    for n in widths:
+        for r in range(1, n + 1):
+            if n % r != 0:
+                continue
+            b = n // r
+            fp = fn = 0.0
+            # midpoint quadrature of the two mis-selection masses
+            for i in range(grid):
+                s = (i + 0.5) / grid
+                p = lsh_candidate_probability(s, b, r)
+                if s < threshold:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            fp /= grid
+            fn /= grid
+            cost = fp + fn_weight * fn
+            # strict < : among ties prefer the first (smaller r ⇒ fewer
+            # hashes recomputed per band hash, cheaper banding)
+            if best is None or cost < best[0]:
+                best = (cost, n, b, r, fp, fn)
+    _, n, b, r, fp, fn = best
+    return {
+        "num_hashes": n,
+        "bands": b,
+        "rows_per_band": r,
+        "threshold_est": (1.0 / b) ** (1.0 / r),
+        "fp_mass": fp,
+        "fn_mass": fn,
+    }
 
 
 def minhash_lsh_dedup(

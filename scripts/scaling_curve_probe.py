@@ -166,7 +166,10 @@ PROBES = {
     "text_metrics": (bench.N_TEXT, _text),
     "sessionize": (bench.N_60M, _sessionize),
     "pctrank": (bench.N_60M, _pctrank),
-    "ann_quantized": (bench.N_ANN_CORPUS, _ann_quantized),
+    # 4x the bench corpus: at 2M x 16-dim the int8 top-k is ~all fixed
+    # job overhead (which is WHY it beats the quadratic SQL comparator);
+    # the linear corpus term only dominates the measurement from ~2M up
+    "ann_quantized": (4 * bench.N_ANN_CORPUS, _ann_quantized),
     "pack_manifest": (bench.N_PACK, _pack),
     "kmeans": (bench.N_60M, _kmeans),
 }
@@ -201,19 +204,32 @@ def main() -> None:
         F.col("id").cast("double").alias("x")
     ).mapInArrow(_noop, "x double").select(F.sum("x")).collect()
 
+    todo = {
+        name: (base, fn)
+        for name, (base, fn) in PROBES.items()
+        if not only or name in only
+    }
+    # warm-up: one untimed smallest-scale pass per family (JIT per plan shape)
+    for name, (base, fn) in todo.items():
+        fn(spark, int(base * SCALES[0]))
+    # min over ROUNDS of the whole grid, not back-to-back reps: this box
+    # shows multi-second transient-load episodes (SCALING.md measurement-
+    # spread notes), and spreading a cell's reps minutes apart keeps one
+    # episode from owning both reps of one unlucky (family, scale) cell
+    best: dict = {}
+    for _ in range(3):
+        for name, (base, fn) in todo.items():
+            for s in SCALES:
+                n = int(base * s)
+                t0 = time.perf_counter()
+                fn(spark, n)
+                dt = time.perf_counter() - t0
+                k = (name, n)
+                best[k] = min(best.get(k, dt), dt)
     out = {}
-    for name, (base, fn) in PROBES.items():
-        if only and name not in only:
-            continue
-        fn(spark, int(base * SCALES[0]))  # per-family warm-up (untimed)
-        rows, secs = [], []
-        for s in SCALES:
-            n = int(base * s)
-            t0 = time.perf_counter()
-            fn(spark, n)
-            dt = time.perf_counter() - t0
-            rows.append(n)
-            secs.append(round(dt, 3))
+    for name, (base, _fn) in todo.items():
+        rows = [int(base * s) for s in SCALES]
+        secs = [round(best[(name, n)], 3) for n in rows]
         # marginal slope between the two largest scales: the least
         # overhead-polluted pairwise estimate (fixed ~0.3-0.5 s stage
         # scheduling makes small scales read sublinear)

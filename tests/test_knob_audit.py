@@ -37,6 +37,7 @@ KNOB_REGISTRY = {
     ("operators/dedup.py", "lsh_candidate_pairs", "max_bucket"): "pinned+oracle-mirrors (q22)",
     ("operators/dedup.py", "minhash_lsh_dedup", "max_bucket"): "pinned+oracle-mirrors (q22)",
     ("operators/dedup.py", "jaccard_pairs", "max_df"): "off-by-default (None)",
+    ("operators/dedup.py", "lsh_plan", "max_hashes"): "driver-side planner search bound, touches no data (results change only via the b/r the CALLER then passes on)",
     ("operators/dedup.py", "duplicate_clusters", "max_iters"): "loud (raises on non-convergence)",
     ("operators/dedup.py", "simhash_pairs", "max_hamming"): "pinned+oracle-mirrors (q36)",
     ("operators/multimodal.py", "sample_frames", "max_frames"): "semantic sampling spec, oracle mirrors (q49)",
