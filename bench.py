@@ -814,6 +814,80 @@ def _duckdb_family_sqls() -> dict:
      AND c.bin IS NOT DISTINCT FROM ({_pct_bin_d})
     """
 
+    # quantile normalization over the same generated data: per-group bins,
+    # a global reference from the SAME bin partials, the union+window CDF
+    # inversion (min-over-suffix of the monotone representative values, no
+    # range join), then the (grp, sign, bin) probe join — the identical
+    # algorithm the Spark operator runs (declared.py q92's oracle shape).
+    _pct_gamma = 1.0 + 2.0 * 0.01 / 0.99
+    _pct_g = repr(_pct_gamma)
+    _pct_mult = repr(1.0 + (1.0 - 2.0 / (1.0 + _pct_gamma)))
+    sqls["qnorm_60m"] = f"""
+    WITH vals AS (
+        SELECT range % 25 AS grp, CAST({_pct_v} AS DOUBLE) / 32.0 AS v
+        FROM range({N_60M})
+    ),
+    b AS (
+        SELECT grp,
+            CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+            CASE WHEN v > 0 THEN CAST(CEIL(LN(v) / {_pct_lg}) AS INTEGER)
+                 WHEN v < 0 THEN CAST(CEIL(LN(-v) / {_pct_lg}) AS INTEGER)
+                 END AS bin,
+            COUNT(*) AS cnt
+        FROM vals GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT grp, sign, bin,
+            SUM(cnt) OVER (
+                PARTITION BY grp
+                ORDER BY sign,
+                    coalesce(CASE WHEN sign = -1 THEN -bin ELSE bin END, 0)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS le,
+            SUM(cnt) OVER (PARTITION BY grp) AS total
+        FROM b
+    ),
+    rb AS (SELECT sign, bin, SUM(cnt) AS cnt FROM b GROUP BY 1, 2),
+    rcum AS (
+        SELECT sign, bin,
+            SUM(cnt) OVER (
+                ORDER BY sign,
+                    coalesce(CASE WHEN sign = -1 THEN -bin ELSE bin END, 0)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS le,
+            SUM(cnt) OVER () AS total
+        FROM rb
+    ),
+    u AS (
+        SELECT grp, sign, bin, 0 AS tag,
+            CAST(le AS DOUBLE) / CAST(total AS DOUBLE) AS f,
+            CAST(NULL AS DOUBLE) AS rv
+        FROM cum
+        UNION ALL
+        SELECT NULL, sign, bin, 1,
+            CAST(le AS DOUBLE) / CAST(total AS DOUBLE),
+            CASE WHEN sign = 1 THEN POWER({_pct_g}, CAST(bin AS DOUBLE)) * {_pct_mult}
+                 WHEN sign = -1
+                 THEN -POWER({_pct_g}, CAST(bin AS DOUBLE)) * {_pct_mult}
+                 ELSE 0.0 END
+        FROM rcum
+    ),
+    m AS (
+        SELECT *, MIN(rv) OVER (
+            ORDER BY f, tag
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+        ) AS qv
+        FROM u
+    ),
+    mp AS (SELECT grp, sign, bin, qv FROM m WHERE tag = 0)
+    SELECT COUNT(c.qv) AS n_mapped, AVG(c.qv) AS mean_qn
+    FROM vals d
+    JOIN mp c
+      ON c.grp = d.grp
+     AND c.sign = (CASE WHEN d.v > 0 THEN 1 WHEN d.v < 0 THEN -1 ELSE 0 END)
+     AND c.bin IS NOT DISTINCT FROM ({_pct_bin_d})
+    """
+
     # streaming windows: the same (hour window, key, sign, bin) state the
     # Spark streaming operator maintains, kept incrementally per arriving
     # file — the IVM loop a batch engine needs for a continuous workload.
@@ -1170,6 +1244,26 @@ def run_spark_families(spark, result: dict) -> None:
         ).collect()
 
     fam["pctrank_60m"] = _timed_family(pctrank_60m, key="spark_fam:pctrank_60m")
+
+    def qnorm_60m():
+        # quantile normalization over the pctrank family's data: the
+        # per-group bins, the union+window CDF inversion onto the global
+        # reference, and the broadcast probe join — everything after the
+        # one binned pass is structure-sized; DuckDB runs the identical
+        # CTE chain (same bins, same POWER representative values)
+        from duckdb_ddsketch_spark.operators import native
+
+        df = gen(
+            N_60M,
+            [("grp", "id % 25"), ("v", f"{PCT_V} / 32.0D")],
+        )
+        out = native.quantile_normalize(df, "v", ["grp"])
+        out.agg(
+            F.count("qnorm").alias("n_mapped"),
+            F.avg("qnorm").alias("mean_qn"),
+        ).collect()
+
+    fam["qnorm_60m"] = _timed_family(qnorm_60m, key="spark_fam:qnorm_60m")
 
     def _run_streaming(glob_filter=None):
         import shutil

@@ -78,6 +78,7 @@ def test_all_spark_families_execute(spark, bench_small):
         "kmeans_15m_d64",  # round 7: wide-dims BLAS-routed k-means
         "gram_2m_x64",  # round 7: PCA Gram stats pass, exact int codes
         "pctrank_60m",  # round 7: percentile-rank score normalization
+        "qnorm_60m",  # round 8: quantile normalization (CDF inversion)
     }
     assert all(t >= 0 for t in fam.values())
 
@@ -301,6 +302,38 @@ def test_pctrank_mirror_agrees(spark, bench_small):
         drow = con.execute(
             b._duckdb_family_sqls()["pctrank_60m"]
         ).fetchall()[0]
+        assert int(srow[0]) == int(drow[0]) == b.N_60M
+        assert abs(srow[1] - drow[1]) <= 1e-9 * abs(drow[1])
+    finally:
+        con.close()
+
+
+def test_qnorm_mirror_agrees(spark, bench_small):
+    """The qnorm mirror must compute the SAME (n_mapped, mean_qn) as the
+    Spark operator at small N. Per-row qn values are bit-identical
+    cross-engine (q92's value-hash gate pins them); the MEAN is a float
+    reduction whose summation order differs, so 1e-9 rel like pctrank."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import native
+
+    b = bench_small
+    con = duckdb.connect()
+    try:
+        df = spark.range(b.N_60M).selectExpr(
+            "id % 25 AS grp", f"{b.PCT_V} / 32.0D AS v"
+        )
+        srow = (
+            native.quantile_normalize(df, "v", ["grp"])
+            .agg(
+                F.count("qnorm").alias("n_mapped"),
+                F.avg("qnorm").alias("mean_qn"),
+            )
+            .collect()[0]
+        )
+        drow = con.execute(b._duckdb_family_sqls()["qnorm_60m"]).fetchall()[0]
+        # every generated v is finite and the self-reference covers every
+        # (sign, bin), so all N rows map
         assert int(srow[0]) == int(drow[0]) == b.N_60M
         assert abs(srow[1] - drow[1]) <= 1e-9 * abs(drow[1])
     finally:
