@@ -69,6 +69,10 @@ FAMILY_DESC = {
         "percentile-rank score normalization (60 M×25 groups;"
         " binned pass + broadcast probe join)"
     ),
+    "qnorm_60m": (
+        "quantile normalization (60 M×25 groups onto the global"
+        " reference; union+window CDF inversion, no range join)"
+    ),
 }
 
 
