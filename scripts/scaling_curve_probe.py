@@ -155,6 +155,37 @@ def _pack(spark, n):
     ).collect()
 
 
+def _asof(spark, n):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import relational
+
+    # left/right in the bench's 9:1 proportion; 100k users is structure
+    # (per-user rows scale with n — what a corpus scale-up does)
+    nr = max(1, n // 9)
+    left = _gen(spark, n, [("u", "id % 100000"), ("ts", "id * 7")])
+    right = _gen(spark, nr, [("u", "id % 100000"), ("ts", "id * 71")])
+    j = relational.asof_join(
+        left, right, on=["u"], left_ts="ts", right_ts="ts", right_cols=[]
+    )
+    j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("ts_r").alias("matched"),
+        F.sum(F.col("ts") - F.col("ts_r")).alias("lag_sum"),
+    ).collect()
+
+
+def _gram(spark, n):
+    from duckdb_ddsketch_spark.operators import decomposition as dec
+
+    codes = "array(" + ", ".join(
+        f"CAST((id * {3 + 7 * d}) % 255 - 127 AS INT)"
+        for d in range(bench.GRAM_D)
+    ) + ")"
+    df = _gen(spark, n, [("vec_id", "id"), ("qcodes", codes)])
+    dec.gram_matrix(df, "qcodes", dims=bench.GRAM_D, integer=True).collect()
+
+
 def _kmeans(spark, n):
     from duckdb_ddsketch_spark.operators import clustering
 
@@ -179,6 +210,13 @@ PROBES = {
     "ann_quantized": (4 * bench.N_ANN_CORPUS, _ann_quantized),
     "pack_manifest": (bench.N_PACK, _pack),
     "kmeans": (bench.N_60M, _kmeans),
+    # 9:1 left/right like the bench family; the union-tag-window's sort is
+    # the one n·log(n) term in the operator set — its measured slope bounds
+    # how much that log factor actually costs
+    "asof_join": (bench.N_ASOF_L, _asof),
+    # structure-bounded shuffle (n_batches × d² scalars): the scan is the
+    # only term that grows
+    "gram": (bench.N_GRAM, _gram),
 }
 
 
