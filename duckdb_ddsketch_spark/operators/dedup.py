@@ -360,9 +360,12 @@ def lsh_plan(
     verify row). Pure driver-side arithmetic — nothing here touches data.
 
     Returns ``{num_hashes, bands, rows_per_band, threshold_est, fp_mass,
-    fn_mass}`` ready to splat into :func:`lsh_candidate_pairs` /
-    :func:`minhash_lsh_dedup` (``threshold_est = (1/b)^(1/r)``, the
-    S-curve midpoint actually realized).
+    fn_mass, kwargs}`` where ``kwargs`` is the splat-safe subset
+    (``num_hashes``/``bands`` only) accepted by
+    :func:`lsh_candidate_pairs` / :func:`minhash_lsh_dedup` — the top-level
+    dict carries diagnostics (``threshold_est = (1/b)^(1/r)``, the S-curve
+    midpoint actually realized; the two mis-selection masses) that those
+    functions do not take, so splat ``**plan["kwargs"]``, not ``**plan``.
 
     Wider signatures always score >= as well (the S-curve steepens), so with
     ``num_hashes=None`` the chosen width is typically ``max_hashes`` —
@@ -373,6 +376,12 @@ def lsh_plan(
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     if fn_weight <= 0:
         raise ValueError(f"fn_weight must be > 0, got {fn_weight}")
+    # width < 2 leaves no (bands>1 or rows>1) factorization: n=1 forces
+    # b=r=1 (threshold_est degenerates to 1.0) and n<=0 empties the search
+    if num_hashes is not None and num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    if num_hashes is None and max_hashes < 2:
+        raise ValueError(f"max_hashes must be >= 2, got {max_hashes}")
     widths = [num_hashes] if num_hashes is not None else list(range(2, max_hashes + 1))
     grid = 2048
     best = None
@@ -405,6 +414,7 @@ def lsh_plan(
         "threshold_est": (1.0 / b) ** (1.0 / r),
         "fp_mass": fp,
         "fn_mass": fn,
+        "kwargs": {"num_hashes": n, "bands": b},
     }
 
 

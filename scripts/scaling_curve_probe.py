@@ -278,13 +278,29 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 k = (name, n)
                 best[k] = min(best.get(k, dt), dt)
+    carried = {}
     if prior:
-        # cross-session minima: fold a previous session's cells in
+        # cross-session minima: fold a previous session's cells in.
+        # Prior cells with no matching current cell (family not selected
+        # this session, or base row-counts changed) are CARRIED THROUGH
+        # unchanged rather than dropped — a consolidated record must never
+        # silently lose a session's families — with a stderr note so a
+        # changed-base mismatch is visible.
         for name, rec in prior.items():
+            matched = False
             for n, sec in zip(rec["rows"], rec["sec"]):
                 k = (name, n)
                 if k in best:
                     best[k] = min(best[k], sec)
+                    matched = True
+            if not matched:
+                carried[name] = rec
+                print(
+                    f"# carrying prior family unchanged (no matching current"
+                    f" cells): {name} rows={rec['rows']}",
+                    file=sys.stderr,
+                    flush=True,
+                )
     out = {}
     for name, (base, _fn) in todo.items():
         rows = [int(base * s) for s in SCALES]
@@ -295,6 +311,7 @@ def main() -> None:
         slope = math.log(secs[-1] / secs[-2]) / math.log(rows[-1] / rows[-2])
         out[name] = {"rows": rows, "sec": secs, "marginal_slope": round(slope, 2)}
         print(f"# {name}: {out[name]}", flush=True)
+    out.update(carried)
     print(json.dumps(out))
 
 

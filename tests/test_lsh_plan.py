@@ -110,3 +110,70 @@ def test_plan_midpoint_is_half_probability():
     assert p_mid == pytest.approx(1.0 - (1.0 - 1.0 / b) ** b)
     # for any b >= 1 that value lives in [1-1/e-ish, 1): sanity band
     assert 0.5 <= p_mid < 1.0 or b == 1
+
+
+def test_plan_validates_width_inputs():
+    # num_hashes/max_hashes < 2 leave no usable factorization (n=1 forces
+    # b=r=1 with threshold_est 1.0; n<=0 empties the search entirely)
+    for bad in (0, 1, -3):
+        with pytest.raises(ValueError):
+            lsh_plan(0.5, num_hashes=bad)
+    with pytest.raises(ValueError):
+        lsh_plan(0.5, max_hashes=1)
+
+
+def test_plan_kwargs_subdict_is_splat_safe():
+    import inspect
+
+    from duckdb_ddsketch_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_lsh_dedup,
+    )
+
+    plan = lsh_plan(0.6, num_hashes=16)
+    assert plan["kwargs"] == {
+        "num_hashes": plan["num_hashes"],
+        "bands": plan["bands"],
+    }
+    for fn in (lsh_candidate_pairs, minhash_lsh_dedup):
+        params = inspect.signature(fn).parameters
+        assert set(plan["kwargs"]) <= set(params)
+
+
+def test_planned_banding_beats_misplanned_end_to_end(spark):
+    """Drive lsh_candidate_pairs with the planned banding vs a deliberately
+    mis-planned one (b=1: threshold_est -> 1.0) on a corpus with known
+    ~0.6-Jaccard near-dup pairs: the planned banding must surface
+    (strictly) more of the true pairs. Smoke scale — promotes the
+    previously session-only end-to-end check into the suite."""
+    from duckdb_ddsketch_spark.operators.dedup import lsh_candidate_pairs
+
+    words = [f"tok{i}" for i in range(40)]
+    rows = []
+    # 30 doc pairs: (2k, 2k+1) share ~70% of an 18-word sequence ->
+    # bigram-shingle Jaccard well above 0.5 but far below 1.0
+    for k in range(30):
+        base = [words[(k * 7 + j) % 40] for j in range(18)]
+        var = list(base)
+        var[3] = words[(k * 11 + 1) % 40]
+        var[9] = words[(k * 13 + 2) % 40]
+        var[15] = words[(k * 17 + 3) % 40]
+        rows.append((2 * k, " ".join(base)))
+        rows.append((2 * k + 1, " ".join(var)))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    plan = lsh_plan(0.5, num_hashes=16)
+
+    def true_pairs_found(num_hashes, bands):
+        got = lsh_candidate_pairs(
+            df, text="text", id_col="doc_id", num_hashes=num_hashes, bands=bands
+        ).collect()
+        cand = {(r["id_a"], r["id_b"]) for r in got}
+        return sum(1 for k in range(30) if (2 * k, 2 * k + 1) in cand)
+
+    planned = true_pairs_found(**plan["kwargs"])
+    # mis-planned: one band of 16 rows -> needs ALL 16 minhashes to agree,
+    # an effective threshold of (1/1)^(1/16) = 1.0 (near-exact dups only)
+    misplanned = true_pairs_found(num_hashes=16, bands=1)
+    assert planned > misplanned
+    assert planned >= 25  # the planner's banding has real recall here
