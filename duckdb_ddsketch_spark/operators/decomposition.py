@@ -292,6 +292,7 @@ def mahalanobis_scores(
     dims: Optional[int] = None,
     out_col: str = "maha_sq",
     variance_floor: float = 1e-9,
+    stats: Optional[tuple] = None,
 ) -> DataFrame:
     """Squared Mahalanobis distance of each vector from the corpus mean —
     the covariance-aware outlier score a training pipeline gates
@@ -308,6 +309,15 @@ def mahalanobis_scores(
     remaining r-dim subspace, which is the standard pseudo-inverse
     semantics. NULL / ragged vectors score NULL.
 
+    ``stats=(mean, components, variances)`` skips the
+    :func:`pca_components` scan and scores against the given basis —
+    the calibrate-once / apply-many split every other normalization
+    operator here exposes (compute stats on one corpus snapshot, score
+    every later shard map-only), and the seam that lets the scoring
+    arithmetic be driver-gated on fixed literals while ``eigh`` itself
+    stays pytest-pinned (it is genuinely BLAS-build-sensitive).
+    ``variance_floor`` applies to the supplied variances identically.
+
     At 100 TB: the stats pass is the bounded Gram collect (d^2 doubles);
     scoring is whole-row-parallel with literal matrices. Under a known
     threshold (chi-squared quantile at d dof for Gaussian-ish spaces),
@@ -323,8 +333,16 @@ def mahalanobis_scores(
     tmp = "__maha_pc"
     while tmp in df.columns:
         tmp += "_"
-    width = _width_of(df, vec_col, dims)
-    mean, comps, ev = pca_components(df, vec_col, k=width, dims=width)
+    if stats is not None:
+        mean, comps, ev = stats
+        if len(comps) != len(ev):
+            raise ValueError(
+                "stats needs one variance per component, got"
+                f" {len(comps)} components / {len(ev)} variances"
+            )
+    else:
+        width = _width_of(df, vec_col, dims)
+        mean, comps, ev = pca_components(df, vec_col, k=width, dims=width)
     keep = [i for i, v in enumerate(ev) if v > variance_floor]
     comps = [comps[i] for i in keep]
     ev_kept = [ev[i] for i in keep]

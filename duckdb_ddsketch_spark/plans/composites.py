@@ -46,6 +46,46 @@ _PROJ_OFFSETS = [
     for w in _PROJ_COMPS
 ]
 
+# round 9: the Mahalanobis scoring path driver-gated on the same fixed
+# basis with power-of-four literal variances — 1/sqrt(4^k) is an exact
+# dyadic, so the whitening scale (pca_project's c / ev**0.5) keeps every
+# weight exactly representable and every product x_i * w_i exact in
+# double; only `eigh` (genuinely BLAS-build-sensitive) stays pytest-only.
+_MAHA_VARS = [4.0, 1.0, 0.25, 16.0]
+# identical derivation to mahalanobis_scores -> pca_project(whiten=...):
+# whitened weights first, then the folded centering offset per component
+_MAHA_W = [
+    [c / float(ev) ** 0.5 for c in w]
+    for w, ev in zip(_PROJ_COMPS, _MAHA_VARS)
+]
+_MAHA_OFFSETS = [
+    sum(float(c) * float(m) for c, m in zip(w, _PROJ_MEAN)) for w in _MAHA_W
+]
+
+
+def _maha_oracle_sql() -> str:
+    """DuckDB mirror of the q38 'maha' part: the squared whitened
+    projection as an explicit sum of per-component squares, each term
+    ``list_dot_product(x, W'_r) - off_r`` computed once and squared as
+    ``t*t`` (POWER() is not guaranteed bit-equal to multiplication).
+    Left-to-right addition matches the Spark fold's order: the fold's
+    ``0.0 + t0*t0`` first step is exact, so both engines sum the four
+    squares in the same sequence over bit-identical doubles."""
+    terms = []
+    for r, (w, off) in enumerate(zip(_MAHA_W, _MAHA_OFFSETS)):
+        lit = "[" + ", ".join(repr(float(c)) for c in w) + "]::DOUBLE[]"
+        terms.append(
+            f"(list_dot_product(xd, {lit}) - {off!r})"
+        )
+    sq = " + ".join(f"{t} * {t}" for t in terms)
+    return f"""SELECT 'maha' AS part, CAST(vec_id AS BIGINT) AS k1,
+       CAST({len(_MAHA_W)} AS BIGINT) AS k2, CAST({sq} AS REAL) AS v
+FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {_PROJ_DIMS}
+) mx"""
+
 
 _Q_CODES = (
     "list_transform(embedding, x -> GREATEST(-127, LEAST(127, "
@@ -528,6 +568,25 @@ FROM ({O['q22_minhash_lsh_neardups']}) b""",
                 F.col("pv").cast("float").alias("v"),
             )
         )
+        # round 9: the Mahalanobis scoring path driver-gated on the fixed
+        # basis + power-of-four literal variances (stats=...): whitening
+        # keeps every weight dyadic-exact, both engines square and sum
+        # the four components in the same order (the fold's 0.0 + t0^2
+        # first step is exact), and eigh stays pytest-pinned. k2 carries
+        # the kept-component count (the variance_floor survivor set).
+        maha = (
+            dec.mahalanobis_scores(
+                emb,
+                stats=(_PROJ_MEAN, _PROJ_COMPS, _MAHA_VARS),
+            )
+            .where(F.col("maha_sq").isNotNull())
+            .select(
+                F.lit("maha").alias("part"),
+                F.col("vec_id").cast("long").alias("k1"),
+                F.lit(len(_MAHA_VARS)).cast("long").alias("k2"),
+                F.col("maha_sq").cast("float").alias("v"),
+            )
+        )
         # round 8: the streaming Gram monitor driver-gated against the
         # SAME exact-integer oracle as the batch 'gram' part — after the
         # replayed stream drains, the d^2 running state must equal
@@ -580,6 +639,7 @@ FROM ({O['q22_minhash_lsh_neardups']}) b""",
             .unionByName(lshp)
             .unionByName(gram)
             .unionByName(proj)
+            .unionByName(maha)
             .unionByName(sgram)
         )
 
@@ -643,6 +703,8 @@ UNION ALL
 {_gram_oracle_sql('gram')}
 UNION ALL
 {_proj_oracle_sql()}
+UNION ALL
+{_maha_oracle_sql()}
 UNION ALL
 {_gram_oracle_sql('sgram')}""",
     )

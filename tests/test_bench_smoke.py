@@ -216,14 +216,72 @@ def test_raw_run_spread_recorded(bench_small):
     assert bench_small._best3(lambda: calls.append(1), key="spark:qx") >= 0
     assert len(calls) == 3
     assert len(bench_small._RAW_RUNS["spark:qx"]) == 3
-    t = bench_small._timed_family(lambda: None, key="spark_fam:fx")
-    # cheap family -> conditional second run, BOTH reps recorded
-    assert len(bench_small._RAW_RUNS["spark_fam:fx"]) == 2
-    assert t == min(bench_small._RAW_RUNS["spark_fam:fx"])
+    # multi-pass scheduler: a cheap in-band family (ref < pass-3 cutoff)
+    # gets 3 spread reps, ALL recorded, min quoted
+    result: dict = {}
+    fams = bench_small._run_family_passes(
+        [("hll_distinct", lambda: None, None)], "spark", result
+    )
+    assert len(bench_small._RAW_RUNS["spark_fam:hll_distinct"]) == 3
+    assert fams["hll_distinct"] == min(
+        bench_small._RAW_RUNS["spark_fam:hll_distinct"]
+    )
+    # a 0-second run sits far inside the band -> no load-suspect notes
+    assert result.get("family_band_notes", []) == []
     # key-less timing (warm-ups, one-shots) records nothing
     bench_small._timed(lambda: None)
-    assert set(bench_small._RAW_RUNS) == {"spark:qx", "spark_fam:fx"}
+    assert set(bench_small._RAW_RUNS) == {"spark:qx", "spark_fam:hll_distinct"}
     bench_small._RAW_RUNS.clear()
+
+
+def test_family_passes_protocol(bench_small):
+    """Round-9 protocol (VERDICT r8 items 1/3): spread reps with rotated
+    order, deterministic band-based pass membership, setup-before-first-rep,
+    and the band-retry note for load-suspect cells."""
+    b = bench_small
+    b._RAW_RUNS.clear()
+    seq = []
+
+    def mk(name):
+        return lambda: seq.append(name)
+
+    setup_calls = []
+    entries = [
+        ("hll_distinct", mk("hll_distinct"), None),             # ref 5.77
+        ("streaming_windows", mk("streaming_windows"),
+         lambda: setup_calls.append("sw")),                      # ref 6.23
+        ("kmeans_15m_d64", mk("kmeans_15m_d64"), None),          # ref 32.5
+    ]
+    result: dict = {}
+    fams = b._run_family_passes(entries, "spark", result)
+    # setup ran exactly once, despite 3 timed reps of the family
+    assert setup_calls == ["sw"]
+    # pass 1 canonical order; pass 2 reversed (all refs < 60); pass 3
+    # rotated, cheap families only (wide k-means ref 32.5 >= 15 cutoff)
+    assert seq == [
+        "hll_distinct", "streaming_windows", "kmeans_15m_d64",   # pass 1
+        "kmeans_15m_d64", "streaming_windows", "hll_distinct",   # pass 2 rev
+        "streaming_windows", "hll_distinct",                     # pass 3 rot
+    ]
+    assert set(fams) == {n for n, _, _ in entries}
+    assert result.get("family_band_notes", []) == []
+    # band retry: monkey-make a family whose reps all exceed band*tol —
+    # simulate with a fake band on a synthetic family via FRESH_BANDS
+    b.FRESH_BANDS["__fake_fam__"] = {"spark": -1.0}  # any time > limit
+    try:
+        calls = []
+        result2: dict = {}
+        b._run_family_passes(
+            [("__fake_fam__", lambda: calls.append(1), None)], "spark", result2
+        )
+        notes = result2["family_band_notes"]
+        assert len(notes) == 1 and notes[0]["family"] == "__fake_fam__"
+        assert notes[0]["status"] == "load_suspect"
+        # runs_sec in the note carries every rep (3 passes + the retry)
+        assert len(notes[0]["runs_sec"]) == len(calls) == 4
+    finally:
+        del b.FRESH_BANDS["__fake_fam__"]
+    b._RAW_RUNS.clear()
 
 
 def test_emit_final_line_is_compact_summary(bench_small, capsys, tmp_path, monkeypatch):

@@ -237,3 +237,35 @@ def test_gram_matrix_explicit_dims_skips_ragged_probe(spark):
     assert all(
         g[(i, j)] == pytest.approx(G[i, j]) for i in range(2) for j in range(2)
     )
+
+
+def test_mahalanobis_stats_seam(spark, anisotropic):
+    """stats=(mean, components, variances) skips the pca_components scan
+    and must score identically to handing the SAME stats through the
+    internal path — the calibrate-once/apply-many seam the q38 'maha'
+    driver gate stands on."""
+    X, df = anisotropic
+    mean, comps, ev = dec.pca_components(df, k=X.shape[1], dims=X.shape[1])
+    via_stats = {
+        r.vec_id: r.maha_sq
+        for r in dec.mahalanobis_scores(df, stats=(mean, comps, ev)).collect()
+    }
+    internal = {
+        r.vec_id: r.maha_sq for r in dec.mahalanobis_scores(df).collect()
+    }
+    for i in range(400):
+        # identical literals -> identical plan -> bit-identical scores
+        assert via_stats[i] == internal[i]
+    # the variance_floor applies to supplied variances identically:
+    # flooring out every direction but one leaves the 1-dim score
+    one_dir = dec.mahalanobis_scores(
+        df, stats=(mean, comps[:1], ev[:1])
+    ).collect()
+    w = np.array(comps[0]) / np.sqrt(ev[0])
+    proj = (X - np.array(mean)) @ w
+    got = {r.vec_id: r.maha_sq for r in one_dir}
+    for i in range(400):
+        assert got[i] == pytest.approx(proj[i] ** 2, rel=1e-6)
+    # mismatched lengths are rejected loudly
+    with pytest.raises(ValueError):
+        dec.mahalanobis_scores(df, stats=(mean, comps, ev[:-1]))
