@@ -1105,6 +1105,55 @@ def _duckdb_family_sqls() -> dict:
     return sqls
 
 
+def run_full_recompute(spark) -> None:
+    """Batch recompute over the staged stream files — the symmetric
+    counterpart of the DuckDB full-recompute row, so the bench records
+    both streaming-vs-IVM and batch-vs-batch. Module-level so the
+    scaling-curve probe can drive it at scaled row counts."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators.native import gamma_of, value_to_bin_expr
+
+    gamma = gamma_of(0.01)
+    df = spark.read.schema("ts TIMESTAMP, key INT, value DOUBLE").parquet(
+        STREAM_SRC
+    )
+    v = F.col("value")
+
+    def agg():
+        df.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"),
+            "key",
+            F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(0).alias(
+                "sign"
+            ),
+            # zeros -> bin 0, mirroring the DuckDB side's PK-safe mapping
+            # (generator emits value >= 1.0 only, so the branch is dead)
+            F.when(v > 0, value_to_bin_expr(v, gamma))
+            .when(v < 0, value_to_bin_expr(-v, gamma))
+            .otherwise(F.lit(0))
+            .alias("bin"),
+        ).agg(F.count("*").cast("double").alias("cnt")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("c")
+        ).collect()
+
+    # The first aggregate produces 5.86M groups (~300MB of shuffle):
+    # AQE's byte-based partition coalescing (64MB advisory) would fold
+    # the final aggregate into ~5 reducer tasks, but aggregate work
+    # scales with GROUPS, not bytes — keep all reducers for this stage
+    # (3.7s -> 1.4s measured; profiled round 5, see SCALING.md).
+    # The 16 staged files also under-parallelize the 32-core map stage
+    # at the default 128MB split: 4MB splits give every core a scan +
+    # partial-agg task (1.55s -> 1.42s, the measured floor).
+    # (the reduce side stays parallel via the session-wide 8MB
+    # advisory — see main(); only the input split needs local help)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    try:
+        agg()
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
 def run_spark_families(spark, result: dict) -> None:
     """Spark side of the per-family 60M comparators — each drives the
     repo's actual operator (not a hand-inlined plan) on generated data."""
@@ -1431,52 +1480,7 @@ def run_spark_families(spark, result: dict) -> None:
         _run_streaming()
 
     def streaming_full_recompute():
-        # batch recompute over the same staged files — the symmetric
-        # counterpart of the DuckDB full-recompute row, so the bench
-        # records both streaming-vs-IVM and batch-vs-batch.
-        from duckdb_ddsketch_spark.operators.native import gamma_of
-
-        gamma = gamma_of(0.01)
-        df = spark.read.schema("ts TIMESTAMP, key INT, value DOUBLE").parquet(
-            STREAM_SRC
-        )
-        v = F.col("value")
-        # The first aggregate produces 5.86M groups (~300MB of shuffle):
-        # AQE's byte-based partition coalescing (64MB advisory) would fold
-        # the final aggregate into ~5 reducer tasks, but aggregate work
-        # scales with GROUPS, not bytes — keep all reducers for this stage
-        # (3.7s -> 1.4s measured; profiled round 5, see SCALING.md).
-        # The 16 staged files also under-parallelize the 32-core map stage
-        # at the default 128MB split: 4MB splits give every core a scan +
-        # partial-agg task (1.55s -> 1.42s, the measured floor).
-        # (the reduce side stays parallel via the session-wide 8MB
-        # advisory — see main(); only the input split needs local help)
-        spark.conf.set(
-            "spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024)
-        )
-        try:
-            _full_recompute_agg(df, v, gamma)
-        finally:
-            spark.conf.unset("spark.sql.files.maxPartitionBytes")
-
-    def _full_recompute_agg(df, v, gamma):
-        from duckdb_ddsketch_spark.operators.native import value_to_bin_expr
-
-        df.groupBy(
-            F.date_trunc("hour", "ts").alias("ws"),
-            "key",
-            F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(0).alias(
-                "sign"
-            ),
-            # zeros -> bin 0, mirroring the DuckDB side's PK-safe mapping
-            # (generator emits value >= 1.0 only, so the branch is dead)
-            F.when(v > 0, value_to_bin_expr(v, gamma))
-            .when(v < 0, value_to_bin_expr(-v, gamma))
-            .otherwise(F.lit(0))
-            .alias("bin"),
-        ).agg(F.count("*").cast("double").alias("cnt")).agg(
-            F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("c")
-        ).collect()
+        run_full_recompute(spark)
 
     def _stream_setup():
         # one-file warm-up: the streaming machinery (state store,

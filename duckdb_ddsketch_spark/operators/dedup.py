@@ -145,6 +145,93 @@ def repeated_spans(
     )
 
 
+def duplicate_span_extents(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-substring extents per document — "dedup the
+    span, not the doc".
+
+    :func:`repeated_spans` answers *which* fixed-n spans repeat across
+    documents; this answers *where to cut*: for every document, the
+    maximal token ranges covered by n-grams that occur in >=
+    ``min_docs`` distinct documents. Overlapping and adjacent duplicated
+    n-grams stitch into one extent, so an L-token shared passage (L >= n)
+    comes back as ONE (span_start, span_end) row, not L-n+1 gram rows —
+    the operator a training pipeline feeds straight into substring
+    removal (suffix-array-class dedup a la deduplicating-training-data,
+    re-expressed as hash shuffles).
+
+    Returns (doc_id, span_start, span_end, n_grams): 1-based inclusive
+    token indices and the number of duplicated n-grams stitched in.
+
+    Scale shape (never all-pairs, no suffix array materialized):
+      1. tokenize + positional rolling n-gram hash — map-only explode,
+         linear in corpus tokens (same envelope as the MinHash shingles);
+      2. duplication census — groupBy(16-byte hash) with map-side partial
+         countDistinct, output bounded by spans that actually repeat;
+      3. positions ⋈ duplicated hashes — equi-join on the hash; the dup
+         side is census-bounded (broadcastable when boilerplate is rare,
+         shuffle-join otherwise — AQE picks per run);
+      4. stitching — one lag + running-sum window and a groupBy, both
+         keyed on doc_id (document-bounded partitions).
+    A suffix automaton finds longer-than-n exact repeats too, but stage 1
+    covers every repeat of length >= n (any such repeat contains a
+    duplicated n-gram and the stitcher returns its full extent), and each
+    stage above is a hash shuffle Spark executes at 100 TB without
+    per-partition imperative code.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text))), " +")
+    ntok = F.size(toks)
+    idx = F.sequence(F.lit(1), ntok - (n - 1))
+    gram_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(
+                F.concat_ws(" ", F.slice(toks, i.cast("int"), F.lit(n)))
+            ).alias("h"),
+        ),
+    )
+    # sequence(1, 0) is DESCENDING in Spark — guard short documents
+    guarded = F.when(ntok >= n, gram_structs).otherwise(
+        F.array().cast("array<struct<pos:int,h:string>>")
+    )
+    grams = df.select(F.col(id_col), F.explode(guarded).alias("g")).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    marked = grams.join(dup, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # pos - prev > n starts a new extent (prev NULL -> first extent);
+    # pos - prev == n is ADJACENT grams (token ranges touch end-to-end)
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    ext = marked.withColumn("brk", brk).withColumn(
+        "eid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        ext.groupBy(id_col, "eid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, ngram: int = 2) -> Column:
     """MinHash signature as array<string> of length ``num_hashes``.
 

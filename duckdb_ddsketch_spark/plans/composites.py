@@ -430,7 +430,22 @@ FROM ({O['q86_streaming_first_seen']})""",
             F.col("n_occurrences").cast("long").alias("n_occurrences"),
             F.col("canonical_id").cast("long").alias("canonical_id"),
         )
-        return fp.unionByName(sp)
+        # round 9: stitched duplicate-span EXTENTS ("dedup the span, not
+        # the doc") mapped onto the shared 5-col schema — k is the
+        # doc:start composite key, n_docs carries the extent WIDTH in
+        # tokens, n_occurrences the stitched gram count
+        ex = Q["q86_duplicate_span_extents"](spark, sf_dir).select(
+            F.lit("extent").alias("part"),
+            F.concat_ws(
+                ":", F.col("doc_id"), F.col("span_start")
+            ).alias("k"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_docs"),
+            F.col("n_grams").cast("long").alias("n_occurrences"),
+            F.col("doc_id").cast("long").alias("canonical_id"),
+        )
+        return fp.unionByName(sp).unionByName(ex)
 
     add(
         "q33_fingerprint_dedup",
@@ -445,7 +460,14 @@ SELECT 'span' AS part, span_hash AS k,
        CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_occurrences AS BIGINT) AS n_occurrences,
        CAST(canonical_id AS BIGINT) AS canonical_id
-FROM ({O['q85_repeated_span_dedup']})""",
+FROM ({O['q85_repeated_span_dedup']})
+UNION ALL
+SELECT 'extent' AS part,
+       CAST(doc_id AS VARCHAR) || ':' || CAST(span_start AS VARCHAR) AS k,
+       CAST(span_end - span_start + 1 AS BIGINT) AS n_docs,
+       CAST(n_grams AS BIGINT) AS n_occurrences,
+       CAST(doc_id AS BIGINT) AS canonical_id
+FROM ({O['q86_duplicate_span_extents']})""",
     )
 
     # q34: near-dup pair mining — full n-gram Jaccard pairs vs the
@@ -1302,12 +1324,22 @@ FROM ({O['q47_multimodal_frames']}) m""",
             F.col("w").cast("long").alias("v1"),
             *[F.lit(0).cast("long").alias(f"v{i}") for i in range(2, 7)],
         )
+        # round 9: the float-weight race gated on DYADIC weights (see
+        # q90b_priority_sample_float) — v1 carries 8w as an exact BIGINT
+        priof = Q["q90b_priority_sample_float"](spark, sf_dir).select(
+            F.lit("priof").alias("part"),
+            F.col("lang").alias("k1"),
+            F.col("doc_id").cast("long").alias("k2"),
+            F.col("w8").cast("long").alias("v1"),
+            *[F.lit(0).cast("long").alias(f"v{i}") for i in range(2, 7)],
+        )
         return (
             shards.unionByName(strat)
             .unionByName(hash10)
             .unionByName(pack)
             .unionByName(mix)
             .unionByName(prio)
+            .unionByName(priof)
         )
 
     _zeros = ", ".join(f"CAST(0 AS BIGINT) AS v{i}" for i in range(3, 7))
@@ -1383,7 +1415,13 @@ SELECT 'prio' AS part, lang AS k1, CAST(doc_id AS BIGINT) AS k2,
        CAST(w AS BIGINT) AS v1, {", ".join(
            f"CAST(0 AS BIGINT) AS v{i}" for i in range(2, 7)
        )}
-FROM ({O['q90_priority_sample_int']}) pr""",
+FROM ({O['q90_priority_sample_int']}) pr
+UNION ALL
+SELECT 'priof' AS part, lang AS k1, CAST(doc_id AS BIGINT) AS k2,
+       CAST(w8 AS BIGINT) AS v1, {", ".join(
+           f"CAST(0 AS BIGINT) AS v{i}" for i in range(2, 7)
+       )}
+FROM ({O['q90b_priority_sample_float']}) prf""",
     )
 
     assert len(final_q) == 50, len(final_q)

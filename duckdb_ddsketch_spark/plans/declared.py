@@ -998,6 +998,72 @@ def q85(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q86 — duplicate-span EXTENTS: the "dedup the span, not the doc" operator.
+# Stitches overlapping/adjacent cross-document-repeated n-grams into maximal
+# per-document token ranges (the rows substring removal actually cuts).
+# Oracle: identical gram census + the same lag/running-sum stitching.
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q86_duplicate_span_extents",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(t) - {_Q85_N - 1}, 0) + 1),
+                   i -> struct_pack(
+                       pos := CAST(i AS INT),
+                       h := md5(array_to_string(
+                           t[CAST(i AS INT):CAST(i + {_Q85_N - 1} AS INT)], ' '))
+                   )), recursive := true) AS g
+        FROM toks
+    ),
+    dup AS (
+        SELECT h FROM grams GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)
+    ),
+    lagged AS (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM marked
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - prev <= {_Q85_N} THEN 0 ELSE 1 END AS brk
+        FROM lagged
+    ),
+    ext AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS eid
+        FROM flagged
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + {_Q85_N - 1} AS INT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM ext GROUP BY doc_id, eid
+    """,
+)
+def q86(spark, sf_dir):
+    from ..operators import dedup
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_extents(
+        docs, text="text", id_col="doc_id", n=_Q85_N, min_docs=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # q15 — nested ddsketch_merge across columns (README.md:148-169 multi-region
 # shape): merge(merge(s1,s2), merge(s3,s4)) == sketch of the value union
 # ---------------------------------------------------------------------------
@@ -4472,6 +4538,61 @@ def q90(spark, sf_dir):
         "lang",
         F.col("doc_id").cast("long").alias("doc_id"),
         (F.col("n_chars").cast("long") % 7 + 1).alias("w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90b — the FLOAT-weight path of the same race, driver-gated (round 9,
+# VERDICT r8 item 7): weights are DYADIC doubles ((n_chars % 97 + 1) / 8 —
+# 97 distinct values, deliberately NOT a constant rescaling of q90's
+# 7-value integer domain, which would be rank-identical to q90), so
+# w = CAST(int AS DOUBLE) * 0.125 is exact in both engines and the race
+# key ln(u) / w adds NO new transcendental beyond the ln() q90 already
+# pins cross-engine. Selection-set output (ids + 8w as an exact BIGINT),
+# like q90 — rank boundaries were margin-checked at sf0.01/sf0.001 when
+# this gate landed. The irreducibly float remainder (arbitrary non-dyadic
+# weights) stays pytest-pinned (test_priority_sample_weighted_exact_n).
+# ---------------------------------------------------------------------------
+
+
+def _q90b_oracle() -> str:
+    return f"""
+    WITH scored AS (
+        SELECT lang, doc_id,
+               (CAST(n_chars AS BIGINT) % 97 + 1) AS w8,
+               ln((CAST({_Q90_H} AS DOUBLE) + 0.5) / 4503599627370496.0)
+                   / (CAST((CAST(n_chars AS BIGINT) % 97 + 1) AS DOUBLE)
+                      * CAST(0.125 AS DOUBLE)) AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id, w8,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY k DESC, doc_id ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(w8 AS BIGINT) AS w8
+    FROM ranked WHERE rn <= {_Q90_N}
+    """
+
+
+@_declare("q90b_priority_sample_float", _q90b_oracle())
+def q90b(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.col("n_chars").cast("long") % 97 + 1).cast("double") * F.lit(0.125)
+    out = sampling.priority_sample(
+        docs.select("lang", "doc_id", "n_chars"),
+        _Q90_N,
+        w,
+        "doc_id",
+        strata=["lang"],
+    )
+    return out.select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("n_chars").cast("long") % 97 + 1).alias("w8"),
     )
 
 

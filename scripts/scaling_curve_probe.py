@@ -198,6 +198,185 @@ def _kmeans(spark, n):
     ).collect()
 
 
+def _minhash(spark, n):
+    from duckdb_ddsketch_spark.operators import dedup
+
+    mod = max(1, int(bench.MINHASH_D * n / bench.N_MINHASH))
+    t = (
+        bench._minhash_text_sql(f"id % {mod}")
+        .replace("//", "div")
+        .replace("VARCHAR", "STRING")
+    )
+    docs = _gen(spark, n, [("id", "id"), ("text", t)], partitions=32)
+    dedup.lsh_candidate_pairs(docs, text="text", id_col="id").count()
+
+
+def _bitmap(spark, n):
+    from duckdb_ddsketch_spark.operators import bitmap
+
+    users = max(1, int(bench.N_BITMAP_USERS * n / bench.N_60M))
+    df = _gen(
+        spark, n,
+        [("user", f"id % {users}"), ("day", "(id * 2654435761) % 62")],
+    )
+    bm = bitmap.activity_bitmap(df, "user", "day")
+    bitmap.retention_report(bm, 62, offsets=(7,)).collect()
+
+
+def _ann_brute(spark, n):
+    from duckdb_ddsketch_spark.operators import similarity
+
+    vec = "array(" + ", ".join(
+        f"CAST(((id * {p}) % 1024) / 64.0D + 0.5D AS DOUBLE)"
+        for p in bench.ANN_PRIMES
+    ) + ")"
+    corpus = _gen(spark, n, [("vec_id", "id"), ("embedding", vec)])
+    queries = _gen(spark, bench.N_ANN_Q, [("vec_id", "id"), ("embedding", vec)])
+    similarity.brute_force_topk_blas(
+        corpus, queries, k=bench.ANN_K, max_query_rows=bench.N_ANN_Q
+    ).collect()
+
+
+def _heavy(spark, n):
+    from pyspark.sql import Window, functions as F
+
+    # the 50021-token vocabulary is STRUCTURE (a language's heavy-hitter
+    # set doesn't grow with corpus size) — only the event stream scales
+    df = _gen(
+        spark, n,
+        [("grp", "id % 25"), ("tok", f"CAST(({bench.HEAVY_TOK}) AS STRING)")],
+    )
+    counts = df.groupBy("grp", "tok").count()
+    w = Window.partitionBy("grp").orderBy(
+        F.col("count").desc(), F.col("tok").asc()
+    )
+    counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 10
+    ).collect()
+
+
+def _funnel(spark, n):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import analytics
+
+    users = max(1, int(bench.FUNNEL_USERS * n / bench.N_60M)) | 1  # odd: keep
+    # the user modulus coprime-ish with the 5 event types (bench comment)
+    df = _gen(
+        spark, n,
+        [("user", f"id % {users}"), ("ts", bench.FUNNEL_TS),
+         ("e", bench.FUNNEL_ET)],
+    )
+    cur = analytics.funnel(
+        df, "user", "ts",
+        [F.col("e") == 0, F.col("e") == 1, F.col("e") == 2],
+    )
+    cur.agg(
+        F.count(F.lit(1)).alias("n1"), F.count("step_3").alias("n3")
+    ).collect()
+
+
+def _kmeans_wide(spark, n):
+    from duckdb_ddsketch_spark.operators import clustering
+
+    vec = "array(" + ", ".join(
+        f"CAST(((id * {p}) % 1024) / 64.0D AS FLOAT)"
+        for p in bench.KM_WIDE_PRIMES
+    ) + ")"
+    df = _gen(spark, n, [("vec_id", "id"), ("embedding", vec)])
+    clustering.kmeans_summary(
+        df, "embedding", "vec_id", k=bench.KM_K, iters=bench.KM_ITERS
+    ).collect()
+
+
+def _qnorm(spark, n):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import native
+
+    df = _gen(spark, n, [("grp", "id % 25"), ("v", f"{bench.PCT_V} / 32.0D")])
+    native.quantile_normalize(df, "v", ["grp"]).agg(
+        F.count("qnorm").alias("n"), F.avg("qnorm").alias("m")
+    ).collect()
+
+
+def _span_extents(spark, n):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import dedup
+
+    # 16-token docs: an 8-token unique half + an 8-token boilerplate block
+    # drawn from a pool that scales with n (constant duplication factor
+    # ~n/pool per block); extents stitch the boilerplate half back out
+    pool = max(1, n // 200)
+    uniq = " || ' ' || ".join(
+        f"'u{j}_' || CAST(id * {2 * j + 3} AS STRING)" for j in range(8)
+    )
+    boil = " || ' ' || ".join(
+        f"'b{j}_' || CAST((id % {pool}) * {j + 1} AS STRING)" for j in range(8)
+    )
+    docs = _gen(
+        spark, n, [("doc_id", "id"), ("text", f"{uniq} || ' ' || {boil}")]
+    )
+    dedup.duplicate_span_extents(docs, n=8, min_docs=2).agg(
+        F.count(F.lit(1)).alias("n_extents"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("cut_tokens"),
+    ).collect()
+
+
+def _stream_scaled(spark, n, full_recompute=False):
+    # stage a scaled copy of the bench's deterministic stream files by
+    # temporarily rebinding the generator's module constants (the probe
+    # owns the process; bench state is restored before timing returns)
+    saved = (bench.N_60M, bench.STREAM_SRC)
+    bench.N_60M = n
+    bench.STREAM_SRC = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"ddsketch_probe_stream_{n}_{bench.STREAM_KEYS}k"
+        f"_{bench.STREAM_HOURS}h_{bench.STREAM_FILES}f",
+    )
+    try:
+        bench._ensure_stream_src()
+        import shutil
+        import tempfile
+
+        if full_recompute:
+            bench.run_full_recompute(spark)
+            return
+        from duckdb_ddsketch_spark import streaming as st
+
+        ckpt = tempfile.mkdtemp(prefix="ddsketch_probe_ckpt_")
+        try:
+            stream = (
+                spark.readStream.schema("ts TIMESTAMP, key INT, value DOUBLE")
+                .option("maxFilesPerTrigger", bench.STREAM_BATCH_FILES)
+                .parquet(bench.STREAM_SRC)
+            )
+            binned = st.windowed_binned_counts(
+                stream, "ts", ["key"], "value", window="1 hour"
+            )
+            q = (
+                binned.writeStream.outputMode("append")
+                .foreachBatch(lambda df, _bid: df.count())
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        bench.N_60M, bench.STREAM_SRC = saved
+
+
+def _streaming(spark, n):
+    _stream_scaled(spark, n, full_recompute=False)
+
+
+def _streaming_full(spark, n):
+    _stream_scaled(spark, n, full_recompute=True)
+
+
 PROBES = {
     "exact_dedup": (bench.N_60M, _exact_dedup),
     "hll_distinct": (bench.N_60M, _hll),
@@ -217,6 +396,22 @@ PROBES = {
     # structure-bounded shuffle (n_batches × d² scalars): the scan is the
     # only term that grows
     "gram": (bench.N_GRAM, _gram),
+    # round 9 — the remaining bench families (VERDICT r8 item 5):
+    "minhash_lsh": (bench.N_MINHASH, _minhash),
+    "bitmap_retention": (bench.N_60M, _bitmap),
+    # same 4x-the-bench-corpus reasoning as ann_quantized: below ~2M rows
+    # the measurement is mostly fixed job overhead
+    "ann_brute": (4 * bench.N_ANN_CORPUS, _ann_brute),
+    "heavy_hitters": (bench.N_60M, _heavy),
+    "funnel": (bench.N_60M, _funnel),
+    "kmeans_wide": (bench.N_KM_WIDE, _kmeans_wide),
+    "qnorm": (bench.N_60M, _qnorm),
+    "streaming_windows": (bench.N_60M, _streaming),
+    "streaming_full_recompute": (bench.N_60M, _streaming_full),
+    # round 9 — duplicate-span extents (substring-level dedup at scale):
+    # 16-token docs, boilerplate pool ∝ n keeps the duplication factor
+    # per block constant
+    "span_extents": (bench.N_TEXT, _span_extents),
 }
 
 

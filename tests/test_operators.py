@@ -2596,3 +2596,91 @@ def test_kmeans_blas_degraded_batches_match_expand(spark):
         ).collect()
     }
     assert got == {0: None, 1: None}  # masked, not desynced
+
+
+def test_duplicate_span_extents_stitching(spark):
+    """Overlapping + adjacent duplicated n-grams stitch into one maximal
+    extent; independent repeats produce separate extents; docs without a
+    cross-doc repeat emit nothing ("dedup the span, not the doc")."""
+    # 12-token shared passage inside two otherwise-different docs:
+    # with n=4 that is 9 overlapping duplicated grams -> ONE extent each
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    df = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {shared} u3 u4"),
+            (2, f"{shared} w1 w2 w3 w4 w5"),
+            # doc 3: two DISJOINT copies of a 4-token span also in doc 4,
+            # separated by unique filler wider than n -> two extents
+            (3, "m1 m2 m3 m4 f1 f2 f3 f4 f5 m1 m2 m3 m4"),
+            (4, "z9 m1 m2 m3 m4 z8 z7 z6"),
+            (5, "only unique tokens here none repeat q r"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.duplicate_span_extents(df, n=4, min_docs=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_grams)
+        )
+        # extent width always >= n, gram count == width - n + 1 for a
+        # contiguous all-duplicated run
+        assert r.span_end - r.span_start + 1 >= 4
+    # doc 1: shared passage at tokens 3..14 -> one stitched extent
+    assert by_doc[1] == [(3, 14, 9)]
+    # doc 2: same passage at tokens 1..12
+    assert by_doc[2] == [(1, 12, 9)]
+    # doc 3: two disjoint extents (positions 1..4 and 10..13)
+    assert sorted(by_doc[3]) == [(1, 4, 1), (10, 13, 1)]
+    # doc 4: the span at tokens 2..5
+    assert by_doc[4] == [(2, 5, 1)]
+    # doc 5: nothing to cut
+    assert 5 not in by_doc
+
+
+def test_duplicate_span_extents_adjacent_grams_merge(spark):
+    """Two duplicated grams whose token ranges touch end-to-end
+    (pos diff == n) must merge into one extent — the boundary case of
+    the stitcher's gap rule."""
+    # docs share grams [a1..a4] and [b1..b4]; in doc 1 they are adjacent
+    # (positions 1 and 5, ranges 1-4 / 5-8); doc 2 and 3 carry them FAR
+    # apart so only the doc-1 placement tests adjacency
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 a4 b1 b2 b3 b4"),
+            (2, "a1 a2 a3 a4 x1 x2 x3 x4 x5 y1 y2 y3 y4 y5"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 b1 b2 b3 b4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.duplicate_span_extents(df, n=4, min_docs=2).collect()
+    doc1 = sorted(
+        (r.span_start, r.span_end, r.n_grams)
+        for r in rows
+        if r.doc_id == 1
+    )
+    # grams at pos 1 and pos 5: pos diff == n == 4 -> ONE extent 1..8
+    assert doc1 == [(1, 8, 2)]
+
+
+def test_duplicate_span_extents_short_docs_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, None)], "doc_id long, text string"
+    )
+    # all docs shorter than n -> no grams, no extents, no crash
+    assert dedup.duplicate_span_extents(df, n=8).count() == 0
+    # determinism under repartition on a corpus with repeats
+    big = spark.createDataFrame(
+        [
+            (i, "h1 h2 h3 h4 h5 h6 h7 h8 " + " ".join(f"t{i}_{j}" for j in range(6)))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, dedup.duplicate_span_extents(big, n=8).collect())
+    )
+    b = sorted(
+        map(tuple, dedup.duplicate_span_extents(big.repartition(7), n=8).collect())
+    )
+    assert a == b and len(a) == 20
