@@ -205,6 +205,29 @@ def _km_seed_centroids(primes: tuple = KM_PRIMES) -> list:
     ]
 
 
+# duplicate-span-extents family (round 9): substring-level dedup at scale.
+# 10M 24-token docs: 8 unique tokens + a 16-token boilerplate tail drawn
+# from a 50k-block pool (~200 docs/block), all integer||string arithmetic
+# so both engines generate identical corpora. Every doc carries 9
+# duplicated 8-grams that stitch into ONE 16-token extent — the census
+# sees 170M grams, the stitcher 90M marked positions. Spark drives
+# dedup.duplicate_span_extents; DuckDB runs the identical census + dup
+# join + lag/running-sum stitching (value parity gated by q33's 'extent'
+# part at sf0.01).
+N_SPAN, SPAN_POOL, SPAN_N = 10_000_000, 50_000, 8
+
+
+def _span_text_sql(idv: str) -> str:
+    uniq = " || ' ' || ".join(
+        f"'u{j}_' || CAST(({idv}) * {2 * j + 3} AS VARCHAR)" for j in range(8)
+    )
+    boil = " || ' ' || ".join(
+        f"'b{j}_' || CAST((({idv}) % {SPAN_POOL}) * {j + 1} AS VARCHAR)"
+        for j in range(16)
+    )
+    return f"{uniq} || ' ' || {boil}"
+
+
 # streaming family: 60M (ts, key, value) rows staged ONCE as deterministic
 # TIME-ORDERED parquet files (numpy-generated — no JVM needed, so the DuckDB
 # pass can still run on an idle machine). Both engines consume the same 16
@@ -368,6 +391,7 @@ FAMILY_PASS1_ORDER = [
     "heavy_hitters",
     "exact_dedup",
     "minhash_lsh_600k",
+    "span_extents_10m",
     "streaming_windows_full_recompute",
     "bitmap_retention",
     "ann_brute_2m_x128",
@@ -626,6 +650,61 @@ def _duckdb_family_sqls() -> dict:
            COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')))
                AS n_distinct
     FROM gen GROUP BY src
+    """
+
+    # duplicate-span extents at 10M 24-token docs: the same census + dup
+    # join + lag/running-sum stitching the Spark operator runs (value
+    # parity is q33's 'extent' part; this is the throughput mirror)
+    sqls["span_extents_10m"] = f"""
+    WITH docs AS (
+        SELECT range AS doc_id,
+               {_span_text_sql('range')} AS text
+        FROM range({N_SPAN})
+    ),
+    toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS t
+        FROM docs
+    ),
+    grams AS (
+        SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(t) - {SPAN_N - 1}, 0) + 1),
+                   i -> struct_pack(
+                       pos := CAST(i AS INT),
+                       h := md5(array_to_string(
+                           t[CAST(i AS INT):CAST(i + {SPAN_N - 1} AS INT)], ' '))
+                   )), recursive := true) AS g
+        FROM toks
+    ),
+    dup AS (
+        SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)
+    ),
+    lagged AS (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM marked
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - prev <= {SPAN_N} THEN 0 ELSE 1 END AS brk
+        FROM lagged
+    ),
+    ext AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS eid
+        FROM flagged
+    )
+    SELECT COUNT(*) AS n_extents,
+           SUM(span_end - span_start + 1) AS cut_tokens
+    FROM (
+        SELECT doc_id, MIN(pos) AS span_start,
+               MAX(pos) + {SPAN_N - 1} AS span_end
+        FROM ext GROUP BY doc_id, eid
+    )
     """
 
     # MinHash+LSH candidate pairs at 600k docs (~67M md5 calls — the same
@@ -1214,6 +1293,20 @@ def run_spark_families(spark, result: dict) -> None:
         dedup.exact_dedup_summary(df, ["src"], text="text", id_col="id").collect()
 
     entries.append(("exact_dedup", dedup_60m, None))
+
+    def span_extents():
+        t = _span_text_sql("id").replace("VARCHAR", "STRING")
+        docs = gen(N_SPAN, [("doc_id", "id"), ("text", t)])
+        dedup.duplicate_span_extents(
+            docs, text="text", id_col="doc_id", n=SPAN_N, min_docs=2
+        ).agg(
+            F.count(F.lit(1)).alias("n_extents"),
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).alias("cut_tokens"),
+        ).collect()
+
+    entries.append(("span_extents_10m", span_extents, None))
 
     def minhash():
         d = f"id % {MINHASH_D}"

@@ -36,6 +36,8 @@ def bench_small(tmp_path_factory):
             "SESS_USERS",
             "FUNNEL_USERS",
             "STREAM_SRC",
+            "N_SPAN",
+            "SPAN_POOL",
         )
     }
     bench.N_60M = 50_000
@@ -51,6 +53,7 @@ def bench_small(tmp_path_factory):
     bench.SESS_USERS = 1_000
     bench.FUNNEL_USERS = 1_999  # coprime with 5 event types, like the real value
     bench.STREAM_SRC = str(tmp_path_factory.mktemp("bench_stream"))
+    bench.N_SPAN, bench.SPAN_POOL = 10_000, 50  # ~200 docs/block, like real
     yield bench
     for k, v in saved.items():
         setattr(bench, k, v)
@@ -79,6 +82,7 @@ def test_all_spark_families_execute(spark, bench_small):
         "gram_2m_x64",  # round 7: PCA Gram stats pass, exact int codes
         "pctrank_60m",  # round 7: percentile-rank score normalization
         "qnorm_60m",  # round 8: quantile normalization (CDF inversion)
+        "span_extents_10m",  # round 9: substring-level dedup extents
     }
     assert all(t >= 0 for t in fam.values())
 
@@ -396,3 +400,43 @@ def test_qnorm_mirror_agrees(spark, bench_small):
         assert abs(srow[1] - drow[1]) <= 1e-9 * abs(drow[1])
     finally:
         con.close()
+
+
+def test_span_extents_mirror_agrees(spark, bench_small):
+    """Round-9 family: the DuckDB span-extents mirror must produce the
+    SAME (n_extents, cut_tokens) as the Spark operator at small N —
+    integer outputs, so equality is exact. Also pins the generator's
+    intended shape: one 16-token boilerplate extent per doc."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import dedup
+
+    b = bench_small
+    t = b._span_text_sql("id").replace("VARCHAR", "STRING")
+    docs = spark.range(b.N_SPAN, numPartitions=8).selectExpr(
+        "id AS doc_id", f"{t} AS text"
+    )
+    srow = (
+        dedup.duplicate_span_extents(
+            docs, text="text", id_col="doc_id", n=b.SPAN_N, min_docs=2
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_extents"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+                "cut_tokens"
+            ),
+        )
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    try:
+        drow = con.execute(
+            b._duckdb_family_sqls()["span_extents_10m"]
+        ).fetchall()[0]
+    finally:
+        con.close()
+    assert (int(srow[0]), int(srow[1])) == (int(drow[0]), int(drow[1]))
+    # generator shape: every doc's 16-token boilerplate tail repeats
+    # across ~N/POOL docs -> exactly one extent per doc, 16 tokens wide
+    assert int(srow[0]) == b.N_SPAN
+    assert int(srow[1]) == 16 * b.N_SPAN
