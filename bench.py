@@ -11,6 +11,14 @@ BEFORE the Spark JVM is started so neither engine's numbers are skewed by
 the other's threads/GC. ``native_sketch_rows_per_sec`` reports the native
 path's marginal throughput at 60M generated rows — the scale-relevant
 number (per-query times at sf0.1 are fixed-overhead-bound).
+
+Per-family protocol (round 9): every 60M-class family runs under a
+multi-pass scheduler — spread repetitions in rotated order with min
+taken, pass membership decided from cross-session FRESH_BANDS refs, and
+an end-of-session band retry that records a ``family_band_notes`` entry
+(cleared_by_retry / load_suspect) whenever a cell exceeds its band.
+See _run_family_passes for the full rules and the r8 contamination
+post-mortem that motivated them.
 """
 
 from __future__ import annotations
@@ -206,15 +214,17 @@ def _km_seed_centroids(primes: tuple = KM_PRIMES) -> list:
 
 
 # duplicate-span-extents family (round 9): substring-level dedup at scale.
-# 10M 24-token docs: 8 unique tokens + a 16-token boilerplate tail drawn
-# from a 50k-block pool (~200 docs/block), all integer||string arithmetic
+# 2M 24-token docs: 8 unique tokens + a 16-token boilerplate tail drawn
+# from a 50k-block pool (~40 docs/block), all integer||string arithmetic
 # so both engines generate identical corpora. Every doc carries 9
 # duplicated 8-grams that stitch into ONE 16-token extent — the census
-# sees 170M grams, the stitcher 90M marked positions. Spark drives
+# sees 34M grams, the stitcher 18M marked positions. Spark drives
 # dedup.duplicate_span_extents; DuckDB runs the identical census + dup
-# join + lag/running-sum stitching (value parity gated by q33's 'extent'
-# part at sf0.01).
-N_SPAN, SPAN_POOL, SPAN_N = 10_000_000, 50_000, 8
+# join + lag/running-sum stitching in its fastest form (printf
+# generation; grams CTE MATERIALIZED — inlining recomputed the 34M-gram
+# census for the join probe, 70 -> 33 s/M measured). Value parity is
+# gated by q33's 'extent' part at sf0.01.
+N_SPAN, SPAN_POOL, SPAN_N = 2_000_000, 50_000, 8
 
 
 def _span_text_sql(idv: str) -> str:
@@ -226,6 +236,20 @@ def _span_text_sql(idv: str) -> str:
         for j in range(16)
     )
     return f"{uniq} || ' ' || {boil}"
+
+
+def _span_text_printf(idv: str) -> str:
+    """printf form of _span_text_sql — identical output text, one format
+    call per row instead of ~50 string concats (the concat form measured
+    13.2 s/M docs of pure generation on the DuckDB side)."""
+    fmt = " ".join(
+        [f"u{j}_%d" for j in range(8)] + [f"b{j}_%d" for j in range(16)]
+    )
+    args = ", ".join(
+        [f"({idv}) * {2 * j + 3}" for j in range(8)]
+        + [f"(({idv}) % {SPAN_POOL}) * {j + 1}" for j in range(16)]
+    )
+    return f"printf('{fmt}', {args})"
 
 
 # streaming family: 60M (ts, key, value) rows staged ONCE as deterministic
@@ -377,6 +401,9 @@ FRESH_BANDS = {
     "qnorm_60m": {"spark": 6.65, "duckdb": 11.7},
     "streaming_windows": {"spark": 6.23, "duckdb": 7.95},
     "streaming_windows_full_recompute": {"spark": 1.15, "duckdb": 0.46},
+    # round 9 (first measured fresh-process: Spark reps 26.1/23.6/23.9,
+    # DuckDB 57.6/57.5 on an idle machine)
+    "span_extents_2m": {"spark": 23.6, "duckdb": 57.5},
 }
 
 BAND_TOL = 1.6  # the documented ~±40% machine swing + margin
@@ -391,7 +418,7 @@ FAMILY_PASS1_ORDER = [
     "heavy_hitters",
     "exact_dedup",
     "minhash_lsh_600k",
-    "span_extents_10m",
+    "span_extents_2m",
     "streaming_windows_full_recompute",
     "bitmap_retention",
     "ann_brute_2m_x128",
@@ -652,13 +679,15 @@ def _duckdb_family_sqls() -> dict:
     FROM gen GROUP BY src
     """
 
-    # duplicate-span extents at 10M 24-token docs: the same census + dup
+    # duplicate-span extents at 2M 24-token docs: the same census + dup
     # join + lag/running-sum stitching the Spark operator runs (value
-    # parity is q33's 'extent' part; this is the throughput mirror)
-    sqls["span_extents_10m"] = f"""
+    # parity is q33's 'extent' part; this is the throughput mirror).
+    # printf generation + MATERIALIZED grams are DuckDB's fastest form
+    # (see the N_SPAN block comment for the measurements).
+    sqls["span_extents_2m"] = f"""
     WITH docs AS (
         SELECT range AS doc_id,
-               {_span_text_sql('range')} AS text
+               {_span_text_printf('range')} AS text
         FROM range({N_SPAN})
     ),
     toks AS (
@@ -666,7 +695,7 @@ def _duckdb_family_sqls() -> dict:
                string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS t
         FROM docs
     ),
-    grams AS (
+    grams AS MATERIALIZED (
         SELECT doc_id, unnest(list_transform(
                    range(1, greatest(len(t) - {SPAN_N - 1}, 0) + 1),
                    i -> struct_pack(
@@ -1306,7 +1335,7 @@ def run_spark_families(spark, result: dict) -> None:
             ).alias("cut_tokens"),
         ).collect()
 
-    entries.append(("span_extents_10m", span_extents, None))
+    entries.append(("span_extents_2m", span_extents, None))
 
     def minhash():
         d = f"id % {MINHASH_D}"

@@ -305,20 +305,16 @@ def _span_extents(spark, n):
 
     from duckdb_ddsketch_spark.operators import dedup
 
-    # 16-token docs: an 8-token unique half + an 8-token boilerplate block
-    # drawn from a pool that scales with n (constant duplication factor
-    # ~n/pool per block); extents stitch the boilerplate half back out
-    pool = max(1, n // 200)
-    uniq = " || ' ' || ".join(
-        f"'u{j}_' || CAST(id * {2 * j + 3} AS STRING)" for j in range(8)
-    )
-    boil = " || ' ' || ".join(
-        f"'b{j}_' || CAST((id % {pool}) * {j + 1} AS STRING)" for j in range(8)
-    )
-    docs = _gen(
-        spark, n, [("doc_id", "id"), ("text", f"{uniq} || ' ' || {boil}")]
-    )
-    dedup.duplicate_span_extents(docs, n=8, min_docs=2).agg(
+    # the bench family's 24-token generator with the boilerplate pool
+    # scaled ∝ n (constant ~40 docs/block duplication factor)
+    saved = bench.SPAN_POOL
+    bench.SPAN_POOL = max(1, int(bench.SPAN_POOL * n / bench.N_SPAN))
+    try:
+        t = bench._span_text_sql("id").replace("VARCHAR", "STRING")
+    finally:
+        bench.SPAN_POOL = saved
+    docs = _gen(spark, n, [("doc_id", "id"), ("text", t)])
+    dedup.duplicate_span_extents(docs, n=bench.SPAN_N, min_docs=2).agg(
         F.count(F.lit(1)).alias("n_extents"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("cut_tokens"),
     ).collect()
@@ -409,9 +405,9 @@ PROBES = {
     "streaming_windows": (bench.N_60M, _streaming),
     "streaming_full_recompute": (bench.N_60M, _streaming_full),
     # round 9 — duplicate-span extents (substring-level dedup at scale):
-    # 16-token docs, boilerplate pool ∝ n keeps the duplication factor
-    # per block constant
-    "span_extents": (bench.N_TEXT, _span_extents),
+    # the bench family's 24-token generator, boilerplate pool ∝ n keeps
+    # the per-block duplication factor constant
+    "span_extents": (bench.N_SPAN, _span_extents),
 }
 
 
@@ -482,17 +478,28 @@ def main() -> None:
         # silently lose a session's families — with a stderr note so a
         # changed-base mismatch is visible.
         for name, rec in prior.items():
-            matched = False
-            for n, sec in zip(rec["rows"], rec["sec"]):
-                k = (name, n)
-                if k in best:
-                    best[k] = min(best[k], sec)
-                    matched = True
-            if not matched:
+            if name in todo:
+                matched = False
+                for n, sec in zip(rec["rows"], rec["sec"]):
+                    k = (name, n)
+                    if k in best:
+                        best[k] = min(best[k], sec)
+                        matched = True
+                if not matched:
+                    # measured THIS session at different row counts: the
+                    # current cells win, the prior ones are dropped loudly
+                    # (folding them in would mix incomparable bases)
+                    print(
+                        f"# dropping prior cells for {name}: base row counts"
+                        f" changed ({rec['rows']})",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+            else:
                 carried[name] = rec
                 print(
-                    f"# carrying prior family unchanged (no matching current"
-                    f" cells): {name} rows={rec['rows']}",
+                    f"# carrying prior family unchanged (not selected this"
+                    f" session): {name} rows={rec['rows']}",
                     file=sys.stderr,
                     flush=True,
                 )

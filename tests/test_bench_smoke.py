@@ -82,7 +82,7 @@ def test_all_spark_families_execute(spark, bench_small):
         "gram_2m_x64",  # round 7: PCA Gram stats pass, exact int codes
         "pctrank_60m",  # round 7: percentile-rank score normalization
         "qnorm_60m",  # round 8: quantile normalization (CDF inversion)
-        "span_extents_10m",  # round 9: substring-level dedup extents
+        "span_extents_2m",  # round 9: substring-level dedup extents
     }
     assert all(t >= 0 for t in fam.values())
 
@@ -431,7 +431,7 @@ def test_span_extents_mirror_agrees(spark, bench_small):
     con = duckdb.connect()
     try:
         drow = con.execute(
-            b._duckdb_family_sqls()["span_extents_10m"]
+            b._duckdb_family_sqls()["span_extents_2m"]
         ).fetchall()[0]
     finally:
         con.close()
