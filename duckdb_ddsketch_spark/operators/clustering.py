@@ -522,6 +522,7 @@ def kmeans_centroids(
     k: int = 10,
     iters: int = 2,
     method: str = "auto",
+    tol: float = 0.0,
 ) -> List[Tuple[int, List[float]]]:
     """Run ``iters`` Lloyd iterations; return [(cluster_id, centroid)].
 
@@ -535,6 +536,16 @@ def kmeans_centroids(
     64KB generated-method limit and fall back to interpreted eval);
     "expand" / "fold" / "blas" force a path — "fold" is bit-identical to
     "expand" at any width (same summation order, interpreted).
+
+    ``tol``: convergence early-exit — iteration stops once the max L2
+    centroid shift is <= tol (a cluster dropping out counts as
+    structural change, never convergence). The default 0.0 exits only on
+    a bit-exact fixed point, which is result-identical to running the
+    remaining iterations (identical centroids => identical assignment
+    => identical sums) and skips their full-corpus scans. ``iters``
+    stays the hard upper bound — at 100 TB every saved iteration is a
+    saved corpus scan, which is the whole cost of wide k-means
+    (SCALING.md wide-family profile).
     """
     if method != "auto" and method not in ("expand", "fold", "blas"):
         # fail before the width-probe job, not after it
@@ -543,7 +554,7 @@ def kmeans_centroids(
     if not centroids:
         return []
     m = _choose_method(k, len(centroids[0][1]), method)
-    return _lloyd_persisted(fdf, centroids, iters, m, vec_col)
+    return _lloyd_persisted(fdf, centroids, iters, m, vec_col, tol)
 
 
 def _lloyd_persisted(
@@ -552,6 +563,7 @@ def _lloyd_persisted(
     iters: int,
     m: str,
     vec_col: str,
+    tol: float = 0.0,
 ) -> List[Tuple[int, List[float]]]:
     """:func:`_lloyd` with the shared iteration caching policy: persist
     the filtered frame only when more than one pass will read it."""
@@ -559,7 +571,7 @@ def _lloyd_persisted(
     if persisted:
         fdf = fdf.persist()
     try:
-        return _lloyd(fdf, centroids, iters, m, vec_col)
+        return _lloyd(fdf, centroids, iters, m, vec_col, tol)
     finally:
         if persisted:
             fdf.unpersist()
@@ -629,20 +641,45 @@ def _probe_and_seeds(
     return fdf, [(i, list(r["c"])) for i, r in enumerate(seeds)]
 
 
+def _centroid_shift(
+    prev: List[Tuple[int, List[float]]],
+    cur: List[Tuple[int, List[float]]],
+) -> float:
+    """Max L2 shift between matching cluster ids; +inf when the id sets
+    differ (a dropped/emptied cluster is structural change, not
+    convergence). Pure driver arithmetic over k*dims scalars."""
+    pd_, cd = dict(prev), dict(cur)
+    if set(pd_) != set(cd):
+        return float("inf")
+    worst = 0.0
+    for cid, pv in pd_.items():
+        cv = cd[cid]
+        worst = max(
+            worst, sum((a - b) ** 2 for a, b in zip(pv, cv)) ** 0.5
+        )
+    return worst
+
+
 def _lloyd(
     df: DataFrame,
     centroids: List[Tuple[int, List[float]]],
     iters: int,
     m: str,
     vec_col: str,
+    tol: float = 0.0,
 ) -> List[Tuple[int, List[float]]]:
     """``iters`` Lloyd updates over a pre-filtered (and ideally
     persisted) frame — the loop body shared by :func:`kmeans_centroids`
-    and :func:`kmeans_summary`'s fused route."""
+    and :func:`kmeans_summary`'s fused route. Exits early when the max
+    centroid shift falls to ``tol`` or below (see kmeans_centroids) —
+    each skipped iteration is a skipped full-corpus scan."""
     ndims = len(centroids[0][1])
     for _ in range(iters):
+        prev = centroids
         if m == "blas":
             centroids = _iterate_blas(df, centroids, vec_col)
+            if _centroid_shift(prev, centroids) <= tol:
+                break
             continue
         # per-dim BIGINT sums as one wide aggregate: each element is
         # quantized straight from the source array (O(dims) per row —
@@ -680,6 +717,8 @@ def _lloyd(
             )
             for r in sorted(sums, key=lambda r: r["cid"])
         ]
+        if _centroid_shift(prev, centroids) <= tol:
+            break
     return centroids
 
 
@@ -721,11 +760,15 @@ def kmeans_summary(
     iters: int = 2,
     label_col: Optional[str] = None,
     method: str = "auto",
+    tol: float = 0.0,
 ) -> DataFrame:
     """Cluster -> (n_vecs, c0, c1[, mean_label]) after ``iters`` updates.
 
     The reported centroid components and mean label are pure functions of
     order-independent integer sums, so the output is exactly reproducible.
+    ``tol`` is the convergence early-exit (see :func:`kmeans_centroids`):
+    result-identical at the default 0.0, and a converged run skips the
+    remaining iterations' full-corpus scans.
     """
     if method != "auto" and method not in ("expand", "fold", "blas"):
         raise ValueError(f"method must be auto|expand|fold|blas, got {method!r}")
@@ -758,7 +801,8 @@ def kmeans_summary(
         base = base.persist()
         try:
             centroids = _lloyd(
-                fdf, centroids, iters, _choose_method(k, dims, method), vec_col
+                fdf, centroids, iters, _choose_method(k, dims, method),
+                vec_col, tol,
             )
             # clusters can drop during Lloyd: re-choose on the FINAL
             # count exactly like kmeans_assign, so a shrunken problem
@@ -778,7 +822,8 @@ def kmeans_summary(
             base.unpersist()
     elif centroids:
         centroids = _lloyd_persisted(
-            fdf, centroids, iters, _choose_method(k, dims, method), vec_col
+            fdf, centroids, iters, _choose_method(k, dims, method),
+            vec_col, tol,
         )
     if part is not None:
         out = part.groupBy(F.col("cid").alias("cluster_id")).agg(

@@ -73,6 +73,10 @@ FAMILY_DESC = {
         "quantile normalization (60 M×25 groups onto the global"
         " reference; union+window CDF inversion, no range join)"
     ),
+    "span_extents_2m": (
+        "duplicate-span extents (2 M×24-token docs; 34 M-gram census,"
+        " stitched substring dedup; DuckDB mirror MATERIALIZED)"
+    ),
 }
 
 

@@ -2684,3 +2684,55 @@ def test_duplicate_span_extents_short_docs_and_determinism(spark):
         map(tuple, dedup.duplicate_span_extents(big.repartition(7), n=8).collect())
     )
     assert a == b and len(a) == 20
+
+
+def test_centroid_shift_pure():
+    from duckdb_ddsketch_spark.operators.clustering import _centroid_shift
+
+    a = [(0, [0.0, 0.0]), (1, [1.0, 1.0])]
+    b = [(0, [0.0, 0.0]), (1, [1.0, 1.0])]
+    assert _centroid_shift(a, b) == 0.0
+    c = [(0, [3.0, 4.0]), (1, [1.0, 1.0])]
+    assert _centroid_shift(a, c) == 5.0  # 3-4-5 triangle on cluster 0
+    # a dropped cluster is structural change, never convergence
+    assert _centroid_shift(a, [(0, [0.0, 0.0])]) == float("inf")
+    assert _centroid_shift(a, [(0, [0.0, 0.0]), (2, [1.0, 1.0])]) == float("inf")
+
+
+def test_kmeans_tol_early_exit_and_identity(spark, monkeypatch):
+    """tol-converged runs must (1) stop issuing iteration jobs and
+    (2) return bit-identical centroids to the fixed-iteration run —
+    the early exit only fires at a fixed point, where further
+    iterations are provably no-ops."""
+    from duckdb_ddsketch_spark.operators import clustering
+
+    # corpus = k distinct repeated vectors; the k smallest ids cover all
+    # k vectors, so the seeds are already the exact cluster means and
+    # iteration 1 lands on the fixed point
+    k, reps = 4, 50
+    rows = [
+        (i, [float((i % k) * 8 + d) for d in range(16)])
+        for i in range(k * reps)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    calls = {"n": 0}
+    real = clustering._iterate_blas
+
+    def counting(dfx, cents, vc):
+        calls["n"] += 1
+        return real(dfx, cents, vc)
+
+    monkeypatch.setattr(clustering, "_iterate_blas", counting)
+    got = clustering.kmeans_centroids(
+        df, k=k, iters=25, method="blas", tol=1e-12
+    )
+    early_calls = calls["n"]
+    assert early_calls <= 3  # fixed point by iter ~1-2, far below 25
+    calls["n"] = 0
+    ref = clustering.kmeans_centroids(df, k=k, iters=early_calls, method="blas")
+    assert got == ref  # bit-identical to the run of exactly that length
+    # default tol=0.0 also exits at the bit-exact fixed point
+    calls["n"] = 0
+    same = clustering.kmeans_centroids(df, k=k, iters=25, method="blas")
+    assert same == ref and calls["n"] <= early_calls + 1
