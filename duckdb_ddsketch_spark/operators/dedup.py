@@ -184,6 +184,10 @@ def duplicate_span_extents(
     stage above is a hash shuffle Spark executes at 100 TB without
     per-partition imperative code.
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     # Gram construction via posexplode + lead window, not per-doc array
     # slices: transform(idx, md5(concat_ws(slice(toks, i, n)))) re-copies
     # every token n times through fresh per-gram arrays — measured 13.2 s

@@ -2736,3 +2736,13 @@ def test_kmeans_tol_early_exit_and_identity(spark, monkeypatch):
     calls["n"] = 0
     same = clustering.kmeans_centroids(df, k=k, iters=25, method="blas")
     assert same == ref and calls["n"] <= early_calls + 1
+
+
+def test_duplicate_span_extents_validates_params(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup.duplicate_span_extents(df, n=0)
+    with _pt.raises(ValueError):
+        dedup.duplicate_span_extents(df, min_docs=0)
