@@ -1636,6 +1636,11 @@ def main() -> None:
     result: dict = {}
     if "--no-compare" not in sys.argv:
         run_duckdb(result)
+        # partial-record insurance: if the session dies mid-Spark (driver
+        # timeout, OOM), the DuckDB half of the record survives on stdout.
+        # The driver parses only the LAST line, so this extra line is
+        # invisible to a completed run.
+        print(json.dumps({"partial": "duckdb_done", **result}), flush=True)
 
     from pyspark.sql import SparkSession
 
