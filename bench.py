@@ -1762,18 +1762,39 @@ def main() -> None:
     _emit(result)
 
 
+# the driver's tail capture has held ~2000 chars across rounds; the r8
+# 19-family summary line was 1887 bytes — one family from truncation.
+# _emit budgets the final line and the smoke test pins it.
+FINAL_LINE_BUDGET = 1900
+
+
 def _emit(result: dict) -> None:
     """Print the bench record so the driver's tail capture always parses.
 
-    The driver captures only the tail of stdout and parses the LAST line as
-    the official record. Round 7 lesson: folding ``raw_runs_sec`` into the
-    summary made that single line longer than the capture window, which
-    truncated the leading keys (headline block, oracle times) out of the
-    round record. So: raw runs go to a sidecar file AND an earlier stdout
-    line; the FINAL line is the compact summary alone, never the raw runs.
+    The driver captures only the tail of stdout and parses the LAST line
+    as the official record. Round 7 lesson: folding ``raw_runs_sec`` into
+    the summary made that single line longer than the capture window,
+    which truncated the leading keys (headline block, oracle times) out
+    of the round record. Round 9 lesson: the 20-family record PLUS the
+    protocol's band notes would overflow the same window again (measured
+    1932 B bare, 2044+ with notes). So: raw runs, the per-query oracle
+    dict, and the full band notes travel on the sidecar + an earlier
+    stdout line; the FINAL line carries the per-query oracle TOTAL (the
+    only form the docs/judge quote), and band notes collapse to a
+    ``load_suspect`` family list (cleared retries are routine — the full
+    evidence stays one line up).
     """
     result.pop("raw_runs_sec", None)
-    raw = {"raw_runs_sec": _RAW_RUNS}
+    notes = result.pop("family_band_notes", [])
+    oracle = result.pop("duckdb_oracle", None)
+    if oracle is not None:
+        result["duckdb_oracle_total"] = round(sum(oracle.values()), 3)
+    suspects = [n["family"] for n in notes if n.get("status") == "load_suspect"]
+    if suspects:
+        result["load_suspect"] = suspects
+    raw = {"raw_runs_sec": _RAW_RUNS, "family_band_notes": notes}
+    if oracle is not None:
+        raw["duckdb_oracle"] = oracle
     try:
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_raw_runs.json")
         with open(sidecar, "w") as f:
@@ -1781,7 +1802,14 @@ def _emit(result: dict) -> None:
     except OSError:
         pass  # read-only checkout: the stdout line below still carries the data
     print(json.dumps(raw))
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > FINAL_LINE_BUDGET:
+        # loud, on its own line (never the last): a future addition that
+        # overflows the capture window should fail the smoke test, but if
+        # one slips through, the record itself says why it truncated
+        print(json.dumps({"warning": "final line exceeds capture budget",
+                          "bytes": len(line)}))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -160,7 +160,7 @@ def _coverage_block(src: str, data: dict) -> str:
         " `python scripts/refresh_docs.py` — do not hand-edit):"
         f" headline {data.get('value')} s over {len(q)} queries"
         f" (DuckDB oracle total"
-        f" {sum(data.get('duckdb_oracle', {}).values()):.3f} s);"
+        f" {data.get('duckdb_oracle_total', sum(data.get('duckdb_oracle', {}).values())):.3f} s);"
         f" native sketch path {data.get('native_sketch_60m_sec')} s at 60 M"
         f" ({data.get('native_sketch_rows_per_sec', 0) / 1e6:.0f} M rows/s)"
         f" vs DuckDB {data.get('duckdb_60m_sec')} s;"

@@ -298,16 +298,76 @@ def test_emit_final_line_is_compact_summary(bench_small, capsys, tmp_path, monke
     monkeypatch.setattr(bench_small, "__file__", str(tmp_path / "bench.py"))
     bench_small._RAW_RUNS.clear()
     bench_small._RAW_RUNS["spark:qx"] = [0.5, 0.4]
-    result = {"metric": "headline_queries_total", "value": 1.0, "raw_runs_sec": {"stale": []}}
+    result = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "raw_runs_sec": {"stale": []},
+        # round 9: the verbose protocol evidence must leave the final line
+        "family_band_notes": [
+            {"family": "f1", "engine": "duckdb", "band_ref_sec": 1.0,
+             "runs_sec": [3.0, 1.1], "status": "cleared_by_retry"},
+            {"family": "f2", "engine": "spark", "band_ref_sec": 1.0,
+             "runs_sec": [3.0, 3.1], "status": "load_suspect"},
+        ],
+        "duckdb_oracle": {"q01": 0.1, "q02": 0.25},
+    }
     bench_small._emit(result)
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 2
     raw_line, summary_line = (_json.loads(ln) for ln in lines)
-    assert raw_line == {"raw_runs_sec": {"spark:qx": [0.5, 0.4]}}
+    assert raw_line["raw_runs_sec"] == {"spark:qx": [0.5, 0.4]}
+    # full notes + per-query oracle dict ride the raw line / sidecar
+    assert [n["family"] for n in raw_line["family_band_notes"]] == ["f1", "f2"]
+    assert raw_line["duckdb_oracle"] == {"q01": 0.1, "q02": 0.25}
     assert "raw_runs_sec" not in summary_line
+    assert "family_band_notes" not in summary_line
+    assert "duckdb_oracle" not in summary_line
+    # ...while the final line keeps the quoted forms: total + suspects only
+    assert summary_line["duckdb_oracle_total"] == 0.35
+    assert summary_line["load_suspect"] == ["f2"]
     assert summary_line["metric"] == "headline_queries_total"
     sidecar = _json.loads((tmp_path / "bench_raw_runs.json").read_text())
     assert sidecar == raw_line
+    bench_small._RAW_RUNS.clear()
+
+
+def test_emit_final_line_fits_capture_budget(bench_small, capsys, tmp_path, monkeypatch):
+    """Round-9: the driver's tail capture held ~2000 chars across rounds
+    and the r8 19-family line was 1887 B — one family from truncation.
+    A realistic 20-family record (both engines, headline, native, oracle
+    total, a couple of suspects) must emit a final line under the budget,
+    or the next family addition silently loses the round's record."""
+    import json as _json
+
+    monkeypatch.setattr(bench_small, "__file__", str(tmp_path / "bench.py"))
+    bench_small._RAW_RUNS.clear()
+    fams = list(bench_small.FAMILY_PASS1_ORDER)
+    assert len(fams) == 20
+    result = {
+        "duckdb_oracle": {f"q{i:02d}_some_headline_query_name": 0.123 for i in range(9)},
+        "duckdb_60m_sec": 24.567,
+        "duckdb_families_60m_sec": {f: 123.456 for f in fams},
+        "metric": "headline_queries_total",
+        "value": 5.018,
+        "unit": "sec",
+        "queries": {f"q{i:02d}_some_headline_query_name": 0.891 for i in range(9)},
+        "sf": 0.1,
+        "native_sketch_rows_per_sec": 43821234,
+        "native_sketch_60m_sec": 1.369,
+        "spark_families_60m_sec": {f: 51.871 for f in fams},
+        "family_band_notes": [
+            {"family": fams[0], "engine": "duckdb", "band_ref_sec": 59.1,
+             "runs_sec": [124.7, 70.9], "status": "cleared_by_retry"},
+            {"family": fams[1], "engine": "spark", "band_ref_sec": 3.4,
+             "runs_sec": [7.7, 8.2, 6.7, 6.7], "status": "load_suspect"},
+            {"family": fams[2], "engine": "spark", "band_ref_sec": 2.4,
+             "runs_sec": [6.1, 6.0, 5.9, 5.8], "status": "load_suspect"},
+        ],
+    }
+    bench_small._emit(result)
+    final = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(final) <= bench_small.FINAL_LINE_BUDGET, len(final)
+    assert _json.loads(final)["load_suspect"] == [fams[1], fams[2]]
     bench_small._RAW_RUNS.clear()
 
 
