@@ -515,3 +515,128 @@ def chunk_text(
         ),
     )
     return spans.withColumn("chunk_text", chunk).drop(toks_col, n_col)
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1 << 18,
+    ngram: int = 1,
+) -> DataFrame:
+    """Hashed bag-of-n-grams features: (id, bucket, cnt) — the
+    fastText-style feature extractor behind linear quality/domain
+    classifiers (the hashing trick: no vocabulary table, collisions are
+    the standard trade-off priced into training).
+
+    ``bucket = md5(gram)[:8 hex] % buckets`` — deterministic on every
+    engine/layout; counts are NON-distinct occurrences (a bag, not a
+    set — :func:`word_ngrams` is the distinct-shingle form for Jaccard).
+
+    Scale shape: map-only tokenize/explode, then ONE partial-agged
+    groupBy on (id, bucket) — shuffle bounded by corpus tokens, output
+    by distinct (doc, bucket) pairs. No reference counterpart
+    (beyond-reference operator).
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    toks = tokens(F.col(text))
+    if ngram == 1:
+        grams = toks
+    else:
+        ntok = F.size(toks)
+        idx = F.sequence(F.lit(1), ntok - (ngram - 1))
+        raw = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, (i + j).cast("int")) for j in range(ngram)],
+            ),
+        )
+        # sequence(1, 0) is DESCENDING in Spark — guard short documents
+        grams = F.when(ntok >= ngram, raw).otherwise(
+            F.array().cast("array<string>")
+        )
+    g = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+    return (
+        g.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    weights,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1 << 18,
+    ngram: int = 1,
+    bias: float = 0.0,
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """Linear text-classifier score per document:
+    ``bias + Σ_buckets cnt · w(bucket)`` over
+    :func:`hashed_ngram_features` — the quality/domain filter shape
+    (CCNet/LLaMA-style fastText gate) re-expressed Spark-first.
+
+    ``weights`` is either
+      * a (bucket, weight) DataFrame — broadcast onto the feature
+        stream (the trained-model path; buckets absent from the table
+        weigh 0, exactly a sparse model's semantics), or
+      * a callable Column→Column mapping the bucket id to its weight
+        EXPRESSION — fully map-side after the feature groupBy (the
+        procedural/derived-weights path, and the driver-gate form:
+        dyadic weight arithmetic keeps every partial sum exact in
+        double, so the score is bit-reproducible and oracle-matchable).
+
+    Returns (id_col, out_col, n_features, n_grams); documents with NO
+    features (empty/NULL text) are KEPT at exactly ``bias`` with zero
+    counts — a quality gate must see empty documents, they are usually
+    precisely what it rejects.
+
+    At 100 TB: features are token-bounded, the weights table is
+    model-sized (broadcastable by construction — 2^18 doubles ≈ 2 MB),
+    and the only non-map stages are the feature groupBy and the
+    keep-empty-docs left join on the id.
+    """
+    feats = hashed_ngram_features(
+        df, text=text, id_col=id_col, buckets=buckets, ngram=ngram
+    )
+    if callable(weights):
+        weighted = feats.withColumn("__w", weights(F.col("bucket")))
+    else:
+        wdf = weights.select(
+            F.col("bucket").cast("long").alias("__wb"),
+            F.col("weight").cast("double").alias("__w"),
+        )
+        weighted = feats.join(
+            F.broadcast(wdf), feats["bucket"] == F.col("__wb"), "left"
+        ).withColumn("__w", F.coalesce(F.col("__w"), F.lit(0.0)))
+    scores = weighted.groupBy(id_col).agg(
+        F.sum(F.col("cnt") * F.col("__w")).alias("__s"),
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum("cnt").alias("n_grams"),
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return (
+        ids.join(scores, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("__s"), F.lit(0.0)) + F.lit(float(bias))).alias(
+                out_col
+            ),
+            F.coalesce(F.col("n_features"), F.lit(0)).cast("long").alias(
+                "n_features"
+            ),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias(
+                "n_grams"
+            ),
+        )
+    )

@@ -1010,7 +1010,24 @@ FROM ({O['q69_conversion_funnel']}) f""",
             F.length("chunk_text").cast("double").alias("c4"),
             F.lit(0.0).alias("c5"),
         )
-        return toks.unionByName(qual).unionByName(lm).unionByName(chunks)
+        # round 9: hashed-n-gram linear quality classifier (fastText-style
+        # filter shape) — dyadic procedural weights keep the score
+        # hash-exact (q93 header); per-doc rows on the shared schema
+        clf = Q["q93_linear_quality_classifier"](spark, sf_dir).select(
+            F.lit("clf").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("clf_score").alias("c1"),
+            F.col("n_features").cast("double").alias("c2"),
+            F.col("n_grams").cast("double").alias("c3"),
+            F.lit(0.0).alias("c4"),
+            F.lit(0.0).alias("c5"),
+        )
+        return (
+            toks.unionByName(qual)
+            .unionByName(lm)
+            .unionByName(chunks)
+            .unionByName(clf)
+        )
 
     add(
         "q45_text_metrics",
@@ -1075,7 +1092,13 @@ FROM (
            length(array_to_string(list_slice(toks, chunk_id * 48 + 1,
                LEAST(chunk_id * 48 + 64, n)), ' ')) AS clen
     FROM c
-) ch""",
+) ch
+UNION ALL
+SELECT 'clf' AS part, CAST(doc_id AS VARCHAR) AS key,
+       clf_score AS c1, CAST(n_features AS DOUBLE) AS c2,
+       CAST(n_grams AS DOUBLE) AS c3,
+       CAST(0.0 AS DOUBLE) AS c4, CAST(0.0 AS DOUBLE) AS c5
+FROM ({O['q93_linear_quality_classifier']}) clfq""",
     )
 
     ren("q46_language_id", "q33_language_id")

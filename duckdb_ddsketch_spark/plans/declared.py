@@ -4542,6 +4542,70 @@ def q90(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q93 — hashed-n-gram linear quality classifier (round 9): the
+# fastText-style quality/domain filter shape. Weights here are a
+# deterministic DYADIC function of the bucket id
+# (((bucket * 2654435761) % 2001 - 1000) / 1024) so every per-doc partial
+# sum is exact in double → order-independent → hash-exact across engines;
+# a trained (bucket, weight) table takes the broadcast-join path, pinned
+# equivalent in test_operators.
+# ---------------------------------------------------------------------------
+
+_Q93_BUCKETS = 4096
+
+
+def _q93_oracle() -> str:
+    hex8 = _dd_hex2int("md5(g)", 1, 8)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS t
+        FROM documents
+    ),
+    g AS (SELECT doc_id, unnest(t) AS g FROM toks),
+    f AS (
+        SELECT doc_id, ({hex8} % {_Q93_BUCKETS}) AS bucket, COUNT(*) AS cnt
+        FROM g GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT doc_id,
+               SUM(CAST(cnt AS DOUBLE)
+                   * (CAST((bucket * 2654435761) % 2001 - 1000 AS DOUBLE)
+                      / 1024)) AS s,
+               COUNT(*) AS nf, SUM(cnt) AS ng
+        FROM f GROUP BY 1
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           coalesce(sc.s, 0.0) + 0.25 AS clf_score,
+           CAST(coalesce(sc.nf, 0) AS BIGINT) AS n_features,
+           CAST(coalesce(sc.ng, 0) AS BIGINT) AS n_grams
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """
+
+
+@_declare("q93_linear_quality_classifier", _q93_oracle())
+def q93(spark, sf_dir):
+    from ..operators import text as text_ops
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = lambda b: (  # noqa: E731 — dyadic procedural weights (see header)
+        ((b * F.lit(2654435761)) % 2001 - 1000).cast("double")
+        / F.lit(1024.0)
+    )
+    return text_ops.linear_quality_score(
+        docs, w, text="text", id_col="doc_id",
+        buckets=_Q93_BUCKETS, bias=0.25,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("clf_score"),
+        F.col("n_features"),
+        F.col("n_grams"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q90b — the FLOAT-weight path of the same race, driver-gated (round 9,
 # VERDICT r8 item 7): weights are DYADIC doubles ((n_chars % 97 + 1) / 8 —
 # 97 distinct values, deliberately NOT a constant rescaling of q90's

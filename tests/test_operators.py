@@ -2746,3 +2746,81 @@ def test_duplicate_span_extents_validates_params(spark):
         dedup.duplicate_span_extents(df, n=0)
     with _pt.raises(ValueError):
         dedup.duplicate_span_extents(df, min_docs=0)
+
+
+def test_hashed_ngram_features_and_linear_score(spark):
+    """fastText-style hashed features + linear scorer: the weights-TABLE
+    (broadcast join, sparse-model semantics) and weights-EXPRESSION
+    (map-only) paths must agree wherever the table covers every bucket;
+    a sparse table weighs missing buckets 0; empty/NULL docs are KEPT at
+    exactly bias with zero counts."""
+    from duckdb_ddsketch_spark.operators import text as text_ops
+
+    B = 64
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb aa cc"),
+            (2, "bb bb bb"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    feats = {
+        (r.doc_id, r.bucket): r.cnt
+        for r in text_ops.hashed_ngram_features(df, buckets=B).collect()
+    }
+    # doc 1: aa x2 + bb + cc -> counts per hashed bucket sum to 4
+    assert sum(c for (d, _), c in feats.items() if d == 1) == 4
+    assert sum(c for (d, _), c in feats.items() if d == 2) == 3
+    # empty doc 3: split("") yields one "" token -> one feature; NULL -> none
+    assert sum(c for (d, _), c in feats.items() if d == 3) == 1
+    assert not any(d == 4 for (d, _) in feats)
+
+    w_expr = lambda b: (b % 7 - 3).cast("double") / F.lit(4.0)
+    via_expr = {
+        r.doc_id: (r.clf_score, r.n_features, r.n_grams)
+        for r in text_ops.linear_quality_score(
+            df, w_expr, buckets=B, bias=0.5
+        ).collect()
+    }
+    wdf = spark.createDataFrame(
+        [(b, (b % 7 - 3) / 4.0) for b in range(B)], "bucket long, weight double"
+    )
+    via_table = {
+        r.doc_id: (r.clf_score, r.n_features, r.n_grams)
+        for r in text_ops.linear_quality_score(
+            df, wdf, buckets=B, bias=0.5
+        ).collect()
+    }
+    assert via_expr == via_table  # dyadic weights -> bit-identical
+    # NULL-text doc kept at exactly bias with zero counts
+    assert via_expr[4] == (0.5, 0, 0)
+    # sparse table: only doc 2's buckets weighted, everyone else = bias
+    d2_buckets = [b for (d, b) in feats if d == 2]
+    sparse = spark.createDataFrame(
+        [(b, 1.0) for b in d2_buckets], "bucket long, weight double"
+    )
+    got = {
+        r.doc_id: r.clf_score
+        for r in text_ops.linear_quality_score(
+            df, sparse, buckets=B, bias=0.0
+        ).collect()
+    }
+    assert got[2] == 3.0  # 3 occurrences x weight 1
+    # docs 1/3 score 0 unless they happen to share doc-2's bucket (bb!)
+    shared = feats.get((1, d2_buckets[0]), 0)
+    assert got[1] == float(shared)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        text_ops.hashed_ngram_features(df, buckets=0)
+    with _pt.raises(ValueError):
+        text_ops.hashed_ngram_features(df, ngram=0)
+    # bigram features: doc 1 has 3 bigrams, short docs none
+    bg = text_ops.hashed_ngram_features(df, buckets=B, ngram=2)
+    per_doc = {
+        r.doc_id: r.total
+        for r in bg.groupBy("doc_id").agg(F.sum("cnt").alias("total")).collect()
+    }
+    assert per_doc.get(1) == 3 and per_doc.get(2) == 2
