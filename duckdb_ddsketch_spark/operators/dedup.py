@@ -151,6 +151,7 @@ def duplicate_span_extents(
     id_col: str = "doc_id",
     n: int = 8,
     min_docs: int = 2,
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """Maximal duplicated-substring extents per document — "dedup the
     span, not the doc".
@@ -188,6 +189,10 @@ def duplicate_span_extents(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if gram_hash not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"gram_hash must be 'xxhash64' or 'md5', got {gram_hash!r}"
+        )
     # Gram construction via posexplode + lead window, not per-doc array
     # slices: transform(idx, md5(concat_ws(slice(toks, i, n)))) re-copies
     # every token n times through fresh per-gram arrays — measured 13.2 s
@@ -203,14 +208,28 @@ def duplicate_span_extents(
         F.col(id_col), F.posexplode(toks).alias("__pos0", "__tok")
     )
     w_doc = Window.partitionBy(id_col).orderBy("__pos0")
-    gram_txt = F.concat_ws(
-        " ",
-        F.col("__tok"),
-        *[F.lead("__tok", j).over(w_doc) for j in range(1, n)],
-    )
+    lead_toks = [F.col("__tok")] + [
+        F.lead("__tok", j).over(w_doc) for j in range(1, n)
+    ]
+    # Default hash is xxhash64 over the n token columns DIRECTLY: no gram
+    # string is ever materialized (md5 first builds a ~n·token-width
+    # concat, then digests to a 32-char string), and the census/probe
+    # shuffles carry an 8-byte BIGINT key instead of 32+ bytes — measured
+    # 23.6 -> 12.6 s fresh-process on the 2M-doc bench family. The hash never
+    # reaches the output (only stitched positions do), so cross-engine
+    # oracle parity needs only the duplicated-gram SET to match; a single
+    # 64-bit collision among G grams flips a census row with probability
+    # ~G²/2⁶⁵ (~3e-5 at 34M grams) and would surface as a deterministic,
+    # loud hash-mismatch at gate scale, not a silent corruption.
+    # gram_hash='md5' keeps the engine-portable 128-bit digest for
+    # callers who export the census itself.
+    if gram_hash == "xxhash64":
+        h_expr = F.xxhash64(*lead_toks)
+    else:
+        h_expr = F.md5(F.concat_ws(" ", *lead_toks))
     grams = (
         tok_rows.withColumn("__last", F.lead("__tok", n - 1).over(w_doc))
-        .withColumn("h", F.md5(gram_txt))
+        .withColumn("h", h_expr)
         # a doc shorter than n tokens has no complete gram: lead(n-1) is
         # NULL past the end, which also trims the ragged tail grams
         .where(F.col("__last").isNotNull() if n > 1 else F.lit(True))

@@ -25,6 +25,7 @@ __all__ = [
     "fingerprint",
     "top_k_tokens",
     "tfidf_top_terms",
+    "bm25_scores",
     "DEFAULT_STOPWORDS",
     "LANG_MARKERS",
     "REDACTION_PATTERNS",
@@ -638,5 +639,126 @@ def linear_quality_score(
             F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias(
                 "n_grams"
             ),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    queries: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k1: float = 1.5,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 relevance of every document against a small query set — the
+    retrieval / data-selection scorer (rank a 100 TB corpus against a
+    handful of "what good data looks like" probes, DSIR/contriever-style,
+    or serve as the lexical half of a hybrid ANN+BM25 selector).
+
+    score(q, d) = Σ_{t ∈ distinct terms(q)}
+        ln(1 + (N - df_t + 0.5)/(df_t + 0.5))          # Robertson/Lucene idf
+        · tf_td·(k1+1) / (tf_td + k1·(1 - b + b·dl_d/avgdl))
+
+    Returns (query_id, doc_id, bm25 REAL, n_terms, rank) — top ``k`` docs
+    per query, ranked by the float32-rounded score with doc-id tie-break
+    (same cross-engine determinism recipe as :func:`tfidf_top_terms`).
+    Per-term contributions are accumulated in fixed-point (floor(x·2¹⁶
+    + ½) as BIGINT): integer addition is order-free, so the sum is
+    bit-identical no matter how engines/partitions order the terms; only
+    the per-term double (one ln, one rational) must agree cross-engine,
+    and a libm ulp wiggle crosses a 2⁻¹⁶ rounding boundary with
+    probability ~1e-11 per term.
+
+    Scale shape (never materializes a doc×query cross product):
+      1. one tokenize+explode scan → per-(doc, term) tf hash-aggregate
+         (partial-agged; shuffle = distinct doc-term pairs);
+      2. dl per doc and df per query-term both derive from that SAME
+         aggregate (ReusedExchange serves the second consumer);
+      3. the query side is model-sized → broadcast; matching is a
+         broadcast semi-shape join on the term, so only docs containing
+         a query term flow further (corpus-bounded, query-filtered);
+      4. final agg keyed (query, doc); top-k via per-query window over
+         candidates only.
+    Beyond-reference operator (no counterpart in /root/reference).
+    """
+    if k1 < 0 or not (0.0 <= b <= 1.0):
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(F.lower(F.col(text)))).alias("term"),
+    ).where(F.col("term") != "")
+    per_doc_term = toks.groupBy("__doc", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = per_doc_term.groupBy("__doc").agg(F.sum("tf").alias("dl"))
+    qterms = (
+        queries.select(
+            F.col(query_id).alias("__q"),
+            F.explode(tokens(F.lower(F.col(query_text)))).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    uterms = qterms.select("term").distinct()
+    # df_t over the FULL corpus, computed only for query terms: restricting
+    # per_doc_term to term ∈ queries keeps every doc containing the term,
+    # so the count is exact — the vocabulary-wide aggregate never runs.
+    dfreq = (
+        per_doc_term.join(F.broadcast(uterms), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    stats = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    ).crossJoin(
+        F.broadcast(
+            toks.select(F.count(F.lit(1)).alias("total_tokens"))
+        )
+    )
+    matched = (
+        per_doc_term.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "__doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df_docs") + 0.5)
+        / (F.col("df_docs") + 0.5)
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    fixed = F.floor(contrib * 65536.0 + 0.5).cast("long")
+    scored = (
+        matched.select(F.col("__q"), F.col("__doc"), fixed.alias("__c"))
+        .groupBy("__q", "__doc")
+        .agg(
+            F.sum("__c").alias("__s"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .withColumn("bm25", (F.col("__s") / 65536.0).cast("float"))
+    )
+    w = Window.partitionBy("__q").orderBy(
+        F.col("bm25").desc(), F.col("__doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__q").alias(query_id),
+            F.col("__doc").alias(id_col),
+            "bm25",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            "rank",
         )
     )

@@ -1122,7 +1122,17 @@ FROM ({O['q93_linear_quality_classifier']}) clfq""",
             F.col("tfidf").alias("score"),
             "rank",
         )
-        return top.unionByName(tfidf)
+        # BM25 probe-query retrieval (round 9): source carries the query
+        # id, term the retrieved doc id — same (cnt, score, rank) shape
+        bm25 = Q["q94_bm25_topk"](spark, sf_dir).select(
+            F.lit("bm25").alias("part"),
+            F.col("query_id").cast("string").alias("source"),
+            F.col("doc_id").cast("string").alias("term"),
+            F.col("n_terms").alias("cnt"),
+            F.col("bm25").alias("score"),
+            "rank",
+        )
+        return top.unionByName(tfidf).unionByName(bm25)
 
     add(
         "q47_token_importance",
@@ -1132,7 +1142,11 @@ FROM ({O['q93_linear_quality_classifier']}) clfq""",
 FROM ({O['q43_heavy_hitters']}) h
 UNION ALL
 SELECT 'tfidf' AS part, source, term, tf AS cnt, tfidf AS score, rank
-FROM ({O['q44_tfidf_top_terms']}) t""",
+FROM ({O['q44_tfidf_top_terms']}) t
+UNION ALL
+SELECT 'bm25' AS part, CAST(query_id AS VARCHAR) AS source,
+       CAST(doc_id AS VARCHAR) AS term, n_terms AS cnt, bm25 AS score, rank
+FROM ({O['q94_bm25_topk']}) b""",
     )
 
     # q48: document gates — PII redaction audit + Gopher-style quality gate

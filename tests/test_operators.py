@@ -2824,3 +2824,70 @@ def test_hashed_ngram_features_and_linear_score(spark):
         for r in bg.groupBy("doc_id").agg(F.sum("cnt").alias("total")).collect()
     }
     assert per_doc.get(1) == 3 and per_doc.get(2) == 2
+
+
+def test_bm25_scores_reference_values(spark):
+    """BM25 against hand-computed values on a 3-doc corpus (k1=1.5, b=0.75,
+    Robertson/Lucene idf), plus ranking and multi-query independence."""
+    import math
+
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),       # dl=3, tf(apple)=2
+            (2, "apple cherry"),             # dl=2
+            (3, "banana banana banana durian"),  # dl=4
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "apple"), (2, "banana durian")],
+        "query_id int, query_text string",
+    )
+    rows = tx.bm25_scores(docs, qs, k=10).collect()
+    got = {(r.query_id, r.doc_id): r for r in rows}
+
+    def ref(tf, dl, df, n=3, avgdl=3.0, k1=1.5, b=0.75, *terms_more):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        c = idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        return math.floor(c * 65536.0 + 0.5)
+
+    # query 1 = 'apple': docs 1 (tf=2, dl=3) and 2 (tf=1, dl=2); df=2
+    assert set(k for k in got if k[0] == 1) == {(1, 1), (1, 2)}
+    assert got[(1, 1)].bm25 == pytest.approx(ref(2, 3, 2) / 65536.0)
+    assert got[(1, 2)].bm25 == pytest.approx(ref(1, 2, 2) / 65536.0)
+    assert got[(1, 1)].bm25 > got[(1, 2)].bm25
+    assert (got[(1, 1)].rank, got[(1, 2)].rank) == (1, 2)
+    assert (got[(1, 1)].n_terms, got[(1, 2)].n_terms) == (1, 1)
+
+    # query 2 = 'banana durian': doc 3 matches both terms, doc 1 one
+    assert set(k for k in got if k[0] == 2) == {(2, 3), (2, 1)}
+    exp3 = (ref(3, 4, 2) + ref(1, 4, 1)) / 65536.0
+    assert got[(2, 3)].bm25 == pytest.approx(exp3)
+    assert got[(2, 3)].n_terms == 2
+    assert got[(2, 3)].rank == 1
+
+
+def test_bm25_scores_topk_and_validation(spark):
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, "common filler" + " pad" * (i % 3)) for i in range(1, 8)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(7, "common")], "query_id int, query_text string"
+    )
+    out = tx.bm25_scores(docs, qs, k=3)
+    rows = out.collect()
+    assert len(rows) == 3 and [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+    # shorter docs score higher for equal tf -> doc-id tie-break inside
+    # equal-length groups keeps the result deterministic
+    assert rows == sorted(rows, key=lambda r: (r.rank,))
+    det = tx.bm25_scores(docs.repartition(5), qs, k=3).collect()
+    assert sorted(map(tuple, det)) == sorted(map(tuple, rows))
+    with pytest.raises(ValueError):
+        tx.bm25_scores(docs, qs, k=0)
+    with pytest.raises(ValueError):
+        tx.bm25_scores(docs, qs, b=1.5)
