@@ -56,6 +56,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_lsh_dedup",
     "duplicate_clusters",
+    "cluster_representatives",
     "simhash",
     "simhash_df",
     "simhash_pairs",
@@ -652,6 +653,58 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             f"max_iters (each extra iteration is one join+groupBy round)"
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def cluster_representatives(
+    labels: DataFrame,
+    scored: DataFrame,
+    score_col: str,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Pick the member to KEEP from each duplicate cluster — the standard
+    step after :func:`duplicate_clusters`: instead of "keep the min id",
+    keep the highest-quality copy (longest, best classifier score, most
+    recent crawl) and drop the rest.
+
+    ``labels`` is (id, cluster_id) as returned by
+    :func:`duplicate_clusters`; ``scored`` carries ``id_col`` plus
+    ``score_col`` (any orderable column — quality_score, n_chars, a
+    timestamp). Returns one row per cluster:
+    (cluster_id, rep_id, rep_score, n_members), rep = argmax (argmin when
+    ``higher_is_better=False``) of the score with min-id tie-break, so
+    the choice is deterministic across engines and partitionings.
+
+    Scale shape: ``labels`` is bounded by CLUSTERED docs (orders of
+    magnitude below the corpus — only near-dup members carry labels);
+    one equi-join on the id attaches scores, one per-cluster window picks
+    the representative. Dup clusters are small by construction, so the
+    window partitions are tiny; the heavy lifting already happened in
+    pair mining.
+    """
+    direction = (
+        F.col(score_col).desc() if higher_is_better else F.col(score_col).asc()
+    )
+    joined = labels.join(
+        scored.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        direction, F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__nm", F.count(F.lit(1)).over(Window.partitionBy(cluster_col))
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(cluster_col),
+            F.col(id_col).alias("rep_id"),
+            F.col(score_col).alias("rep_score"),
+            F.col("__nm").cast("long").alias("n_members"),
+        )
+    )
 
 
 def simhash_df(

@@ -492,7 +492,39 @@ FROM ({O['q22_minhash_lsh_neardups']}) b""",
     )
 
     ren("q35_simhash_pairs", "q36_simhash_pairs")
-    ren("q36_duplicate_clusters", "q29_duplicate_clusters")
+
+    # q36 slot: cluster labels ∪ representative selection (round 9) on
+    # (part, id, cluster_id, v1, v2) — 'cluster' rows carry the min-label
+    # components, 'rep' rows the keep-the-best-copy pick per cluster
+    # (id = rep_id, v1 = rep n_chars, v2 = cluster size)
+    def q36_clusters(spark, sf_dir) -> DataFrame:
+        labels = Q["q29_duplicate_clusters"](spark, sf_dir).select(
+            F.lit("cluster").alias("part"),
+            F.col("id"),
+            F.col("cluster_id"),
+            F.lit(0).cast("long").alias("v1"),
+            F.lit(0).cast("long").alias("v2"),
+        )
+        reps = Q["q95_cluster_representatives"](spark, sf_dir).select(
+            F.lit("rep").alias("part"),
+            F.col("rep_id").alias("id"),
+            F.col("cluster_id"),
+            F.col("rep_score").alias("v1"),
+            F.col("n_members").alias("v2"),
+        )
+        return labels.unionByName(reps)
+
+    add(
+        "q36_duplicate_clusters",
+        q36_clusters,
+        f"""SELECT 'cluster' AS part, id, cluster_id,
+       CAST(0 AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2
+FROM ({O['q29_duplicate_clusters']}) c
+UNION ALL
+SELECT 'rep' AS part, rep_id AS id, cluster_id, rep_score AS v1,
+       n_members AS v2
+FROM ({O['q95_cluster_representatives']}) r""",
+    )
     ren("q37_contamination_check", "q49_contamination_check")
 
     # -- similarity search --------------------------------------------------

@@ -4970,6 +4970,55 @@ def q94(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# q95 — duplicate-cluster representative selection (round 9): after
+# connected components resolves near-dup clusters, keep the
+# highest-QUALITY member (here: n_chars, an exact integer) instead of the
+# min id — the "keep the best copy" step of a dedup pipeline. Same
+# subgraph as q29; integer score + min-id tie-break = hash-exact.
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q95_cluster_representatives",
+    f"""
+    WITH labels AS (SELECT * FROM ({{Q29}}) t),
+    scored AS (
+        SELECT l.id, l.cluster_id, d.n_chars
+        FROM labels l JOIN documents d ON d.doc_id = l.id
+    ),
+    ranked AS (
+        SELECT cluster_id, id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS nm
+        FROM scored
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(id AS BIGINT) AS rep_id,
+           CAST(n_chars AS BIGINT) AS rep_score,
+           CAST(nm AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """.replace("{Q29}", ORACLES["q29_duplicate_clusters"]),
+)
+def q95(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.10)
+    labels = dedup.duplicate_clusters(pairs)
+    reps = dedup.cluster_representatives(
+        labels,
+        docs.select(F.col("doc_id").alias("id"), F.col("n_chars")),
+        "n_chars",
+    )
+    return reps.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        F.col("rep_score").cast("long").alias("rep_score"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
 # ===========================================================================
 # Final registry: the driver grades at most 50 queries, so the staged
 # per-operator declarations above are curated into exactly 50 slots

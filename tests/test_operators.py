@@ -2891,3 +2891,28 @@ def test_bm25_scores_topk_and_validation(spark):
         tx.bm25_scores(docs, qs, k=0)
     with pytest.raises(ValueError):
         tx.bm25_scores(docs, qs, b=1.5)
+
+
+def test_cluster_representatives_argmax_and_ties(spark):
+    from duckdb_ddsketch_spark.operators import dedup as dd
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], "id long, cluster_id long"
+    )
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (9, 2)], "id long, q long"
+    )
+    reps = dd.cluster_representatives(labels, scored, "q").collect()
+    got = {r.cluster_id: (r.rep_id, r.rep_score, r.n_members) for r in reps}
+    # cluster 1: docs 2 and 3 tie at 30 -> min id 2 wins; 3 members
+    assert got == {1: (2, 30, 3), 7: (7, 5, 2)}
+    # lower-is-better flips the pick (cluster 7 -> doc 9 at score 2)
+    low = dd.cluster_representatives(
+        labels, scored, "q", higher_is_better=False
+    ).collect()
+    assert {r.cluster_id: r.rep_id for r in low} == {1: (1), 7: 9}
+    # deterministic under repartitioning
+    again = dd.cluster_representatives(
+        labels.repartition(4), scored.repartition(3), "q"
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, reps))
