@@ -86,40 +86,45 @@ def retention_report(
         else bitmaps
     )
     # an offset past the horizon has no (d, d+o) pair inside it: its
-    # column is exactly zero. Building its filter anyway would hit
+    # column is exactly zero. Filtering for it anyway would hit
     # sequence(0, negative), which Spark generates DESCENDING — negative
     # day indices and mod-64-masked shifts, i.e. garbage counts.
     in_range = [o for o in offs if o <= n_days - 1]
-    sets = [
-        f"filter(sequence(0, {n_days - 1}),"
-        " d -> (shiftright(bits, CAST(d AS INT)) & 1) = 1) AS a0"
-    ]
-    for o in in_range:
-        sets.append(
-            f"filter(sequence(0, {n_days - 1 - o}),"
-            f" d -> (shiftright(bits, CAST(d AS INT)) & 1) = 1"
-            f" AND (shiftright(bits, CAST(d + {o} AS INT)) & 1) = 1) AS a{o}"
-        )
-    arrays = src.selectExpr("user", *sets)
-    out = (
-        arrays.select(F.explode("a0").alias("day_idx"))
-        .groupBy("day_idx")
-        .agg(F.count("*").alias("n_active"))
+    # ONE explode of each user's active days with the bitmap word kept
+    # alongside; every retention offset is an inline bit test on that
+    # word. The former shape exploded a separate filtered array per
+    # offset and joined the per-offset aggregates back — one extra
+    # array scan + explode + 62-row join per offset; this is one pass
+    # regardless of len(offsets). The day_idx+o shift stays <= 62 + max
+    # offset < 64 only when guarded, so the bound test comes FIRST (a
+    # shift past 63 would wrap mod 64 on the JVM).
+    ex = src.selectExpr(
+        "bits",
+        f"explode(filter(sequence(0, {n_days - 1}),"
+        " d -> (shiftright(bits, CAST(d AS INT)) & 1) = 1)) AS day_idx",
     )
-    for o in in_range:
-        ret = (
-            arrays.select(F.explode(f"a{o}").alias("day_idx"))
-            .groupBy("day_idx")
-            .agg(F.count("*").alias(f"n_ret{o}"))
-        )
-        out = out.join(ret, "day_idx", "left")
+    ret_aggs = [
+        F.sum(
+            F.when(
+                (F.col("day_idx") <= F.lit(n_days - 1 - o))
+                & (
+                    F.expr(
+                        f"(shiftright(bits, CAST(day_idx + {o} AS INT)) & 1) = 1"
+                    )
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias(f"n_ret{o}")
+        for o in in_range
+    ]
+    out = ex.groupBy("day_idx").agg(
+        F.count("*").alias("n_active"), *ret_aggs
+    )
     return out.select(
         F.col("day_idx").cast("int").alias("day_idx"),
         "n_active",
         *[
-            F.coalesce(F.col(f"n_ret{o}"), F.lit(0).cast("long")).alias(
-                f"n_ret{o}"
-            )
+            F.col(f"n_ret{o}").cast("long").alias(f"n_ret{o}")
             if o in in_range
             else F.lit(0).cast("long").alias(f"n_ret{o}")
             for o in offs
