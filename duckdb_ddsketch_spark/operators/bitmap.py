@@ -61,8 +61,14 @@ def retention_report(
     pairs — the explode is bounded by actual activity, not the day grid —
     and every count is an integer aggregate of bit tests.
     """
-    if n_days > 63:
-        raise ValueError("retention_report covers single-word ranges (<= 63 days)")
+    if not (1 <= n_days <= 63):
+        # n_days <= 0 would build sequence(0, negative) — DESCENDING in
+        # Spark, so negative day indices reach shiftright, whose shift is
+        # masked mod 64 on the JVM: garbage counts, not an error
+        raise ValueError(
+            f"retention_report covers single-word ranges (1 <= n_days <= 63),"
+            f" got {n_days}"
+        )
     offs = list(offsets)
     if any(o < 1 for o in offs):
         # offset 0 is degenerate (n_ret == n_active) and a NEGATIVE offset

@@ -676,6 +676,14 @@ def cluster_representatives(
     ``higher_is_better=False``) of the score with min-id tie-break, so
     the choice is deterministic across engines and partitionings.
 
+    Members missing from ``scored`` (or with NULL scores) still COUNT in
+    ``n_members`` but always LOSE the representative race (nulls sort
+    last in either direction): a quality table that covers only part of
+    a cluster must not shrink the cluster or crown an unscored copy, and
+    a cluster with no scored member at all still returns its min-id row
+    (rep_score NULL) rather than vanishing — a downstream
+    "drop everything but reps" filter would otherwise delete every copy.
+
     Scale shape: ``labels`` is bounded by CLUSTERED docs (orders of
     magnitude below the corpus — only near-dup members carry labels);
     one equi-join on the id attaches scores, one per-cluster window picks
@@ -684,10 +692,12 @@ def cluster_representatives(
     pair mining.
     """
     direction = (
-        F.col(score_col).desc() if higher_is_better else F.col(score_col).asc()
+        F.col(score_col).desc_nulls_last()
+        if higher_is_better
+        else F.col(score_col).asc_nulls_last()
     )
     joined = labels.join(
-        scored.select(F.col(id_col), F.col(score_col)), id_col
+        scored.select(F.col(id_col), F.col(score_col)), id_col, "left"
     )
     w = Window.partitionBy(cluster_col).orderBy(
         direction, F.col(id_col).asc()

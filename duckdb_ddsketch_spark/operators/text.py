@@ -714,11 +714,17 @@ def bm25_scores(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_docs"))
     )
+    # total_tokens = Σ tf rides the per-(doc, term) aggregate already
+    # built above (ReusedExchange) — counting the raw exploded tokens
+    # would re-scan and re-tokenize the whole corpus a second time.
+    # n_docs must still come from df itself (documents with no tokens
+    # count toward N in the idf), but that scan is pruned to the id
+    # column.
     stats = df.select(
         F.countDistinct(F.col(id_col)).alias("n_docs")
     ).crossJoin(
         F.broadcast(
-            toks.select(F.count(F.lit(1)).alias("total_tokens"))
+            per_doc_term.select(F.sum("tf").alias("total_tokens"))
         )
     )
     matched = (

@@ -498,21 +498,34 @@ FROM ({O['q22_minhash_lsh_neardups']}) b""",
     # components, 'rep' rows the keep-the-best-copy pick per cluster
     # (id = rep_id, v1 = rep n_chars, v2 = cluster size)
     def q36_clusters(spark, sf_dir) -> DataFrame:
-        labels = Q["q29_duplicate_clusters"](spark, sf_dir).select(
+        # run the clustering pipeline ONCE: duplicate_clusters ends in a
+        # localCheckpoint, so reusing the returned frame for both parts
+        # reads the checkpoint instead of re-running jaccard_pairs + the
+        # label-propagation loop (calling the staged q95 here would)
+        from ..operators import dedup
+        from ..sources import load_table
+
+        labels = Q["q29_duplicate_clusters"](spark, sf_dir)
+        cluster_part = labels.select(
             F.lit("cluster").alias("part"),
             F.col("id"),
             F.col("cluster_id"),
             F.lit(0).cast("long").alias("v1"),
             F.lit(0).cast("long").alias("v2"),
         )
-        reps = Q["q95_cluster_representatives"](spark, sf_dir).select(
+        docs = load_table(spark, sf_dir, "documents")
+        reps = dedup.cluster_representatives(
+            labels,
+            docs.select(F.col("doc_id").alias("id"), F.col("n_chars")),
+            "n_chars",
+        ).select(
             F.lit("rep").alias("part"),
             F.col("rep_id").alias("id"),
             F.col("cluster_id"),
-            F.col("rep_score").alias("v1"),
+            F.col("rep_score").cast("long").alias("v1"),
             F.col("n_members").alias("v2"),
         )
-        return labels.unionByName(reps)
+        return cluster_part.unionByName(reps)
 
     add(
         "q36_duplicate_clusters",

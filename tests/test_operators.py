@@ -2882,9 +2882,10 @@ def test_bm25_scores_topk_and_validation(spark):
     out = tx.bm25_scores(docs, qs, k=3)
     rows = out.collect()
     assert len(rows) == 3 and [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
-    # shorter docs score higher for equal tf -> doc-id tie-break inside
-    # equal-length groups keeps the result deterministic
-    assert rows == sorted(rows, key=lambda r: (r.rank,))
+    # equal tf -> shorter docs score higher: dl=2 docs (ids 3, 6) take
+    # ranks 1-2 via the doc-id tie-break on their exact score tie, and
+    # rank 3 falls to the lowest id of the dl=3 tie group (1, 4, 7)
+    assert {r.rank: r.doc_id for r in rows} == {1: 3, 2: 6, 3: 1}
     det = tx.bm25_scores(docs.repartition(5), qs, k=3).collect()
     assert sorted(map(tuple, det)) == sorted(map(tuple, rows))
     with pytest.raises(ValueError):
@@ -2916,3 +2917,66 @@ def test_cluster_representatives_argmax_and_ties(spark):
         labels.repartition(4), scored.repartition(3), "q"
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, reps))
+
+
+def test_duplicate_span_extents_md5_path_matches_xxhash64(spark):
+    from duckdb_ddsketch_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"u{i} " + "shared boiler plate text spans here ok " + f"t{i}")
+            for i in range(40)
+        ]
+        + [(99, "nothing in common with anything at all")],
+        "doc_id long, text string",
+    )
+    xx = sorted(
+        map(tuple, dd.duplicate_span_extents(docs, n=4, min_docs=2).collect())
+    )
+    md = sorted(
+        map(
+            tuple,
+            dd.duplicate_span_extents(
+                docs, n=4, min_docs=2, gram_hash="md5"
+            ).collect(),
+        )
+    )
+    assert xx == md and len(xx) == 40
+    with pytest.raises(ValueError):
+        dd.duplicate_span_extents(docs, gram_hash="sha1")
+
+
+def test_cluster_representatives_unscored_members(spark):
+    """Members missing from the score table still count in n_members and
+    never win; all-unscored clusters survive with a NULL rep_score."""
+    from duckdb_ddsketch_spark.operators import dedup as dd
+
+    labels = spark.createDataFrame(
+        [(10, 10), (11, 10), (12, 10), (20, 20), (21, 20)],
+        "id long, cluster_id long",
+    )
+    scored = spark.createDataFrame([(10, 1), (11, 5)], "id long, q long")
+    reps = {
+        r.cluster_id: (r.rep_id, r.rep_score, r.n_members)
+        for r in dd.cluster_representatives(labels, scored, "q").collect()
+    }
+    assert reps == {10: (11, 5, 3), 20: (20, None, 2)}
+    # lower-is-better must also keep NULLs last (not NULLS FIRST asc)
+    low = {
+        r.cluster_id: r.rep_id
+        for r in dd.cluster_representatives(
+            labels, scored, "q", higher_is_better=False
+        ).collect()
+    }
+    assert low == {10: 10, 20: 20}
+
+
+def test_retention_report_validates_n_days(spark):
+    from duckdb_ddsketch_spark.operators import bitmap
+
+    df = spark.createDataFrame([(1, 0)], "user long, day long")
+    bm = bitmap.activity_bitmap(df, "user", "day")
+    with pytest.raises(ValueError):
+        bitmap.retention_report(bm, 0)
+    with pytest.raises(ValueError):
+        bitmap.retention_report(bm, 64)
