@@ -36,6 +36,9 @@ __all__ = [
     "unigram_logfreq_stats",
     "chunk_spans",
     "chunk_text",
+    "hashed_ngram_features",
+    "linear_quality_score",
+    "dsir_logratio_weights",
 ]
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -768,3 +771,78 @@ def bm25_scores(
             "rank",
         )
     )
+
+
+def dsir_logratio_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1 << 18,
+    ngram: int = 2,
+    smoothing: float = 0.5,
+    quantize: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weights: per-bucket log-ratio of hashed
+    n-gram frequencies between a small ``target`` ("what good data looks
+    like") corpus and the ``raw`` corpus (Xie et al. 2023, Data Selection
+    for LMs via Importance Resampling — the hashed-n-gram variant).
+
+    weight(b) = ln((t_b + a) / (T + a·B)) − ln((r_b + a) / (R + a·B))
+    with t/r = bucket counts, T/R = total gram counts, B = ``buckets``,
+    a = ``smoothing`` (add-a). Returns a (bucket, weight) DataFrame ready
+    to feed :func:`linear_quality_score` — per-document DSIR scores are
+    then ``Σ cnt·weight(b)``, the estimated log importance ratio of the
+    document, and resampling = :mod:`sampling` over that score.
+
+    The table covers every bucket OBSERVED IN RAW — exactly the buckets a
+    raw document's features can hit, so the downstream
+    absent-bucket-weighs-0 semantics of the sparse join never drops a
+    smoothed weight (target-only buckets matter only to the totals, which
+    are computed before the join).
+
+    ``quantize=True`` snaps each weight to the 2⁻¹⁶ grid
+    (floor(w·65536 + ½)/65536): cnt·weight and their per-document sums
+    become EXACT dyadic rationals in double (denominator 2¹⁶, numerators
+    far under 2⁵³), so scores are order-independent and
+    engine-reproducible — the same fixed-point recipe as
+    :func:`bm25_scores`, priced at ≤ 2⁻¹⁷ absolute weight error, far
+    below the smoothing noise floor.
+
+    Scale shape: two feature extractions (map-only explode + one
+    partial-agged groupBy each — the target side is small by definition),
+    two structure-bounded bucket aggregates (≤ B rows), a broadcast-sized
+    1-row totals frame, one join keyed on the bucket. The weight table
+    itself is model-sized (≤ B rows), broadcastable downstream.
+    Beyond-reference operator.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    fr = (
+        hashed_ngram_features(raw, text=text, id_col=id_col,
+                              buckets=buckets, ngram=ngram)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c_raw"))
+    )
+    ft = (
+        hashed_ngram_features(target, text=text, id_col=id_col,
+                              buckets=buckets, ngram=ngram)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c_tgt"))
+    )
+    totals = fr.select(F.sum("c_raw").alias("t_raw")).crossJoin(
+        F.broadcast(ft.select(F.sum("c_tgt").alias("t_tgt")))
+    )
+    a = float(smoothing)
+    a_b = a * buckets  # folded literal, mirrored verbatim in oracles
+    j = (
+        fr.join(ft, "bucket", "left")
+        .withColumn("c_tgt", F.coalesce(F.col("c_tgt"), F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+    )
+    w = F.log((F.col("c_tgt") + a) / (F.col("t_tgt") + a_b)) - F.log(
+        (F.col("c_raw") + a) / (F.col("t_raw") + a_b)
+    )
+    if quantize:
+        w = F.floor(w * 65536.0 + 0.5).cast("long") / 65536.0
+    return j.select(F.col("bucket"), w.alias("weight"))

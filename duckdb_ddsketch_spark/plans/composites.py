@@ -1067,11 +1067,24 @@ FROM ({O['q69_conversion_funnel']}) f""",
             F.lit(0.0).alias("c4"),
             F.lit(0.0).alias("c5"),
         )
+        # round 9: DSIR importance weights over hashed bigrams (target =
+        # doc_id % 7 subset) — the data-selection scorer; 2^-16-grid
+        # weights keep the per-doc sums exact (q96 header)
+        dsir = Q["q96_dsir_scores"](spark, sf_dir).select(
+            F.lit("dsir").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("dsir_score").alias("c1"),
+            F.col("n_features").cast("double").alias("c2"),
+            F.col("n_grams").cast("double").alias("c3"),
+            F.lit(0.0).alias("c4"),
+            F.lit(0.0).alias("c5"),
+        )
         return (
             toks.unionByName(qual)
             .unionByName(lm)
             .unionByName(chunks)
             .unionByName(clf)
+            .unionByName(dsir)
         )
 
     add(
@@ -1143,7 +1156,13 @@ SELECT 'clf' AS part, CAST(doc_id AS VARCHAR) AS key,
        clf_score AS c1, CAST(n_features AS DOUBLE) AS c2,
        CAST(n_grams AS DOUBLE) AS c3,
        CAST(0.0 AS DOUBLE) AS c4, CAST(0.0 AS DOUBLE) AS c5
-FROM ({O['q93_linear_quality_classifier']}) clfq""",
+FROM ({O['q93_linear_quality_classifier']}) clfq
+UNION ALL
+SELECT 'dsir' AS part, CAST(doc_id AS VARCHAR) AS key,
+       dsir_score AS c1, CAST(n_features AS DOUBLE) AS c2,
+       CAST(n_grams AS DOUBLE) AS c3,
+       CAST(0.0 AS DOUBLE) AS c4, CAST(0.0 AS DOUBLE) AS c5
+FROM ({O['q96_dsir_scores']}) dsq""",
     )
 
     ren("q46_language_id", "q33_language_id")

@@ -5019,6 +5019,98 @@ def q95(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# q96 — DSIR importance weights (round 9): per-document log importance
+# ratio of hashed BIGRAM frequencies between a target subset
+# (doc_id % 7 = 0) and the full corpus — the data-selection scorer
+# (Xie et al. 2023) on top of the hashed-n-gram machinery. Weights are
+# snapped to the 2^-16 grid, so cnt·w and the per-doc sums are exact
+# dyadic rationals (order-free, engine-reproducible); only the per-bucket
+# ln pair must agree cross-engine (same exposure class as q94's idf).
+# Also the driver gate for hashed_ngram_features' ngram=2 path (q93
+# gates ngram=1).
+# ---------------------------------------------------------------------------
+
+_Q96_BUCKETS = 4096
+
+
+def _q96_oracle() -> str:
+    hex8 = _dd_hex2int("md5(g)", 1, 8)
+    a_b = 0.5 * _Q96_BUCKETS
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+               )) AS g
+        FROM toks
+    ),
+    b AS (SELECT doc_id, ({hex8} % {_Q96_BUCKETS}) AS bucket FROM g),
+    raw_b AS (SELECT bucket, COUNT(*) AS c_raw FROM b GROUP BY 1),
+    tgt_b AS (
+        SELECT bucket, COUNT(*) AS c_tgt FROM b WHERE doc_id % 7 = 0
+        GROUP BY 1
+    ),
+    totals AS (
+        SELECT (SELECT COUNT(*) FROM b) AS t_raw,
+               (SELECT COUNT(*) FROM b WHERE doc_id % 7 = 0) AS t_tgt
+    ),
+    wtab AS (
+        SELECT r.bucket,
+               CAST(floor(
+                   (ln((coalesce(t.c_tgt, 0) + 0.5) / (t_tgt + {a_b!r}))
+                    - ln((r.c_raw + 0.5) / (t_raw + {a_b!r})))
+                   * 65536.0 + 0.5) AS BIGINT) / 65536.0 AS w
+        FROM raw_b r LEFT JOIN tgt_b t USING (bucket) CROSS JOIN totals
+    ),
+    f AS (
+        SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT f.doc_id, SUM(f.cnt * w.w) AS s,
+               COUNT(*) AS nf, SUM(f.cnt) AS ng
+        FROM f JOIN wtab w USING (bucket) GROUP BY 1
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           coalesce(sc.s, 0.0) + 0.0 AS dsir_score,
+           CAST(coalesce(sc.nf, 0) AS BIGINT) AS n_features,
+           CAST(coalesce(sc.ng, 0) AS BIGINT) AS n_grams
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """
+
+
+@_declare("q96_dsir_scores", _q96_oracle())
+def q96(spark, sf_dir):
+    from ..operators import text as text_ops
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    wdf = text_ops.dsir_logratio_weights(
+        docs,
+        docs.where(F.col("doc_id") % 7 == 0),
+        text="text",
+        id_col="doc_id",
+        buckets=_Q96_BUCKETS,
+        ngram=2,
+    )
+    out = text_ops.linear_quality_score(
+        docs, wdf, text="text", id_col="doc_id",
+        buckets=_Q96_BUCKETS, ngram=2, bias=0.0, out_col="dsir_score",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dsir_score"),
+        F.col("n_features"),
+        F.col("n_grams"),
+    )
+
+
 # ===========================================================================
 # Final registry: the driver grades at most 50 queries, so the staged
 # per-operator declarations above are curated into exactly 50 slots

@@ -2980,3 +2980,47 @@ def test_retention_report_validates_n_days(spark):
         bitmap.retention_report(bm, 0)
     with pytest.raises(ValueError):
         bitmap.retention_report(bm, 64)
+
+
+def test_dsir_logratio_weights_semantics(spark):
+    """Buckets overrepresented in the target get positive weights (and
+    vice versa); scoring via linear_quality_score ranks target-like docs
+    above raw-like ones; weights cover exactly the raw-corpus buckets."""
+    import math
+
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    raw = spark.createDataFrame(
+        [(i, "good tokens here" if i % 2 == 0 else "bad noise junk")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    target = raw.where("doc_id % 2 = 0")  # target = the 'good' half
+    wdf = tx.dsir_logratio_weights(
+        raw, target, buckets=256, ngram=1, quantize=False
+    )
+    feats = tx.hashed_ngram_features(target, buckets=256, ngram=1)
+    good_buckets = {r.bucket for r in feats.select("bucket").distinct().collect()}
+    rows = {r.bucket: r.weight for r in wdf.collect()}
+    for b, w in rows.items():
+        if b in good_buckets:
+            assert w > 0, (b, w)
+        else:
+            assert w < 0, (b, w)
+    # hand-check one 'good' bucket: t=10,T=30 vs r=10,R=60, a=0.5, B=256
+    some_good = next(b for b in rows if b in good_buckets)
+    exp = math.log(10.5 / (30 + 128.0)) - math.log(10.5 / (60 + 128.0))
+    assert rows[some_good] == pytest.approx(exp, rel=1e-12)
+    # quantized weights stay within 2^-17 of the exact value
+    wq = {r.bucket: r.weight for r in tx.dsir_logratio_weights(
+        raw, target, buckets=256, ngram=1).collect()}
+    assert all(abs(wq[b] - rows[b]) <= 2 ** -17 + 1e-15 for b in rows)
+    # end-to-end: target-like docs outscore raw-only docs
+    scores = {r.doc_id: r.dsir_score for r in tx.linear_quality_score(
+        raw, tx.dsir_logratio_weights(raw, target, buckets=256, ngram=1),
+        buckets=256, ngram=1, out_col="dsir_score").collect()}
+    assert min(scores[i] for i in range(0, 20, 2)) > max(
+        scores[i] for i in range(1, 20, 2)
+    )
+    with pytest.raises(ValueError):
+        tx.dsir_logratio_weights(raw, target, smoothing=0.0)
