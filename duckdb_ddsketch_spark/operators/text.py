@@ -189,30 +189,38 @@ def tfidf_top_terms(
     reproducible across engines; ranking happens on the float32-rounded
     score with a term tie-break, which absorbs libm ulp differences in ln.
 
-    Shape: one explode + two vocabulary-bounded hash aggregates + one
-    broadcast of the (1-row) corpus count + a per-group window over
-    distinct terms. No Python anywhere.
+    Shape: ONE linear chain — explode → per-(doc, term) hash aggregate →
+    document-frequency window keyed on the term → per-(group, term)
+    aggregate — plus a skinny 1-row corpus-count scan. The earlier form
+    computed tf and df as two independent aggregates over the same
+    per-doc subtree and joined them back: Catalyst prunes each branch's
+    columns differently, so the "shared" exchange is never actually
+    reused (verified on the executed plan: the corpus was scanned and
+    pre-aggregated once per branch, plus a vocabulary-sized join). The
+    window costs one exchange by term but every stage runs exactly once.
+    No Python anywhere.
     """
     group = list(group)
     toks = df.select(
         *group, F.col(id_col).alias("__doc"), F.explode(tokens(F.lower(F.col(text)))).alias("term")
     ).where(F.col("term") != "")
-    # single scan+explode: per-(doc, term) counts feed BOTH aggregates (the
-    # shared shuffle is deduplicated by ReuseExchange), instead of scanning
-    # and exploding the corpus once per aggregate.
     per_doc = toks.groupBy(*group, "__doc", "term").agg(
         F.count("*").alias("tf_doc")
     )
-    tf = per_doc.groupBy(*group, "term").agg(F.sum("tf_doc").alias("tf"))
     # per_doc rows are unique per (doc, term), and a doc has one group, so
-    # the plain row count per term IS the document frequency
-    docfreq = per_doc.groupBy("term").agg(F.count("*").alias("df_docs"))
+    # the row count per term IS the document frequency — attached in-stream
+    # by a window instead of a second aggregate branch over the corpus
+    per_doc = per_doc.withColumn(
+        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    tf = per_doc.groupBy(*group, "term").agg(
+        F.sum("tf_doc").alias("tf"), F.max("df_docs").alias("df_docs")
+    )
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).alias("n_docs")
     )
     scored = (
-        tf.join(docfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
+        tf.crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             (
@@ -676,15 +684,23 @@ def bm25_scores(
     and a libm ulp wiggle crosses a 2⁻¹⁶ rounding boundary with
     probability ~1e-11 per term.
 
-    Scale shape (never materializes a doc×query cross product):
-      1. one tokenize+explode scan → per-(doc, term) tf hash-aggregate
+    Scale shape — ONE heavy corpus pass (never a doc×query cross
+    product, never a repeated subtree):
+      1. tokenize+explode scan → per-(doc, term) tf hash-aggregate
          (partial-agged; shuffle = distinct doc-term pairs);
-      2. dl per doc and df per query-term both derive from that SAME
-         aggregate (ReusedExchange serves the second consumer);
-      3. the query side is model-sized → broadcast; matching is a
-         broadcast semi-shape join on the term, so only docs containing
-         a query term flow further (corpus-bounded, query-filtered);
-      4. final agg keyed (query, doc); top-k via per-query window over
+      2. dl rides IN-STREAM as a sum-window keyed on the doc, df_t as a
+         count-window keyed on the term AFTER the broadcast semi-join
+         onto query terms prunes the stream (every doc containing the
+         term survives the prune, so the count is the exact corpus df).
+         Windows instead of aggregate-and-join-back branches: Catalyst
+         prunes each branch's columns differently, so branch subtrees
+         are never actually deduplicated by ReuseExchange — the executed
+         plan of the branch form re-scanned the corpus once per branch
+         (measured: 9 scans; this chain: 2);
+      3. the query side is model-sized → broadcast fan-out on the term;
+      4. (N, total_tokens) come from one skinny separate scan (id + a
+         token-count expression, no explode — empty docs must count in N);
+      5. final agg keyed (query, doc); top-k via per-query window over
          candidates only.
     Beyond-reference operator (no counterpart in /root/reference).
     """
@@ -699,7 +715,9 @@ def bm25_scores(
     per_doc_term = toks.groupBy("__doc", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dl = per_doc_term.groupBy("__doc").agg(F.sum("tf").alias("dl"))
+    with_dl = per_doc_term.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("__doc"))
+    )
     qterms = (
         queries.select(
             F.col(query_id).alias("__q"),
@@ -709,32 +727,21 @@ def bm25_scores(
         .distinct()
     )
     uterms = qterms.select("term").distinct()
-    # df_t over the FULL corpus, computed only for query terms: restricting
-    # per_doc_term to term ∈ queries keeps every doc containing the term,
-    # so the count is exact — the vocabulary-wide aggregate never runs.
-    dfreq = (
-        per_doc_term.join(F.broadcast(uterms), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df_docs"))
+    cand = with_dl.join(F.broadcast(uterms), "term").withColumn(
+        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
-    # total_tokens = Σ tf rides the per-(doc, term) aggregate already
-    # built above (ReusedExchange) — counting the raw exploded tokens
-    # would re-scan and re-tokenize the whole corpus a second time.
-    # n_docs must still come from df itself (documents with no tokens
-    # count toward N in the idf), but that scan is pruned to the id
-    # column.
+    # n_docs and total_tokens in one skinny scan: no explode — a size()
+    # over the filtered token array counts Σ tf without widening rows,
+    # and empty/NULL docs still count toward N in the idf
+    tok_n = F.size(
+        F.filter(tokens(F.lower(F.col(text))), lambda t: t != F.lit(""))
+    )
     stats = df.select(
-        F.countDistinct(F.col(id_col)).alias("n_docs")
-    ).crossJoin(
-        F.broadcast(
-            per_doc_term.select(F.sum("tf").alias("total_tokens"))
-        )
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+        F.sum(F.greatest(tok_n, F.lit(0))).alias("total_tokens"),
     )
-    matched = (
-        per_doc_term.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .join(dl, "__doc")
-        .crossJoin(F.broadcast(stats))
+    matched = cand.join(F.broadcast(qterms), "term").crossJoin(
+        F.broadcast(stats)
     )
     idf = F.log(
         1.0
