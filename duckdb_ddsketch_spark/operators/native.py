@@ -1116,11 +1116,22 @@ def quantile_normalize(
         binned = spark.sql(
             _binned_sql(keys, value, alpha, weight, "{df}"), df=df
         )
+        if keys:
+            # The self-reference consumes these partials a second time
+            # (re-aggregated without keys). Catalyst's ReuseExchange does
+            # NOT deduplicate the two consumers — each branch prunes
+            # different columns, so the subtrees differ and the executed
+            # plan ran the full binned input pass twice (measured: 3
+            # input scans incl. the probe side; 2 after this). A lazy
+            # localCheckpoint pins the groups×bins partials — structure-
+            # sized by construction — so both consumers read the
+            # materialized rows and the input is binned exactly once.
+            # Local-bench wall-clock is neutral at 60M in-memory rows
+            # (the probe join dominates); the saved pass matters where
+            # input scans are storage-bound, i.e. the actual target.
+            binned = binned.localCheckpoint(eager=False)
         src = spark.sql(_cum_bins_sql(keys, gamma, "{b}"), b=binned)
         if keys:
-            # global reference from the SAME structure-sized partials —
-            # the shared aggregate subplan is deduplicated by Catalyst's
-            # ReuseExchange, so the input is still scanned once
             refagg = binned.groupBy("sign", "bin").agg(
                 F.sum("cnt").alias("cnt")
             )

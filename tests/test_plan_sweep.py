@@ -37,7 +37,8 @@ ALLOWED_PANDAS_AGG = {
 }
 
 # broadcast-bounded non-equi joins: ANN query/centroid tables, bloom
-# words, idf vocab, 1-row sketch-set algebra
+# words, idf vocab, 1-row sketch-set algebra, 1-row corpus-stats frames
+# (bm25 N/avgdl, DSIR totals)
 ALLOWED_BNLJ = {
     "q04_merge_two_sketches",
     "q15_nested_column_merge",
@@ -47,6 +48,8 @@ ALLOWED_BNLJ = {
     "q66_bloom_membership",
     "q72_hll_audience_overlap",
     "q78_kmv_set_algebra",
+    "q94_bm25_topk",
+    "q96_dsir_scores",
 }
 
 # bodies that EXECUTE a stream (or drive an iterative loop that depends
