@@ -235,6 +235,16 @@ def duplicate_span_extents(
         # NULL past the end, which also trims the ragged tail grams
         .where(F.col("__last").isNotNull() if n > 1 else F.lit(True))
         .select(id_col, (F.col("__pos0") + 1).alias("pos"), "h")
+        # BOTH consumers (census and probe) need these rows with
+        # different pruning (census drops pos), so ReuseExchange does
+        # NOT deduplicate the subtrees: the executed plan builds the
+        # grams twice (scan + posexplode + per-doc window each time).
+        # Measured trade-off: a lazy localCheckpoint that materializes
+        # the 34M-row frame once benched 21.3 s vs 12.6 s for
+        # compute-twice — for corpus-sized intermediates on this
+        # operator, recomputation beats build-once-read-twice (the
+        # opposite call from quantile_normalize's STRUCTURE-sized
+        # partials, which are checkpointed).
     )
     dup = (
         grams.groupBy("h")
