@@ -46,6 +46,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_summary",
     "repeated_spans",
+    "span_coverage",
     "minhash_signature",
     "minhash_signatures_df",
     "ngram_contamination",
@@ -272,6 +273,58 @@ def duplicate_span_extents(
             F.count(F.lit(1)).alias("n_grams"),
         )
         .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
+def span_coverage(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    gram_hash: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-span coverage — the drop-vs-trim decision
+    input: what FRACTION of each document's tokens sits inside
+    cross-document duplicated extents (:func:`duplicate_span_extents`).
+    Pipelines drop documents above a coverage threshold and substring-trim
+    the rest; this is the column that threshold reads.
+
+    Returns (doc_id, n_tokens, dup_tokens, dup_fraction) for EVERY input
+    document — documents with no duplicated extent report 0/0.0, since
+    they are precisely the ones a coverage gate keeps. Stitched extents
+    are disjoint by construction (consecutive extents are > n gram
+    positions apart), so summing their token lengths is exact coverage,
+    never double-counted.
+
+    Scale shape: the extents pipeline (see duplicate_span_extents) plus
+    one document-keyed aggregate of the extent rows and a left join back
+    to a map-only token-count projection of the input.
+    """
+    ext = duplicate_span_extents(
+        df, text=text, id_col=id_col, n=n, min_docs=min_docs,
+        gram_hash=gram_hash,
+    )
+    per_doc = ext.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_tokens"
+        )
+    )
+    toks = F.split(F.lower(F.trim(F.col(text))), " +")
+    counts = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    return (
+        counts.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_fraction"),
+        )
     )
 
 

@@ -445,7 +445,17 @@ FROM ({O['q86_streaming_first_seen']})""",
             F.col("n_grams").cast("long").alias("n_occurrences"),
             F.col("doc_id").cast("long").alias("canonical_id"),
         )
-        return fp.unionByName(sp).unionByName(ex)
+        # round 9: per-doc duplicated-span COVERAGE (drop-vs-trim column)
+        # on the shared schema — n_docs carries n_tokens, n_occurrences
+        # the duplicated-token total; the fraction is their ratio
+        cov = Q["q97_span_coverage"](spark, sf_dir).select(
+            F.lit("cov").alias("part"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.col("n_tokens").alias("n_docs"),
+            F.col("dup_tokens").alias("n_occurrences"),
+            F.col("doc_id").cast("long").alias("canonical_id"),
+        )
+        return fp.unionByName(sp).unionByName(ex).unionByName(cov)
 
     add(
         "q33_fingerprint_dedup",
@@ -467,7 +477,12 @@ SELECT 'extent' AS part,
        CAST(span_end - span_start + 1 AS BIGINT) AS n_docs,
        CAST(n_grams AS BIGINT) AS n_occurrences,
        CAST(doc_id AS BIGINT) AS canonical_id
-FROM ({O['q86_duplicate_span_extents']})""",
+FROM ({O['q86_duplicate_span_extents']})
+UNION ALL
+SELECT 'cov' AS part, CAST(doc_id AS VARCHAR) AS k,
+       n_tokens AS n_docs, dup_tokens AS n_occurrences,
+       CAST(doc_id AS BIGINT) AS canonical_id
+FROM ({O['q97_span_coverage']})""",
     )
 
     # q34: near-dup pair mining — full n-gram Jaccard pairs vs the

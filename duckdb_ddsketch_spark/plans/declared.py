@@ -5111,6 +5111,46 @@ def q96(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# q97 — duplicated-span COVERAGE (round 9): the drop-vs-trim column — per
+# document, the fraction of tokens inside q86's stitched extents.
+# Integers pin the gate; the fraction is one deterministic division.
+# ---------------------------------------------------------------------------
+
+
+@_declare(
+    "q97_span_coverage",
+    f"""
+    WITH ext AS (SELECT * FROM ({{Q86}}) e),
+    agg AS (
+        SELECT doc_id, SUM(span_end - span_start + 1) AS dup_tokens
+        FROM ext GROUP BY 1
+    ),
+    cnt AS (
+        SELECT doc_id,
+               len(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(cnt.doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens AS dup_fraction
+    FROM cnt LEFT JOIN agg ON agg.doc_id = cnt.doc_id
+    """.replace("{Q86}", ORACLES["q86_duplicate_span_extents"]),
+)
+def q97(spark, sf_dir):
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.span_coverage(docs, text="text", id_col="doc_id",
+                              n=_Q85_N, min_docs=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens"),
+        F.col("dup_tokens"),
+        F.col("dup_fraction"),
+    )
+
+
 # ===========================================================================
 # Final registry: the driver grades at most 50 queries, so the staged
 # per-operator declarations above are curated into exactly 50 slots

@@ -3024,3 +3024,32 @@ def test_dsir_logratio_weights_semantics(spark):
     )
     with pytest.raises(ValueError):
         tx.dsir_logratio_weights(raw, target, smoothing=0.0)
+
+
+def test_span_coverage_fraction_and_zero_docs(spark):
+    from duckdb_ddsketch_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 10 tokens, extent 1..8
+            (2, "x a b c d e f g h z"),   # 10 tokens, extent 2..9
+            (3, "q r s t u v w"),         # 7 tokens, no duplication
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dd.span_coverage(docs, n=4, min_docs=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].n_tokens, rows[1].dup_tokens) == (10, 8)
+    assert rows[1].dup_fraction == pytest.approx(0.8)
+    assert (rows[2].n_tokens, rows[2].dup_tokens) == (10, 8)
+    assert (rows[3].n_tokens, rows[3].dup_tokens, rows[3].dup_fraction) == (7, 0, 0.0)
+    # two disjoint extents in one doc sum without double-counting
+    both = spark.createDataFrame(
+        [
+            (1, "a b c d X X X X X e f g h"),
+            (2, "a b c d Y Y Y Y Y e f g h"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in dd.span_coverage(both, n=4, min_docs=2).collect()}
+    assert r[1].dup_tokens == 8 and r[1].n_tokens == 13
