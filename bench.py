@@ -128,6 +128,15 @@ ANN_PRIMES = (
 # whole-stage-codegen) vs the same list arithmetic in DuckDB.
 N_TEXT, N_TEXT_D = 15_000_000, 1_000_000
 
+# BM25 family probe queries over the generated text corpus's token
+# classes (aK exists for K < 101, bK < 97, cK < 89, dK < 83, eK < 79,
+# fK < 73, gK < 71, hK < 67 — see _minhash_text_sql)
+BM25_QUERIES = [
+    (1, "a7 b13 c55"),
+    (2, "d9 e30 f8"),
+    (3, "g2 h1 a100"),
+]
+
 # sessionization family: 60M events, 1M users (60 events/user spread over a
 # day — mean gap 1440s, so a 900s gap threshold genuinely splits sessions).
 # Spark drives relational.sessionize (lag + running-sum window, one shuffle
@@ -405,6 +414,9 @@ FRESH_BANDS = {
     # fresh-process 12.64/12.60 vs 26.1/23.6/23.9 for the md5-string form;
     # DuckDB 57.6/57.5 on an idle machine)
     "span_extents_2m": {"spark": 12.6, "duckdb": 57.5},
+    # round 9 (first measured fresh-process, prune-then-aggregate chain:
+    # Spark 17.2/17.8, DuckDB 112.1/132.0)
+    "bm25_15m": {"spark": 17.2, "duckdb": 112.0},
 }
 
 BAND_TOL = 1.6  # the documented ~±40% machine swing + margin
@@ -425,6 +437,7 @@ FAMILY_PASS1_ORDER = [
     "ann_brute_2m_x128",
     "ann_quantized_2m_x128",
     "text_metrics_15m",
+    "bm25_15m",
     "kmeans_15m_d64",
     "sessionize_60m",
     "pack_manifest_15m",
@@ -855,6 +868,65 @@ def _duckdb_family_sqls() -> dict:
            SUM(n_distinct) AS distinct_sum, SUM(est_bpe) AS bpe_sum,
            AVG(avg_tok) AS avg_tok_len
     FROM per
+    """
+
+    # BM25 retrieval over the same 15M-doc text corpus: 3 probe queries,
+    # top-10 per query — the full tf/df/dl pipeline both engines run
+    # identically (fixed-point term sums, doc-id tie-break; the Spark
+    # side is text.bm25_scores' single linear chain)
+    bm25_vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    sqls["bm25_15m"] = f"""
+    WITH docs AS (
+        SELECT range AS doc_id,
+               {_minhash_text_sql(f'range % {N_TEXT_D}')} AS text
+        FROM range({N_TEXT})
+    ),
+    q(qid, qtext) AS (VALUES {bm25_vals}),
+    qt AS (
+        SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs
+    ),
+    pdt AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM docs),
+    dfreq AS (
+        SELECT term, COUNT(*) AS dfd FROM pdt
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST({N_TEXT} AS BIGINT) AS nd,
+               (SELECT COUNT(*) FROM toks) AS tt
+    ),
+    m AS (
+        SELECT qt.qid, pdt.doc_id,
+               CAST(floor(
+                   ln(1.0 + (nd - dfd + 0.5) / (dfd + 0.5))
+                   * (tf * 2.5
+                      / (tf + 1.5 * (0.25 + 0.75 * dl / (tt / CAST(nd AS DOUBLE)))))
+                   * 65536.0 + 0.5) AS BIGINT) AS c
+        FROM pdt
+        JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    sc AS (
+        SELECT qid, doc_id, SUM(c) AS s, COUNT(*) AS n_terms
+        FROM m GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT qid, doc_id, CAST(CAST(s AS BIGINT) / 65536.0 AS REAL) AS bm25,
+               n_terms,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY CAST(CAST(s AS BIGINT) / 65536.0 AS REAL) DESC,
+                            doc_id ASC) AS rank
+        FROM sc
+    )
+    SELECT CAST(qid AS INT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+           bm25, CAST(n_terms AS BIGINT) AS n_terms, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
     """
 
     # sessionization: identical lag + running-sum window over 60M events
@@ -1417,6 +1489,22 @@ def run_spark_families(spark, result: dict) -> None:
         ).collect()
 
     entries.append(("text_metrics_15m", text_metrics, None))
+
+    def bm25_15m():
+        from duckdb_ddsketch_spark.operators import text as text_ops
+
+        t = (
+            _minhash_text_sql(f"id % {N_TEXT_D}")
+            .replace("//", "div")
+            .replace("VARCHAR", "STRING")
+        )
+        docs = gen(N_TEXT, [("doc_id", "id"), ("text", t)])
+        qdf = spark.createDataFrame(
+            BM25_QUERIES, "query_id int, query_text string"
+        )
+        text_ops.bm25_scores(docs, qdf, k=10).collect()
+
+    entries.append(("bm25_15m", bm25_15m, None))
 
     def sessionize_60m():
         df = gen(

@@ -686,17 +686,26 @@ def bm25_scores(
 
     Scale shape — ONE heavy corpus pass (never a doc×query cross
     product, never a repeated subtree):
-      1. tokenize+explode scan → per-(doc, term) tf hash-aggregate
-         (partial-agged; shuffle = distinct doc-term pairs);
-      2. dl rides IN-STREAM as a sum-window keyed on the doc, df_t as a
-         count-window keyed on the term AFTER the broadcast semi-join
-         onto query terms prunes the stream (every doc containing the
-         term survives the prune, so the count is the exact corpus df).
-         Windows instead of aggregate-and-join-back branches: Catalyst
-         prunes each branch's columns differently, so branch subtrees
-         are never actually deduplicated by ReuseExchange — the executed
-         plan of the branch form re-scanned the corpus once per branch
-         (measured: 9 scans; this chain: 2);
+      1. ONE heavy pass: tokenize+explode with the document length dl —
+         a map-side size() of the token array, no window, no second
+         branch — carried on every token row, then the broadcast
+         semi-join onto query terms prunes the RAW token stream BEFORE
+         any shuffle; the per-(doc, term) tf hash-aggregate shuffles
+         only query-term hits (tf over pruned rows equals tf over the
+         corpus — pruning drops whole terms, never occurrences of a
+         kept term). Measured on the 15M-doc bench family:
+         aggregate-then-prune 35.0 s → prune-then-aggregate 17.2 s. (A
+         driver-collected literal-terms variant computing tf map-side
+         via per-term size(filter(tokens == t)) — no explode at all —
+         measured 20.4 s: k array passes per document lose to one
+         explode + a broadcast hash filter; rejected.);
+      2. df_t is a count-window keyed on the term over the hit rows —
+         every doc containing the term produces a hit, so the count is
+         the exact corpus df. No aggregate-and-join-back branches
+         anywhere: Catalyst prunes each branch's columns differently, so
+         branch subtrees are never actually deduplicated by
+         ReuseExchange — the branch form's executed plan re-scanned the
+         corpus once per branch (measured: 5 scans; this chain: 2);
       3. the query side is model-sized → broadcast fan-out on the term;
       4. (N, total_tokens) come from one skinny separate scan (id + a
          token-count expression, no explode — empty docs must count in N);
@@ -708,15 +717,10 @@ def bm25_scores(
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    toks = df.select(
-        F.col(id_col).alias("__doc"),
-        F.explode(tokens(F.lower(F.col(text)))).alias("term"),
-    ).where(F.col("term") != "")
-    per_doc_term = toks.groupBy("__doc", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    with_dl = per_doc_term.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("__doc"))
+    # size() of the filtered token array == Σ tf for the doc; greatest(,0)
+    # guards NULL text (size -1 / NULL under either sizeOfNull setting)
+    tok_n = F.size(
+        F.filter(tokens(F.lower(F.col(text))), lambda t: t != F.lit(""))
     )
     qterms = (
         queries.select(
@@ -727,14 +731,17 @@ def bm25_scores(
         .distinct()
     )
     uterms = qterms.select("term").distinct()
-    cand = with_dl.join(F.broadcast(uterms), "term").withColumn(
-        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.greatest(tok_n, F.lit(0)).alias("dl"),
+        F.explode(tokens(F.lower(F.col(text)))).alias("term"),
+    ).where(F.col("term") != "")
+    hits = toks.join(F.broadcast(uterms), "term")
+    per_doc_term = hits.groupBy("__doc", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
-    # n_docs and total_tokens in one skinny scan: no explode — a size()
-    # over the filtered token array counts Σ tf without widening rows,
-    # and empty/NULL docs still count toward N in the idf
-    tok_n = F.size(
-        F.filter(tokens(F.lower(F.col(text))), lambda t: t != F.lit(""))
+    cand = per_doc_term.withColumn(
+        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
     stats = df.select(
         F.countDistinct(F.col(id_col)).alias("n_docs"),

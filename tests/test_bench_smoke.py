@@ -83,6 +83,7 @@ def test_all_spark_families_execute(spark, bench_small):
         "pctrank_60m",  # round 7: percentile-rank score normalization
         "qnorm_60m",  # round 8: quantile normalization (CDF inversion)
         "span_extents_2m",  # round 9: substring-level dedup extents
+        "bm25_15m",  # round 9: BM25 retrieval scoring over the text corpus
     }
     assert all(t >= 0 for t in fam.values())
 
@@ -342,7 +343,7 @@ def test_emit_final_line_fits_capture_budget(bench_small, capsys, tmp_path, monk
     monkeypatch.setattr(bench_small, "__file__", str(tmp_path / "bench.py"))
     bench_small._RAW_RUNS.clear()
     fams = list(bench_small.FAMILY_PASS1_ORDER)
-    assert len(fams) == 20
+    assert len(fams) == 21
     result = {
         "duckdb_oracle": {f"q{i:02d}_some_headline_query_name": 0.123 for i in range(9)},
         "duckdb_60m_sec": 24.567,
@@ -500,6 +501,42 @@ def test_span_extents_mirror_agrees(spark, bench_small):
     # across ~N/POOL docs -> exactly one extent per doc, 16 tokens wide
     assert int(srow[0]) == b.N_SPAN
     assert int(srow[1]) == 16 * b.N_SPAN
+
+
+def test_bm25_mirror_agrees(spark, bench_small):
+    """Round-9 family: the DuckDB BM25 mirror must return the SAME
+    (query_id, doc_id, bm25, n_terms, rank) top-10 rows as
+    text.bm25_scores at small N — fixed-point scores and a doc-id
+    tie-break make the comparison exact."""
+    from duckdb_ddsketch_spark.operators import text as text_ops
+
+    b = bench_small
+    t = (
+        b._minhash_text_sql(f"id % {b.N_TEXT_D}")
+        .replace("//", "div")
+        .replace("VARCHAR", "STRING")
+    )
+    docs = spark.range(b.N_TEXT, numPartitions=8).selectExpr(
+        "id AS doc_id", f"{t} AS text"
+    )
+    qdf = spark.createDataFrame(
+        b.BM25_QUERIES, "query_id int, query_text string"
+    )
+    srows = sorted(
+        (r.query_id, r.doc_id, round(float(r.bm25), 6), r.n_terms, r.rank)
+        for r in text_ops.bm25_scores(docs, qdf, k=10).collect()
+    )
+    con = duckdb.connect()
+    try:
+        drows = sorted(
+            (int(q), int(d), round(float(s), 6), int(nt), int(rk))
+            for q, d, s, nt, rk in con.execute(
+                b._duckdb_family_sqls()["bm25_15m"]
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert srows == drows and len(srows) == 10 * len(b.BM25_QUERIES)
 
 
 def test_family_band_retry_can_clear(bench_small):
