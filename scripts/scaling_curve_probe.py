@@ -320,6 +320,24 @@ def _span_extents(spark, n):
     ).collect()
 
 
+def _bm25(spark, n):
+    from duckdb_ddsketch_spark.operators import text as text_ops
+
+    # the bench family's corpus with the duplicate-class space ∝ n
+    # (constant docs-per-class), same 3 probe queries
+    d = max(1, int(bench.N_TEXT_D * n / bench.N_TEXT))
+    t = (
+        bench._minhash_text_sql(f"id % {d}")
+        .replace("//", "div")
+        .replace("VARCHAR", "STRING")
+    )
+    docs = _gen(spark, n, [("doc_id", "id"), ("text", t)])
+    qdf = spark.createDataFrame(
+        bench.BM25_QUERIES, "query_id int, query_text string"
+    )
+    text_ops.bm25_scores(docs, qdf, k=10).collect()
+
+
 def _stream_scaled(spark, n, full_recompute=False):
     # stage a scaled copy of the bench's deterministic stream files by
     # temporarily rebinding the generator's module constants (the probe
@@ -408,6 +426,8 @@ PROBES = {
     # the bench family's 24-token generator, boilerplate pool ∝ n keeps
     # the per-block duplication factor constant
     "span_extents": (bench.N_SPAN, _span_extents),
+    # round 9 — BM25 retrieval scoring (prune-then-aggregate chain)
+    "bm25": (bench.N_TEXT, _bm25),
 }
 
 
