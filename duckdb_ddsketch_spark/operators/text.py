@@ -39,6 +39,7 @@ __all__ = [
     "hashed_ngram_features",
     "linear_quality_score",
     "dsir_logratio_weights",
+    "rrf_fuse",
 ]
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -860,3 +861,71 @@ def dsir_logratio_weights(
     if quantize:
         w = F.floor(w * 65536.0 + 0.5).cast("long") / 65536.0
     return j.select(F.col("bucket"), w.alias("weight"))
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings — the standard
+    hybrid-retrieval combiner (lexical BM25 ⊕ embedding ANN, or any
+    ranking ⊕ a quality prior): documents are re-ranked by
+    ``Σ_lists 1/(k0 + rank)``, which rewards agreement between lists
+    without comparing their incomparable raw scores (Cormack et al.'s
+    RRF, the fusion most hybrid search stacks ship).
+
+    Scores are computed in INTEGER fixed-point — each list contributes
+    ``floor(2²⁴ / (k0 + rank))`` — so the fusion involves no float
+    arithmetic at all: bit-identical across engines, partitionings, and
+    join orders, with ties broken by doc id. Returns
+    (query_col, id_col, rrf_score BIGINT, in_a, in_b, rank).
+
+    Scale shape: the inputs are already top-k-per-query (bounded, usually
+    broadcastable); one full-outer join on (query, doc) + one per-query
+    window. The heavy retrieval happened upstream.
+    """
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(query_col).alias("__q"),
+            F.col(id_col).alias("__d"),
+            F.floor(
+                F.lit(1 << 24) / (F.lit(k0) + F.col(rank_col))
+            ).cast("long").alias(f"__c_{tag}"),
+        )
+
+    joined = _side(a, "a").join(_side(b, "b"), ["__q", "__d"], "full_outer")
+    scored = joined.select(
+        F.col("__q"),
+        F.col("__d"),
+        (
+            F.coalesce(F.col("__c_a"), F.lit(0))
+            + F.coalesce(F.col("__c_b"), F.lit(0))
+        ).alias("rrf_score"),
+        F.col("__c_a").isNotNull().alias("in_a"),
+        F.col("__c_b").isNotNull().alias("in_b"),
+    )
+    w = Window.partitionBy("__q").orderBy(
+        F.col("rrf_score").desc(), F.col("__d").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__d").alias(id_col),
+            "rrf_score",
+            "in_a",
+            "in_b",
+            "rank",
+        )
+    )

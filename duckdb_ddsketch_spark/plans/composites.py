@@ -1211,7 +1211,21 @@ FROM ({O['q96_dsir_scores']}) dsq""",
             F.col("bm25").alias("score"),
             "rank",
         )
-        return top.unionByName(tfidf).unionByName(bm25)
+        # RRF hybrid fusion (round 9): cnt carries the integer fixed-point
+        # fused score, score the list-membership code (in_a + 2·in_b)
+        rrf = Q["q98_rrf_hybrid"](spark, sf_dir).select(
+            F.lit("rrf").alias("part"),
+            F.col("query_id").cast("string").alias("source"),
+            F.col("doc_id").cast("string").alias("term"),
+            F.col("rrf_score").alias("cnt"),
+            (
+                F.col("in_a").cast("int") + F.col("in_b").cast("int") * 2
+            ).cast("float").alias("score"),
+            "rank",
+        )
+        return (
+            top.unionByName(tfidf).unionByName(bm25).unionByName(rrf)
+        )
 
     add(
         "q47_token_importance",
@@ -1225,7 +1239,12 @@ FROM ({O['q44_tfidf_top_terms']}) t
 UNION ALL
 SELECT 'bm25' AS part, CAST(query_id AS VARCHAR) AS source,
        CAST(doc_id AS VARCHAR) AS term, n_terms AS cnt, bm25 AS score, rank
-FROM ({O['q94_bm25_topk']}) b""",
+FROM ({O['q94_bm25_topk']}) b
+UNION ALL
+SELECT 'rrf' AS part, CAST(query_id AS VARCHAR) AS source,
+       CAST(doc_id AS VARCHAR) AS term, rrf_score AS cnt,
+       CAST(CAST(in_a AS INT) + CAST(in_b AS INT) * 2 AS REAL) AS score, rank
+FROM ({O['q98_rrf_hybrid']}) rr""",
     )
 
     # q48: document gates — PII redaction audit + Gopher-style quality gate

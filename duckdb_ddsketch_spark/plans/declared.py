@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import scalar as fs
 from ..functions.aggregate import (
@@ -5148,6 +5148,95 @@ def q97(spark, sf_dir):
         F.col("n_tokens"),
         F.col("dup_tokens"),
         F.col("dup_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — reciprocal-rank fusion (round 9): hybrid retrieval's combiner.
+# Fuses q94's BM25 top-10 with a per-query quality-prior ranking (top-10
+# docs by n_chars desc, id asc — the "longer is better" prior replicated
+# per query). Contributions are floor(2^24/(k0+rank)) INTEGERS, so the
+# fusion involves no float arithmetic at all — trivially hash-exact.
+# ---------------------------------------------------------------------------
+
+
+def _q98_oracle() -> str:
+    vals = ", ".join(f"({i})" for i, _ in _Q94_QUERIES)
+    return f"""
+    WITH bm AS (SELECT * FROM ({{Q94}}) t),
+    qs(qid) AS (VALUES {vals}),
+    prior AS (
+        SELECT qs.qid AS query_id, d.doc_id, d.rk AS rank
+        FROM qs CROSS JOIN (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rk
+            FROM documents
+        ) d
+        WHERE d.rk <= 10
+    ),
+    sa AS (
+        SELECT query_id, doc_id,
+               CAST(floor(16777216 / (60 + rank)) AS BIGINT) AS c FROM bm
+    ),
+    sb AS (
+        SELECT query_id, doc_id,
+               CAST(floor(16777216 / (60 + rank)) AS BIGINT) AS c FROM prior
+    ),
+    j AS (
+        SELECT coalesce(sa.query_id, sb.query_id) AS query_id,
+               coalesce(sa.doc_id, sb.doc_id) AS doc_id,
+               coalesce(sa.c, 0) + coalesce(sb.c, 0) AS rrf_score,
+               sa.c IS NOT NULL AS in_a, sb.c IS NOT NULL AS in_b
+        FROM sa FULL OUTER JOIN sb
+          ON sa.query_id = sb.query_id AND sa.doc_id = sb.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, rrf_score, in_a, in_b,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id ASC) AS rank
+        FROM j
+    )
+    SELECT CAST(query_id AS INT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rrf_score AS BIGINT) AS rrf_score, in_a, in_b,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """.replace("{Q94}", _q94_oracle())
+
+
+@_declare("q98_rrf_hybrid", _q98_oracle())
+def q98(spark, sf_dir):
+    """RRF fusion of the BM25 probe retrieval with a per-query quality
+    prior (top-10 by n_chars) — integer fixed-point, no floats."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # call the staged q94 fn directly: the module-level QUERIES dict is
+    # rebuilt into the 50 driver slots by build_final, so staged names
+    # are not in it at call time
+    bm = q94(spark, sf_dir)
+    # distributed top-10 (TakeOrderedAndProject), then rank the 10 rows —
+    # never a partitionless window over the corpus
+    top = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked_docs = top.withColumn("rank", F.row_number().over(w))
+    qids = spark.createDataFrame(
+        [(i,) for i, _ in _Q94_QUERIES], "query_id int"
+    )
+    prior = qids.crossJoin(F.broadcast(ranked_docs)).select(
+        "query_id", "doc_id", "rank"
+    )
+    out = text.rrf_fuse(bm, prior, k0=60, k=10)
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rrf_score").cast("long").alias("rrf_score"),
+        F.col("in_a"),
+        F.col("in_b"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 

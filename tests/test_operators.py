@@ -3053,3 +3053,34 @@ def test_span_coverage_fraction_and_zero_docs(spark):
     )
     r = {x.doc_id: x for x in dd.span_coverage(both, n=4, min_docs=2).collect()}
     assert r[1].dup_tokens == 8 and r[1].n_tokens == 13
+
+
+def test_rrf_fuse_agreement_and_fixed_point(spark):
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id int, doc_id long, rank int",
+    )
+    rows = {r.doc_id: r for r in tx.rrf_fuse(a, b, k0=60, k=10).collect()}
+    c = lambda r: (1 << 24) // (60 + r)  # noqa: E731
+    # doc 11 appears in both lists -> top fused score
+    assert rows[11].rrf_score == c(2) + c(1)
+    assert rows[11].rank == 1 and rows[11].in_a and rows[11].in_b
+    assert rows[10].rrf_score == c(1) and rows[10].in_a and not rows[10].in_b
+    assert rows[13].rrf_score == c(2) and not rows[13].in_a and rows[13].in_b
+    # rank 1 agreement beats single-list rank 1: c(1)+c(2) > c(1)
+    assert rows[11].rrf_score > rows[10].rrf_score
+    # exact-tie doc-id tie-break: docs 10 (a rank 1) and 13+noise? build a tie
+    t1 = spark.createDataFrame([(1, 5, 1)], "query_id int, doc_id long, rank int")
+    t2 = spark.createDataFrame([(1, 3, 1)], "query_id int, doc_id long, rank int")
+    tie = sorted(
+        (r.doc_id, r.rank) for r in tx.rrf_fuse(t1, t2, k0=60).collect()
+    )
+    assert tie == [(3, 1), (5, 2)]  # same score -> lower id first
+    with pytest.raises(ValueError):
+        tx.rrf_fuse(a, b, k0=0)

@@ -50,6 +50,7 @@ ALLOWED_BNLJ = {
     "q78_kmv_set_algebra",
     "q94_bm25_topk",
     "q96_dsir_scores",
+    "q98_rrf_hybrid",  # 3-row qid × broadcast 10-row prior fan-out
 }
 
 # bodies that EXECUTE a stream (or drive an iterative loop that depends
