@@ -1203,7 +1203,14 @@ FROM ({O['q96_dsir_scores']}) dsq""",
         )
         # BM25 probe-query retrieval (round 9): source carries the query
         # id, term the retrieved doc id — same (cnt, score, rank) shape
-        bm25 = Q["q94_bm25_topk"](spark, sf_dir).select(
+        # build the BM25 retrieval ONCE and feed both parts: q98's body
+        # would otherwise re-run the whole bm25 pipeline for the fusion.
+        # DataFrame reuse is NOT computation reuse (the ReuseExchange
+        # lesson), so pin the 30-row top-k with a lazy checkpoint
+        bm_df = Q["q94_bm25_topk"](spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+        bm25 = bm_df.select(
             F.lit("bm25").alias("part"),
             F.col("query_id").cast("string").alias("source"),
             F.col("doc_id").cast("string").alias("term"),
@@ -1213,7 +1220,9 @@ FROM ({O['q96_dsir_scores']}) dsq""",
         )
         # RRF hybrid fusion (round 9): cnt carries the integer fixed-point
         # fused score, score the list-membership code (in_a + 2·in_b)
-        rrf = Q["q98_rrf_hybrid"](spark, sf_dir).select(
+        from ..plans import declared as _dcl
+
+        rrf = _dcl.rrf_hybrid_from(bm_df, spark, sf_dir).select(
             F.lit("rrf").alias("part"),
             F.col("query_id").cast("string").alias("source"),
             F.col("doc_id").cast("string").alias("term"),

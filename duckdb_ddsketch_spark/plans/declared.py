@@ -5204,16 +5204,11 @@ def _q98_oracle() -> str:
     """.replace("{Q94}", _q94_oracle())
 
 
-@_declare("q98_rrf_hybrid", _q98_oracle())
-def q98(spark, sf_dir):
-    """RRF fusion of the BM25 probe retrieval with a per-query quality
-    prior (top-10 by n_chars) — integer fixed-point, no floats."""
-    _prep(spark)
+def rrf_hybrid_from(bm, spark, sf_dir):
+    """q98's fusion given an already-built BM25 top-k frame — the q47
+    composite passes its (checkpointed, 30-row) retrieval so the bm25
+    pipeline runs once for both parts."""
     docs = load_table(spark, sf_dir, "documents")
-    # call the staged q94 fn directly: the module-level QUERIES dict is
-    # rebuilt into the 50 driver slots by build_final, so staged names
-    # are not in it at call time
-    bm = q94(spark, sf_dir)
     # distributed top-10 (TakeOrderedAndProject), then rank the 10 rows —
     # never a partitionless window over the corpus
     top = (
@@ -5238,6 +5233,16 @@ def q98(spark, sf_dir):
         F.col("in_b"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@_declare("q98_rrf_hybrid", _q98_oracle())
+def q98(spark, sf_dir):
+    """RRF fusion of the BM25 probe retrieval with a per-query quality
+    prior (top-10 by n_chars) — integer fixed-point, no floats."""
+    _prep(spark)
+    # the staged q94 fn is called directly (the module-level QUERIES dict
+    # is rebuilt into the 50 driver slots by build_final)
+    return rrf_hybrid_from(q94(spark, sf_dir), spark, sf_dir)
 
 
 # ===========================================================================
