@@ -414,9 +414,10 @@ FRESH_BANDS = {
     # fresh-process 12.64/12.60 vs 26.1/23.6/23.9 for the md5-string form;
     # DuckDB 57.6/57.5 on an idle machine)
     "span_extents_2m": {"spark": 12.6, "duckdb": 57.5},
-    # round 9 (first measured fresh-process, prune-then-aggregate chain:
-    # Spark 17.2/17.8, DuckDB 112.1/132.0)
-    "bm25_15m": {"spark": 17.2, "duckdb": 112.0},
+    # round 9 (fresh-process: prune-then-aggregate 17.2/17.8; 15.4 after
+    # the skew-review fix replaced the per-term df window with a pinned
+    # candidate aggregate + broadcast df join; DuckDB 112.1/132.0)
+    "bm25_15m": {"spark": 15.4, "duckdb": 112.0},
 }
 
 BAND_TOL = 1.6  # the documented ~±40% machine swing + margin

@@ -283,6 +283,7 @@ def span_coverage(
     n: int = 8,
     min_docs: int = 2,
     gram_hash: str = "xxhash64",
+    extents: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span coverage — the drop-vs-trim decision
     input: what FRACTION of each document's tokens sits inside
@@ -299,11 +300,19 @@ def span_coverage(
 
     Scale shape: the extents pipeline (see duplicate_span_extents) plus
     one document-keyed aggregate of the extent rows and a left join back
-    to a map-only token-count projection of the input.
+    to a map-only token-count projection of the input. Callers that
+    already built (and pinned) the extents — e.g. to emit both the
+    extent rows and the coverage — pass them via ``extents`` so the
+    pipeline does not run twice; NULL-text documents report
+    n_tokens = 0 and a NULL fraction.
     """
-    ext = duplicate_span_extents(
-        df, text=text, id_col=id_col, n=n, min_docs=min_docs,
-        gram_hash=gram_hash,
+    ext = (
+        extents
+        if extents is not None
+        else duplicate_span_extents(
+            df, text=text, id_col=id_col, n=n, min_docs=min_docs,
+            gram_hash=gram_hash,
+        )
     )
     per_doc = ext.groupBy(id_col).agg(
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
@@ -311,7 +320,11 @@ def span_coverage(
         )
     )
     toks = F.split(F.lower(F.trim(F.col(text))), " +")
-    counts = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    # greatest(, 0) guards NULL text (size() yields -1/NULL there)
+    counts = df.select(
+        F.col(id_col),
+        F.greatest(F.size(toks), F.lit(0)).alias("n_tokens"),
+    )
     return (
         counts.join(per_doc, id_col, "left")
         .select(
@@ -320,9 +333,10 @@ def span_coverage(
             F.coalesce(F.col("dup_tokens"), F.lit(0))
             .cast("long")
             .alias("dup_tokens"),
-            (
+            F.when(
+                F.col("n_tokens") > 0,
                 F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
-                / F.col("n_tokens")
+                / F.col("n_tokens"),
             ).alias("dup_fraction"),
         )
     )

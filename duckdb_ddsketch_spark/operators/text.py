@@ -191,15 +191,20 @@ def tfidf_top_terms(
     score with a term tie-break, which absorbs libm ulp differences in ln.
 
     Shape: ONE linear chain — explode → per-(doc, term) hash aggregate →
-    document-frequency window keyed on the term → per-(group, term)
-    aggregate — plus a skinny 1-row corpus-count scan. The earlier form
-    computed tf and df as two independent aggregates over the same
+    per-(group, term) hash aggregate (both partially aggregated) →
+    document-frequency window keyed on the term over the GROUP×VOCAB
+    frame — plus a skinny 1-row corpus-count scan. The earlier branch
+    form computed tf and df as two independent aggregates over the same
     per-doc subtree and joined them back: Catalyst prunes each branch's
     columns differently, so the "shared" exchange is never actually
     reused (verified on the executed plan: the corpus was scanned and
-    pre-aggregated once per branch, plus a vocabulary-sized join). The
-    window costs one exchange by term but every stage runs exactly once.
-    No Python anywhere.
+    pre-aggregated once per branch, plus a vocabulary-sized join). A
+    per-term window over the PER-DOC rows would be the skew trap — a
+    stopword-class term concentrates ~all docs into one window
+    partition; here the window runs after the second aggregate, so a
+    term's partition is at most #groups rows (a doc belongs to exactly
+    one group, so summing the per-group distinct-doc counts IS the
+    corpus document frequency). No Python anywhere.
     """
     group = list(group)
     toks = df.select(
@@ -208,14 +213,13 @@ def tfidf_top_terms(
     per_doc = toks.groupBy(*group, "__doc", "term").agg(
         F.count("*").alias("tf_doc")
     )
-    # per_doc rows are unique per (doc, term), and a doc has one group, so
-    # the row count per term IS the document frequency — attached in-stream
-    # by a window instead of a second aggregate branch over the corpus
-    per_doc = per_doc.withColumn(
-        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    # per_doc rows are unique per (doc, term): count(*) per (group, term)
+    # counts the group's docs containing the term
     tf = per_doc.groupBy(*group, "term").agg(
-        F.sum("tf_doc").alias("tf"), F.max("df_docs").alias("df_docs")
+        F.sum("tf_doc").alias("tf"), F.count(F.lit(1)).alias("__dg")
+    )
+    tf = tf.withColumn(
+        "df_docs", F.sum("__dg").over(Window.partitionBy("term"))
     )
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).alias("n_docs")
@@ -738,12 +742,21 @@ def bm25_scores(
         F.explode(tokens(F.lower(F.col(text)))).alias("term"),
     ).where(F.col("term") != "")
     hits = toks.join(F.broadcast(uterms), "term")
-    per_doc_term = hits.groupBy("__doc", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    # pin the candidate aggregate (bounded by docs containing a query
+    # term): df_t then comes from a PARTIALLY-AGGREGATED ≤-#terms-row
+    # aggregate broadcast back on — never a per-term window, whose hot
+    # partition for a frequent query term would hold ~every matching doc
+    # in one task. The checkpoint is what makes the two consumers read
+    # one computation (ReuseExchange would not).
+    per_doc_term = (
+        hits.groupBy("__doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint(eager=False)
     )
-    cand = per_doc_term.withColumn(
-        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    dfreq = per_doc_term.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs")
     )
+    cand = per_doc_term.join(F.broadcast(dfreq), "term")
     stats = df.select(
         F.countDistinct(F.col(id_col)).alias("n_docs"),
         F.sum(F.greatest(tok_n, F.lit(0))).alias("total_tokens"),
@@ -833,17 +846,25 @@ def dsir_logratio_weights(
     """
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    # both bucket tables are consumed twice (totals + the weight join);
+    # ReuseExchange does not deduplicate differently-pruned consumers, so
+    # pin the ≤-buckets-row aggregates with lazy checkpoints — the
+    # structure-sized case of the checkpoint-vs-recompute rule (see
+    # quantile_normalize; the corpus is n-gram-exploded exactly once per
+    # side)
     fr = (
         hashed_ngram_features(raw, text=text, id_col=id_col,
                               buckets=buckets, ngram=ngram)
         .groupBy("bucket")
         .agg(F.sum("cnt").alias("c_raw"))
+        .localCheckpoint(eager=False)
     )
     ft = (
         hashed_ngram_features(target, text=text, id_col=id_col,
                               buckets=buckets, ngram=ngram)
         .groupBy("bucket")
         .agg(F.sum("cnt").alias("c_tgt"))
+        .localCheckpoint(eager=False)
     )
     totals = fr.select(F.sum("c_raw").alias("t_raw")).crossJoin(
         F.broadcast(ft.select(F.sum("c_tgt").alias("t_tgt")))

@@ -434,7 +434,17 @@ FROM ({O['q86_streaming_first_seen']})""",
         # the doc") mapped onto the shared 5-col schema — k is the
         # doc:start composite key, n_docs carries the extent WIDTH in
         # tokens, n_occurrences the stitched gram count
-        ex = Q["q86_duplicate_span_extents"](spark, sf_dir).select(
+        # build the extents ONCE and feed both the 'extent' and 'cov'
+        # parts: the extents output is bounded by duplicated spans
+        # (far below the corpus), so a lazy checkpoint pins it — plain
+        # DataFrame reuse would run the gram pipeline twice
+        from ..operators import dedup as _dedup
+        from ..sources import load_table as _load_table
+
+        ex_df = Q["q86_duplicate_span_extents"](spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+        ex = ex_df.select(
             F.lit("extent").alias("part"),
             F.concat_ws(
                 ":", F.col("doc_id"), F.col("span_start")
@@ -448,7 +458,12 @@ FROM ({O['q86_streaming_first_seen']})""",
         # round 9: per-doc duplicated-span COVERAGE (drop-vs-trim column)
         # on the shared schema — n_docs carries n_tokens, n_occurrences
         # the duplicated-token total; the fraction is their ratio
-        cov = Q["q97_span_coverage"](spark, sf_dir).select(
+        cov = _dedup.span_coverage(
+            _load_table(spark, sf_dir, "documents"),
+            text="text",
+            id_col="doc_id",
+            extents=ex_df,
+        ).select(
             F.lit("cov").alias("part"),
             F.col("doc_id").cast("string").alias("k"),
             F.col("n_tokens").alias("n_docs"),

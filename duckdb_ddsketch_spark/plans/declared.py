@@ -5128,13 +5128,15 @@ def q96(spark, sf_dir):
     ),
     cnt AS (
         SELECT doc_id,
-               len(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS n_tokens
+               coalesce(len(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')), 0) AS n_tokens
         FROM documents
     )
     SELECT CAST(cnt.doc_id AS BIGINT) AS doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
-           CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens AS dup_fraction
+           CASE WHEN n_tokens > 0
+                THEN CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens
+           END AS dup_fraction
     FROM cnt LEFT JOIN agg ON agg.doc_id = cnt.doc_id
     """.replace("{Q86}", ORACLES["q86_duplicate_span_extents"]),
 )
