@@ -200,11 +200,12 @@ def duplicate_span_extents(
     # every token n times through fresh per-gram arrays — measured 13.2 s
     # for 34M grams at 2M docs, vs 4.8 s for the columnar lead() form
     # (both with md5 forced; an element_at chain measured 71 s — worst of
-    # all). The window costs one exchange by doc id, but BOTH downstream
-    # consumers (census and join probe) then hash-partition the identical
-    # grams subtree by h, so Spark's ReusedExchange serves the second
-    # consumer from the first's shuffle files — the construction runs
-    # ONCE, where the map-only slice form ran twice.
+    # all). The window costs one exchange by doc id — and, per the
+    # measured note on the `grams` frame below, the executed plan builds
+    # this subtree TWICE (census branch + probe branch prune different
+    # columns, so ReuseExchange does not deduplicate them); the lead()
+    # form wins because each of those two builds is 2.7× cheaper than
+    # the slice form's, not because it runs once.
     toks = F.split(F.lower(F.trim(F.col(text))), " +")
     tok_rows = df.select(
         F.col(id_col), F.posexplode(toks).alias("__pos0", "__tok")
@@ -303,8 +304,14 @@ def span_coverage(
     to a map-only token-count projection of the input. Callers that
     already built (and pinned) the extents — e.g. to emit both the
     extent rows and the coverage — pass them via ``extents`` so the
-    pipeline does not run twice; NULL-text documents report
-    n_tokens = 0 and a NULL fraction.
+    pipeline does not run twice.
+
+    Token-count edge cases (deliberately mirroring the DuckDB oracle's
+    ``len(string_split(...))`` semantics for cross-engine parity):
+    NULL-text documents report n_tokens = 0 and a NULL fraction;
+    EMPTY-STRING text reports n_tokens = 1 — split('', ' +') returns
+    [''], so an empty doc counts one phantom token and gets
+    dup_fraction 0.0 rather than NULL.
     """
     ext = (
         extents

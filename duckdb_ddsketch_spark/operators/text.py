@@ -704,13 +704,17 @@ def bm25_scores(
          via per-term size(filter(tokens == t)) — no explode at all —
          measured 20.4 s: k array passes per document lose to one
          explode + a broadcast hash filter; rejected.);
-      2. df_t is a count-window keyed on the term over the hit rows —
-         every doc containing the term produces a hit, so the count is
-         the exact corpus df. No aggregate-and-join-back branches
-         anywhere: Catalyst prunes each branch's columns differently, so
-         branch subtrees are never actually deduplicated by
-         ReuseExchange — the branch form's executed plan re-scanned the
-         corpus once per branch (measured: 5 scans; this chain: 2);
+      2. df_t comes from a ≤-#terms-row groupBy('term') aggregate over
+         the CHECKPOINTED per-(doc, term) candidate table, broadcast
+         back onto it — deliberately NOT a per-term count window, whose
+         hot partition for a frequent query term would hold ~every
+         matching doc in one task. Every doc containing the term has a
+         candidate row, so the count is the exact corpus df. The lazy
+         checkpoint is what makes the two consumers (df aggregate +
+         scoring join) read one computation — ReuseExchange would not
+         deduplicate them; the earlier branch form's executed plan
+         re-scanned the corpus once per branch (measured: 5 scans; this
+         chain: 2);
       3. the query side is model-sized → broadcast fan-out on the term;
       4. (N, total_tokens) come from one skinny separate scan (id + a
          token-count expression, no explode — empty docs must count in N);
@@ -866,8 +870,16 @@ def dsir_logratio_weights(
         .agg(F.sum("cnt").alias("c_tgt"))
         .localCheckpoint(eager=False)
     )
-    totals = fr.select(F.sum("c_raw").alias("t_raw")).crossJoin(
-        F.broadcast(ft.select(F.sum("c_tgt").alias("t_tgt")))
+    # SUM over an empty side is NULL, which would silently NULL every
+    # weight — coalesce to 0 so a gram-less side degrades to the smoothed
+    # semantics (numerator a / denominator a·B) instead of propagating
+    # NULLs downstream
+    totals = fr.select(
+        F.coalesce(F.sum("c_raw"), F.lit(0)).alias("t_raw")
+    ).crossJoin(
+        F.broadcast(
+            ft.select(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t_tgt"))
+        )
     )
     a = float(smoothing)
     a_b = a * buckets  # folded literal, mirrored verbatim in oracles
@@ -909,6 +921,13 @@ def rrf_fuse(
     Scale shape: the inputs are already top-k-per-query (bounded, usually
     broadcastable); one full-outer join on (query, doc) + one per-query
     window. The heavy retrieval happened upstream.
+
+    Precondition: each input has AT MOST ONE row per (query, doc) — the
+    contract every ranked top-k list satisfies by construction (bm25_scores
+    and the ANN top-k operators here both emit one row per pair). Duplicate
+    pairs would multiply through the full-outer join and inflate rrf_score
+    silently; dedupe upstream (e.g. min-rank per pair) before fusing if a
+    source can repeat.
     """
     if k0 < 1:
         raise ValueError(f"k0 must be >= 1, got {k0}")

@@ -1058,8 +1058,14 @@ def q86(spark, sf_dir):
 
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # gram_hash stated explicitly at this oracle-gated site: xxhash64 keys
+    # never reach the output (only stitched positions do), so parity with
+    # the DuckDB oracle rests on the duplicated-gram SET matching —
+    # ~3e-5 collision-flip odds at the 34M-gram bench scale, loud (hash
+    # mismatch) if it ever fires. Trade accepted here, not inherited.
     return dedup.duplicate_span_extents(
-        docs, text="text", id_col="doc_id", n=_Q85_N, min_docs=2
+        docs, text="text", id_col="doc_id", n=_Q85_N, min_docs=2,
+        gram_hash="xxhash64",
     )
 
 
@@ -5143,8 +5149,9 @@ def q96(spark, sf_dir):
 def q97(spark, sf_dir):
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # xxhash64 stated explicitly at the oracle-gated site (see q86 note)
     out = dedup.span_coverage(docs, text="text", id_col="doc_id",
-                              n=_Q85_N, min_docs=2)
+                              n=_Q85_N, min_docs=2, gram_hash="xxhash64")
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_tokens"),

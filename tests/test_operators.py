@@ -3026,6 +3026,30 @@ def test_dsir_logratio_weights_semantics(spark):
         tx.dsir_logratio_weights(raw, target, smoothing=0.0)
 
 
+def test_dsir_logratio_weights_empty_target(spark):
+    """An empty (or gram-less) target must NOT NULL the weights: t_tgt
+    coalesces to 0 and every raw bucket gets the smoothed pure-penalty
+    weight log(a / aB) - log((c_raw+a)/(t_raw+aB)) — finite, non-NULL."""
+    import math
+
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    raw = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma")], "doc_id long, text string"
+    )
+    empty = raw.where("doc_id < 0")
+    rows = tx.dsir_logratio_weights(
+        raw, empty, buckets=64, ngram=1, quantize=False
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.weight is not None for r in rows)
+    # 4 unigram occurrences over the raw corpus; the 'alpha' bucket has
+    # c_raw=2, every weight = log(0.5/32) - log((c+0.5)/(4+32))
+    by_w = sorted(r.weight for r in rows)
+    exp_c2 = math.log(0.5 / 32.0) - math.log(2.5 / 36.0)
+    assert by_w[0] == pytest.approx(exp_c2, rel=1e-12)
+
+
 def test_span_coverage_fraction_and_zero_docs(spark):
     from duckdb_ddsketch_spark.operators import dedup as dd
 
