@@ -349,28 +349,67 @@ def span_coverage(
     )
 
 
+def _let(col: Column, body) -> Column:
+    """Evaluate ``col`` ONCE and bind it as a lambda variable inside
+    ``body`` — Spark SQL's missing let-binding, via ``transform`` over a
+    singleton array. Without it, Catalyst's CollapseProject inlines a
+    referenced expression into EVERY use site, and higher-order-function
+    lambdas are interpreted with no common-subexpression elimination —
+    referencing a MinHash signature 16 times re-evaluated the whole
+    shingle+md5 tree 16 times (measured: the round-10 streaming near-dup
+    gate dropped from ~400 s to seconds at sf0.001 with this binding)."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, ngram: int = 2) -> Column:
     """MinHash signature as array<string> of length ``num_hashes``.
 
     Hash family: permutation *i* orders shingles by ``md5(i || '|' || s)``;
-    the signature element is the minimum digest — deterministic everywhere.
+    the signature element is the minimum digest — deterministic everywhere,
+    identical to :func:`minhash_signatures_df`'s groupBy form.
 
-    NOTE: as a single Column the shingle subexpression is inlined into every
-    hash lambda (Catalyst collapses projections), recomputing tokenization
-    num_hashes times; fine for short texts / few hashes. The scale form is
-    :func:`minhash_signatures_df`, which computes each md5 exactly once.
+    Evaluation shape: the shingle array is let-bound (built once per row),
+    each shingle's ``num_hashes`` seeded digests are computed exactly once,
+    and the signature is their running elementwise minimum
+    (``aggregate`` + ``zip_with`` — 'g' sorts after every md5 hex char, so
+    it is a safe fold identity). Per-row md5 count = shingles x hashes,
+    the same arithmetic floor as the corpus-scan
+    :func:`minhash_signatures_df`; use that one when a shuffle-side
+    partial aggregate is worth it (corpus scans), this one when the
+    signature must be a map-only per-row column (streaming ingest).
     """
-    shingles = word_ngrams(text, ngram)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-                )
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    seeds = F.array(*[F.lit(f"{i}|") for i in range(num_hashes)])
+    null_sig = F.array_repeat(F.lit(None).cast("string"), num_hashes)
+
+    def build(sh: Column) -> Column:
+        folded = F.aggregate(
+            sh,
+            F.array_repeat(F.lit("g"), num_hashes),
+            lambda acc, s: F.zip_with(
+                acc,
+                F.transform(seeds, lambda p: F.md5(F.concat(p, s))),
+                lambda a, b: F.least(a, b),
+            ),
+        )
+        # empty shingle set -> all-NULL signature (array_min-over-empty
+        # semantics of the historical per-element form)
+        return F.when(F.size(sh) > 0, folded).otherwise(null_sig)
+
+    return _let(word_ngrams(text, ngram), build)
+
+
+def minhash_band_structs(
+    text: Column, num_hashes: int = 16, bands: int = 4, ngram: int = 2
+) -> Column:
+    """Map-only per-row LSH banding: array of ``bands`` (band_id,
+    band_hash) structs straight from a text column — the signature is
+    let-bound so its shingle+md5 tree is evaluated ONCE, not once per
+    band element (see :func:`_let`). This is the per-row form of the
+    batch ``minhash_signatures_df`` + :func:`band_hash_structs` pipeline
+    (same hashes, same banding), for streams and other contexts where no
+    pre-state aggregation is possible."""
+    sig = minhash_signature(text, num_hashes=num_hashes, ngram=ngram)
+    return _let(sig, lambda sg: band_hash_structs(sg, num_hashes, bands))
 
 
 def minhash_signatures_df(
@@ -400,6 +439,33 @@ def minhash_signatures_df(
     )
 
 
+def band_hash_structs(sig: Column, num_hashes: int, bands: int) -> Column:
+    """Array of ``bands`` (band_id, band_hash) structs from a MinHash
+    signature column — band_hash = md5 of the band's signature slice
+    joined by '|'. The single banding formula shared by the batch LSH
+    pipeline (:func:`lsh_candidate_pairs`) and the streaming ingest gate
+    (:func:`..streaming.streaming_neardup_lsh`), so a streaming front-end
+    and a batch dedup pass agree on what a band collision is."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at(sig, b * rows_per_band + j + 1)
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text: str = "text",
@@ -422,28 +488,11 @@ def lsh_candidate_pairs(
             " computed but silently never banded, shifting the LSH"
             " threshold curve away from what was requested"
         )
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures_df(df, text, id_col, num_hashes, ngram)
     banded = sigs.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.element_at(F.col("sig"), b * rows_per_band + j + 1)
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
+            band_hash_structs(F.col("sig"), num_hashes, bands)
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_hash")
     buckets = banded.groupBy("band_id", "band_hash").agg(

@@ -373,11 +373,14 @@ FROM ({O['q41_range_band_join']}) t""",
     # -- dedup --------------------------------------------------------------
     ren("q31_exact_dedup_summary", "q20_exact_dedup_summary")
     # q32: ingest-path dedup — batch incremental (anti-join vs corpus) +
-    # streaming first-seen (dropDuplicatesWithinWatermark), part-tagged onto
-    # (part, source, n_rows, n_dups, n_unique). Semantics per part:
+    # streaming first-seen (dropDuplicatesWithinWatermark) + streaming
+    # NEAR-dup gate (MinHash band first-seen state, round 10), part-tagged
+    # onto (part, source, n_rows, n_dups, n_unique). Semantics per part:
     # incremental: n_rows = new-batch rows, n_dups = already-in-corpus,
     # n_unique = canonical AND new; stream: n_rows = arrived rows,
-    # n_unique = emitted first-occurrences, n_dups = dropped.
+    # n_unique = emitted first-occurrences, n_dups = dropped;
+    # neardup: n_rows = arrived docs, n_unique = docs whose every LSH band
+    # was first-seen (novel), n_dups = docs colliding in >= 1 band.
     def q32_incr_stream(spark, sf_dir) -> DataFrame:
         inc = Q["q54_incremental_dedup"](spark, sf_dir).select(
             F.lit("incremental").alias("part"),
@@ -393,7 +396,14 @@ FROM ({O['q41_range_band_join']}) t""",
             F.col("n_dups").cast("long").alias("n_dups"),
             F.col("n_unique").cast("long").alias("n_unique"),
         )
-        return inc.unionByName(st)
+        nd = Q["q99_streaming_neardup"](spark, sf_dir).select(
+            F.lit("neardup").alias("part"),
+            "source",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+        )
+        return inc.unionByName(st).unionByName(nd)
 
     add(
         "q32_incremental_dedup",
@@ -408,7 +418,13 @@ SELECT 'stream' AS part, source,
        CAST(n_rows AS BIGINT) AS n_rows,
        CAST(n_dups AS BIGINT) AS n_dups,
        CAST(n_unique AS BIGINT) AS n_unique
-FROM ({O['q86_streaming_first_seen']})""",
+FROM ({O['q86_streaming_first_seen']})
+UNION ALL
+SELECT 'neardup' AS part, source,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_dups AS BIGINT) AS n_dups,
+       CAST(n_unique AS BIGINT) AS n_unique
+FROM ({O['q99_streaming_neardup']})""",
     )
 
     # q33: fingerprint (doc-level) + repeated-span (substring-level) dedup —

@@ -5254,6 +5254,175 @@ def q98(spark, sf_dir):
     return rrf_hybrid_from(q94(spark, sf_dir), spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# q99 — streaming NEAR-dup ingest gate (MinHash band first-seen state):
+# streaming execution vs a pure-SQL batch LSH oracle. The oracle's novelty
+# rule — a doc is novel iff it is the min-doc_id member of every one of its
+# band buckets — is exactly what first-seen band state computes under
+# id-ordered arrival, restated order-invariantly (q86 recipe: the streamed
+# fact checked is the emitted-band-key multiset; doc attribution is
+# canonicalized so the result cannot depend on which simultaneous collider
+# the state operator happened to see first).
+# ---------------------------------------------------------------------------
+
+_ND_BANDS = 4
+_ND_HASHES = 16
+
+
+@_declare(
+    "q99_streaming_neardup",
+    f"""
+    WITH sig AS (SELECT doc_id, source, {_minhash_sql(_ND_HASHES)} AS sg
+                 FROM documents),
+    banded AS (
+        SELECT doc_id, source, b.band_id,
+               md5(concat_ws('|', sg[b.band_id * 4 + 1], sg[b.band_id * 4 + 2],
+                             sg[b.band_id * 4 + 3], sg[b.band_id * 4 + 4]))
+                   AS band_hash
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+    ),
+    owner AS (
+        SELECT band_id, band_hash, MIN(doc_id) AS owner_id
+        FROM banded GROUP BY 1, 2
+    ),
+    docflag AS (
+        SELECT d.doc_id, d.source,
+               SUM(CASE WHEN o.owner_id = d.doc_id THEN 1 ELSE 0 END)
+                   AS n_owned
+        FROM banded d
+        JOIN owner o
+          ON o.band_id = d.band_id AND o.band_hash = d.band_hash
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n_owned < {_ND_BANDS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dups,
+           CAST(SUM(CASE WHEN n_owned = {_ND_BANDS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique
+    FROM docflag GROUP BY source
+    """,
+)
+def q99(spark, sf_dir):
+    """Streaming near-dup ingest gate: MinHash band rows through native
+    ``dropDuplicatesWithinWatermark`` state (streaming.streaming_neardup_bands
+    — the state stage of streaming_neardup_lsh), replayed as two
+    doc_id-ordered micro-batches exactly like q86.
+
+    Event time is constant, so the watermark never evicts mid-replay and
+    each distinct (band_id, band_hash) emits exactly once across both
+    batches. The per-source accounting is order-invariant the q86 way:
+    the streamed fact is the emitted band-key MULTISET (its exactly-once
+    property is load-bearing — a doc is counted novel only if its bands'
+    total emission count equals the band count, so a key emitted twice or
+    never flips rows and hash-mismatches); WHICH simultaneous collider
+    survived a band is canonicalized to the min-doc_id owner, matching
+    first-seen semantics under the staged id-ordered arrival. A doc is
+    novel iff it owns all of its bands — the batch LSH candidate rule
+    (one shared band = candidate pair) restated for a streaming gate.
+    Driver-side row sink is TEST HARNESS ONLY.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    _prep(spark)
+    from ..operators.dedup import minhash_band_structs
+    from ..streaming import streaming_neardup_bands
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "text",
+        F.to_timestamp(F.lit("2024-03-01 10:00:00")).alias("ts"),
+    )
+    stage = tempfile.mkdtemp(prefix="ddsketch_q99_")
+    try:
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        if max_id is None:
+            raise ValueError("q99 requires a non-empty documents table")
+        thr = max_id // 2
+        for mode, cond in (
+            ("overwrite", F.col("doc_id") <= thr),
+            ("append", F.col("doc_id") > thr),
+        ):
+            docs.where(cond).repartition(1).sortWithinPartitions(
+                "doc_id"
+            ).write.mode(mode).parquet(stage)
+            if mode == "overwrite":
+                time.sleep(1.1)  # file-source ordering is by modification time
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, source string, text string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        emitted = streaming_neardup_bands(
+            stream, "ts", text="text", id_col="doc_id",
+            num_hashes=_ND_HASHES, bands=_ND_BANDS, watermark="1 hour",
+        )
+        rows = []
+
+        def sink(batch_df, _id):
+            rows.extend(batch_df.select("band_id", "band_hash").collect())
+
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                emitted.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "q99 streaming neardup gate did not finish within 300s"
+                )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    # emitted band-key multiset (the streamed fact under check)
+    em = spark.createDataFrame(
+        [(int(r.band_id), r.band_hash) for r in rows],
+        "band_id int, band_hash string",
+    ).groupBy("band_id", "band_hash").agg(F.count("*").alias("n_emit"))
+
+    # canonical batch banding with the SAME per-row expression the stream
+    # used (shared minhash_band_structs formula)
+    banded = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            minhash_band_structs(F.col("text"), _ND_HASHES, _ND_BANDS, 2)
+        ).alias("__b"),
+    ).select("doc_id", "source", "__b.band_id", "__b.band_hash")
+    owner = banded.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("owner_id")
+    )
+    docflag = (
+        banded.join(owner, ["band_id", "band_hash"])
+        .join(em, ["band_id", "band_hash"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.when(F.col("owner_id") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_owned"),
+            # exactly-once emission is load-bearing: each band contributes
+            # n_emit/1 only if the state emitted its key exactly once
+            F.sum(F.coalesce(F.col("n_emit"), F.lit(0))).alias("n_emit"),
+        )
+    )
+    novel = (F.col("n_owned") == _ND_BANDS) & (F.col("n_emit") == _ND_BANDS)
+    return docflag.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(novel, 0).otherwise(1)).cast("long").alias("n_dups"),
+        F.sum(F.when(novel, 1).otherwise(0)).cast("long").alias("n_unique"),
+    )
+
+
 # ===========================================================================
 # Final registry: the driver grades at most 50 queries, so the staged
 # per-operator declarations above are curated into exactly 50 slots

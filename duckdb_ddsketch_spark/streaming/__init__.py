@@ -50,6 +50,8 @@ __all__ = [
     "windowed_hll_registers",
     "windowed_value_counts",
     "streaming_first_seen",
+    "streaming_neardup_bands",
+    "streaming_neardup_lsh",
     "streaming_gram",
 ]
 
@@ -472,6 +474,124 @@ def streaming_first_seen(
         dedup_cols
     )
     return out.drop("__digest") if text is not None else out
+
+
+def streaming_neardup_bands(
+    stream: DataFrame,
+    ts_col: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 2,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """First-seen MinHash BAND occurrences — the state stage of the
+    streaming near-dup ingest gate (:func:`streaming_neardup_lsh`).
+
+    Each arriving document is expanded map-side into ``bands`` LSH band
+    rows (the same signature and banding math as the batch
+    ``dedup.lsh_candidate_pairs`` pipeline, via the shared
+    ``dedup.band_hash_structs`` formula — a streaming front-end and a
+    batch dedup pass agree on what a band collision is). Native
+    ``dropDuplicatesWithinWatermark`` on (band_id, band_hash) then emits
+    each distinct band value exactly once within the watermark horizon:
+    a surviving row means "this band content is NEW"; a dropped row means
+    the arriving document collides with an earlier document in that band
+    (an LSH near-dup candidate). Returns the surviving band rows with all
+    input columns plus (band_id, band_hash).
+
+    Scale shape: the signature is computed per-row map-side (no
+    pre-state aggregation is possible in a stream, so the shingle set is
+    evaluated once per hash — fine at ingest row sizes; the batch
+    ``minhash_signatures_df`` remains the corpus-scan path). State is one
+    row per DISTINCT band value inside the horizon — bounded by
+    bands x distinct-content arrival rate x horizon, never by stream
+    length, watermark-evicted, JVM-native (RocksDB under
+    ``scalable_state_conf``, the mandatory posture at front-end rates —
+    see its sizing rule; ~50 B per state row: two 16-byte hashes + key
+    overhead).
+
+    Which of several SIMULTANEOUS colliders (same micro-batch) survives a
+    band is not deterministic — the same first-arrival-wins caveat as
+    :func:`streaming_first_seen`; the distinct-band SET emitted is.
+    """
+    from ..operators.dedup import minhash_band_structs
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
+    banded = stream.select(
+        "*",
+        F.explode(
+            minhash_band_structs(
+                F.col(text), num_hashes=num_hashes, bands=bands, ngram=ngram
+            )
+        ).alias("__b"),
+    ).select("*", "__b.band_id", "__b.band_hash").drop("__b")
+    return banded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band_id", "band_hash"]
+    )
+
+
+def streaming_neardup_lsh(
+    stream: DataFrame,
+    ts_col: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 2,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Streaming near-duplicate ingest gate — the LSH complement of
+    :func:`streaming_first_seen`: exact repeats are one digest lookup,
+    but boilerplate NEAR-duplicates (same text, small edits) sail through
+    a digest gate; this one drops them at ingest.
+
+    Composition of two native stateful operators (no Python in the hot
+    path): :func:`streaming_neardup_bands` (first-seen band state) then a
+    windowed per-document count of the bands that were new. A document
+    whose bands are ALL first-seen collides with nothing inside the
+    horizon -> ``is_novel`` true; any dropped band means an LSH band
+    collision with an earlier document -> ``is_novel`` false (the batch
+    LSH candidate rule: one shared band = candidate pair). A document
+    whose EVERY band was already seen produces no output row at all —
+    it is dropped wholesale, like a repeat in ``streaming_first_seen``.
+
+    Returns (window_start, window_end, <id_col>, n_new_bands, is_novel),
+    emitted in append mode when the event-time window closes under the
+    watermark. Rows with ``is_novel`` feed the training corpus; rows
+    without are the near-dup audit stream (a production gate filters
+    ``WHERE is_novel``). Band collisions are CANDIDATES, not verified
+    near-dups — the stream errs toward dropping lookalikes (tune
+    bands/num_hashes for the Jaccard threshold curve exactly as in batch
+    LSH); candidates needing exact verification go through the batch
+    ``jaccard_pairs`` on the audit stream downstream.
+
+    State: band state as in :func:`streaming_neardup_bands` plus one
+    counter per (window, doc) — both watermark-bounded. Like every
+    first-wins gate, WHICH of two same-micro-batch colliders is called
+    novel is not deterministic; the novel/dropped PARTITION of any
+    cross-batch collision is.
+    """
+    first = streaming_neardup_bands(
+        stream, ts_col, text=text, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, ngram=ngram, watermark=watermark,
+    )
+    return (
+        first.groupBy(F.window(F.col(ts_col), window).alias("win"), id_col)
+        .agg(F.count(F.lit(1)).alias("n_new_bands"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            id_col,
+            F.col("n_new_bands").cast("int").alias("n_new_bands"),
+            (F.col("n_new_bands") == bands).alias("is_novel"),
+        )
+    )
 
 
 def windowed_value_counts(

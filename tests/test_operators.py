@@ -79,6 +79,45 @@ def test_minhash_signature_df_deterministic(spark, docs):
     assert len(s1[1]) == 16
 
 
+def test_minhash_per_row_forms_match_batch(spark, docs):
+    """The let-bound per-row minhash_signature / minhash_band_structs
+    (streaming ingest forms) produce exactly the batch pipeline's hashes:
+    signatures equal minhash_signatures_df, band structs equal
+    band_hash_structs over those signatures. A short doc (no complete
+    shingle) gets the historical all-NULL signature."""
+    per_row = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", dedup.minhash_signature(F.col("text")).alias("sig")
+        ).collect()
+    }
+    batch = {r.id: r.sig for r in dedup.minhash_signatures_df(docs).collect()}
+    assert per_row == batch
+
+    banded_row = {
+        (r.doc_id, r.b.band_id): r.b.band_hash
+        for r in docs.select(
+            "doc_id",
+            F.explode(dedup.minhash_band_structs(F.col("text"))).alias("b"),
+        ).collect()
+    }
+    sigs = dedup.minhash_signatures_df(docs)
+    banded_batch = {
+        (r.id, r.b.band_id): r.b.band_hash
+        for r in sigs.select(
+            "id",
+            F.explode(dedup.band_hash_structs(F.col("sig"), 16, 4)).alias("b"),
+        ).collect()
+    }
+    assert banded_row == banded_batch
+
+    short = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    [row] = short.select(
+        dedup.minhash_signature(F.col("text")).alias("sig")
+    ).collect()
+    assert row.sig == [None] * 16
+
+
 def test_simhash_near_for_near_dups(spark, docs):
     out = {r.id: r.sh for r in dedup.simhash_df(docs).collect()}
     assert out[1] == out[2]  # identical token sets

@@ -713,3 +713,83 @@ def test_percentile_lookup_stream_static_matches_batch(spark, tmp_path):
     assert got[1] == 1.0          # group max ranks 1.0
     assert got[5] is None         # unseen bin -> NULL
     assert got[6] is None         # NULL value -> NULL
+
+
+def test_streaming_neardup_lsh_gate(spark, tmp_path):
+    """Streaming MinHash-band near-dup gate, deterministic by construction
+    (every collision is CROSS-batch, so first-seen band state has a unique
+    arrival order): novel docs pass with all bands new; a near-dup of an
+    earlier doc is flagged is_novel=false with n_new_bands < bands; an
+    exact repeat loses every band and produces no output row at all."""
+    import time as _time
+
+    from duckdb_ddsketch_spark.streaming import streaming_neardup_lsh
+
+    src = str(tmp_path / "neardup_in")
+    schema = "doc_id bigint, text string, ts timestamp"
+
+    def write_file(mode, rows):
+        spark.createDataFrame(rows, "doc_id long, text string, ts_str string") \
+            .select("doc_id", "text", F.to_timestamp("ts_str").alias("ts")) \
+            .coalesce(1).write.mode(mode).parquet(src)
+
+    t_a = "the quick brown fox jumps over the lazy dog again and again today"
+    t_b = "completely different text about spark structured streaming state stores"
+    # batch 0: two originals (no shared shingles)
+    write_file("overwrite", [
+        (1, t_a, "2024-03-01 10:00:00"),
+        (2, t_b, "2024-03-01 10:00:10"),
+    ])
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    # batch 1 (later window): near-dup of doc 1, exact repeat of doc 2,
+    # and a genuinely novel doc
+    write_file("append", [
+        (3, t_a.replace("today", "tonight"), "2024-03-01 12:00:00"),
+        (4, t_b, "2024-03-01 12:00:10"),
+        (5, "yet another entirely unrelated document concerning parquet and arrow",
+         "2024-03-01 12:00:20"),
+    ])
+    _time.sleep(1.1)
+    # batch 2: watermark-advancing sentinel (its own window never closes;
+    # nothing is asserted about it)
+    write_file("append", [(99, "sentinel text far in the future", "2024-03-02 09:00:00")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_neardup_lsh(
+        stream, "ts", text="text", id_col="doc_id",
+        num_hashes=16, bands=4, watermark="10 minutes", window="1 hour",
+    )
+    rows = _collect_stream(out, str(tmp_path / "ck_neardup"))
+    got = {r.doc_id: (r.n_new_bands, r.is_novel) for r in rows}
+
+    assert got[1] == (4, True)
+    assert got[2] == (4, True)
+    assert got[5] == (4, True)
+    # near-dup: at least one band collides with doc 1, not all of them
+    assert got[3][1] is False and 0 < got[3][0] < 4
+    # exact repeat: every band already seen -> dropped wholesale
+    assert 4 not in got
+    assert 99 not in got  # sentinel window never closed
+    assert sorted(rows[0].asDict()) == [
+        "doc_id", "is_novel", "n_new_bands", "window_end", "window_start",
+    ]
+
+
+def test_streaming_neardup_bands_validation(spark, tmp_path):
+    from duckdb_ddsketch_spark.streaming import streaming_neardup_bands
+
+    src = str(tmp_path / "neardup_val")
+    spark.createDataFrame(
+        [(1, "a b c", "2024-03-01 10:00:00")],
+        "doc_id long, text string, ts_str string",
+    ).select("doc_id", "text", F.to_timestamp("ts_str").alias("ts")) \
+        .write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).parquet(src)
+    with pytest.raises(ValueError, match="must divide"):
+        streaming_neardup_bands(stream, "ts", num_hashes=16, bands=5)
