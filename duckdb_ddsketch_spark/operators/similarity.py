@@ -19,6 +19,8 @@ across engines to within ulps (absorbed by float32 output casts).
 
 from __future__ import annotations
 
+from typing import Tuple
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
@@ -36,6 +38,9 @@ __all__ = [
     "lsh_topk",
     "embedding_neardup_lsh",
     "semantic_dedup",
+    "pq_adc_topk",
+    "pq_encode",
+    "pq_train",
     "quantize_calibration",
     "quantize_embeddings",
     "dequantize_embeddings",
@@ -1450,4 +1455,235 @@ def quantized_topk_blas(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qdot", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) scoring — the
+# standard billion-vector compression posture: m subspace codebooks of ksub
+# centroids turn a d-dim float vector into m small integer codes
+# (d*4 bytes -> m bytes at ksub<=256), and queries score compressed codes
+# through a per-query lookup table without ever reconstructing vectors.
+# Completes the quantization ladder next to int8 symmetric codes
+# (quantize_embeddings) and sign-LSH buckets (hyperplane_code).
+# ---------------------------------------------------------------------------
+
+
+def _pq_shape(codebooks) -> Tuple[int, int]:
+    """Validate a PQ codebook list-of-lists and return (m, dsub)."""
+    if not codebooks or not all(book for book in codebooks):
+        raise ValueError("codebooks must be a non-empty list of non-empty"
+                         " per-subspace centroid lists")
+    dsub = len(codebooks[0][0])
+    for j, book in enumerate(codebooks):
+        for cw in book:
+            if len(cw) != dsub:
+                raise ValueError(
+                    f"subspace {j}: codeword width {len(cw)} != {dsub}"
+                    " (all codewords must share one sub-dimension)"
+                )
+    return len(codebooks), dsub
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    dims=None,
+    iters: int = 4,
+    tol: float = 0.0,
+):
+    """Train PQ codebooks: deterministic Lloyd's k-means (``ksub``
+    centroids) independently on each of ``m`` d/m-dim subspaces. Returns
+    ``codebooks[j] = [centroid, ...]`` — plain Python floats, ready to be
+    baked into :func:`pq_encode` / :func:`pq_adc_topk` as literals.
+
+    Determinism is inherited from ``clustering.kmeans_centroids``
+    (fixed-point partial sums, order-free under any partitioning; empty
+    clusters drop out rather than respawn, so a subspace codebook may
+    come back with < ksub codewords — harmless, codes just skip those
+    slots). Cost: m independent k-means runs = m x iters bounded corpus
+    scans over a dsub-wide slice; at 100 TB train on a deterministic
+    sample (``df.where(col(id) % s == 0)``) — codebooks are a model, not
+    a per-row computation, exactly like quantize_calibration's scale.
+    """
+    from .clustering import kmeans_centroids
+
+    d = _resolve_dims(df, vec_col, dims)
+    if m < 1 or d % m != 0:
+        raise ValueError(f"m={m} must divide the vector width d={d}")
+    if ksub < 1:
+        raise ValueError(f"ksub must be >= 1, got {ksub}")
+    dsub = d // m
+    vec = _dbl(F.col(vec_col))
+    books = []
+    for j in range(m):
+        sub = df.where(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == d)
+        ).select(
+            F.col(id_col),
+            F.slice(vec, j * dsub + 1, dsub).alias("__pq_sub"),
+        )
+        cents = kmeans_centroids(
+            sub, vec_col="__pq_sub", id_col=id_col, k=ksub, iters=iters,
+            tol=tol,
+        )
+        books.append([list(map(float, c)) for _, c in cents])
+    return books
+
+
+def _pq_code_expr(vec: Column, codebooks, j: int, dsub: int) -> Column:
+    """0-based nearest-codeword index for subspace ``j`` — squared-L2
+    argmin with first-index tie-break (array_position finds the FIRST
+    min, mirroring DuckDB's list_position). Both the subvector and the
+    distance array are let-bound so the slice and every (x-c)^2 term are
+    evaluated exactly once (see dedup._let — without the binding the
+    subvector tree would inline into all ksub distance lambdas)."""
+    from .dedup import _let
+
+    cb = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in cw])
+            for cw in codebooks[j]
+        ]
+    )
+
+    def dists(sub: Column) -> Column:
+        return F.transform(
+            cb,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+        )
+
+    return _let(
+        F.slice(vec, j * dsub + 1, dsub),
+        lambda sub: _let(
+            dists(sub),
+            lambda ds: (F.array_position(ds, F.array_min(ds)) - 1).cast(
+                "int"
+            ),
+        ),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Map-only PQ encoding: ``out_col`` = array<int> of ``m`` 0-based
+    nearest-codeword indices (squared-L2 argmin per subspace, first-index
+    tie-break). The codebooks are LITERALS, so this is pure per-row
+    arithmetic — no shuffle, no model join, whole-row parallel at any
+    scale; at 8 subspaces a 64-dim float vector compresses 256 bytes ->
+    8 small ints before any index build or shuffle. NULL or wrong-width
+    vectors encode as NULL.
+
+    Every engine computing the same IEEE ops in the same order gets the
+    same doubles, so with literal codebooks the codes — and everything
+    downstream of them — are reproducible cross-engine (the q39 'pq'
+    driver gate runs exactly this against a DuckDB mirror).
+    """
+    m, dsub = _pq_shape(codebooks)
+    vec = _dbl(F.col(vec_col))
+    codes = F.array(
+        *[_pq_code_expr(vec, codebooks, j, dsub) for j in range(m)]
+    )
+    guarded = F.when(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == m * dsub),
+        codes,
+    )
+    return df.withColumn(out_col, guarded)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by ASYMMETRIC distance computation (ADC): each query builds a
+    per-subspace lookup table ``lut[j][c] = <q_subj, codebook[j][c]>``
+    map-side from its RAW vector, and every corpus row scores as
+    ``sum_j lut[j][code_j]`` — an m-term add chain per (query, doc) pair,
+    never a d-term dot, never a reconstructed vector. This is the inner
+    product ADC of Jegou et al.'s PQ paper, the standard
+    compressed-domain scorer: queries stay uncompressed (asymmetric =
+    no query-side quantization error), the corpus stays m bytes/row.
+
+    Scale shape — identical envelope to :func:`brute_force_topk`: the
+    query side (with its model-sized LUT column, m x ksub doubles per
+    query) broadcasts; the corpus is scanned once, never shuffled until
+    the tiny per-query top-k window; compose with the IVF/LSH bucketers
+    upstream to prune candidates exactly as with raw vectors. Returns
+    (query_id, neighbor_id, adc, rank), self-pairs excluded, ties by
+    neighbor id; NULL codes / wrong-width queries drop out.
+    """
+    from .dedup import _let
+
+    m, dsub = _pq_shape(codebooks)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qvec = _dbl(F.col(vec_col))
+
+    def sub_lut(j: int) -> Column:
+        cb = F.array(
+            *[
+                F.array(*[F.lit(float(v)) for v in cw])
+                for cw in codebooks[j]
+            ]
+        )
+
+        def body(sub: Column) -> Column:
+            return F.transform(
+                cb,
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ),
+            )
+
+        return _let(F.slice(qvec, j * dsub + 1, dsub), body)
+
+    q = queries.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == m * dsub)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.array(*[sub_lut(j) for j in range(m)]).alias("__lut"),
+    )
+    c = corpus.where(F.col(codes_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("__cd")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__lut"),
+            F.col("__cd"),
+            lambda lut, cd: F.element_at(lut, cd + 1),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+        .where(F.col("adc").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
     )

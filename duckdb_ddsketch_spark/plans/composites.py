@@ -822,17 +822,21 @@ UNION ALL
 {_gram_oracle_sql('sgram')}""",
     )
 
-    # q39: ANN top-k four ways — brute-force (verification), LSH-bucketed
-    # and IVF (scale paths), and LSH over int8 quantized codes (round 7:
+    # q39: ANN top-k five ways — brute-force (verification), LSH-bucketed
+    # and IVF (scale paths), LSH over int8 quantized codes (round 7:
     # the bucketed + 4x-smaller-bytes scale path; its cos values are
     # integer-exact, so the float32 gate cast absorbs nothing — both
-    # engines produce bit-identical doubles), algo-tagged on a shared
-    # schema
+    # engines produce bit-identical doubles), and PQ/ADC over fixed
+    # dyadic codebooks (round 10: compressed-domain scoring, doubles
+    # bit-identical by mirrored op order), algo-tagged on a shared schema
     _ANN_ALGOS = (
         ("brute", "q25_ann_bruteforce_topk"),
         ("lsh", "q26_ann_lsh_topk"),
         ("ivf", "q28_ann_ivf_topk"),
         ("qlsh", "q26b_ann_lsh_quantized"),
+        # round 10: PQ/ADC compressed-domain scoring on fixed dyadic
+        # codebooks ('cos' carries the ADC inner-product approximation)
+        ("pq", "q100_ann_pq_adc"),
     )
 
     def q39_ann(spark, sf_dir) -> DataFrame:

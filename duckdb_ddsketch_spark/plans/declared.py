@@ -5255,6 +5255,110 @@ def q98(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q100 — product-quantization ADC top-k (q39 'pq' part): the compressed-
+# domain ANN scorer over FIXED literal dyadic codebooks. Like q38's
+# 'proj'/'maha' parts, the gate pins the ARITHMETIC (encode argmin + LUT
+# build + m-term ADC sum, every IEEE op mirrored in the same order, so the
+# doubles are bit-identical cross-engine); codebook TRAINING (pq_train =
+# m deterministic k-means runs) is pytest-pinned, the same split as eigh.
+# Dyadic entries (multiples of 2^-4) make each (x-c) and x*c product exact.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_DSUB = 8
+# 17 is coprime with the stride, so all 16 codewords per subspace are
+# distinct patterns; values span [-0.5, 0.5], the embeddings' range
+_PQ_CB = [
+    [
+        [(((j * 5 + c * 3 + t * 7) % 17) - 8) * 0.0625 for t in range(_PQ_DSUB)]
+        for c in range(_PQ_KSUB)
+    ]
+    for j in range(_PQ_M)
+]
+
+
+def _pq_cb_sql(j: int) -> str:
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in cw) + "]::DOUBLE[]"
+        for cw in _PQ_CB[j]
+    ) + "]"
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB mirror of pq_encode + pq_adc_topk on the fixed codebooks:
+    squared-L2 argmin per subspace (list_position = FIRST min, matching
+    Spark's array_position tie-break), per-query LUT dots, and the m-term
+    ADC sum — every sum written as an explicit left-to-right chain to
+    match the Spark fold's order (its 0.0 + t1 first step is exact)."""
+    def code_expr(j: int) -> str:
+        off = j * _PQ_DSUB
+        terms = " + ".join(
+            f"(xd[{off+t+1}] - c[{t+1}]) * (xd[{off+t+1}] - c[{t+1}])"
+            for t in range(_PQ_DSUB)
+        )
+        dists = f"list_transform({_pq_cb_sql(j)}, c -> {terms})"
+        return f"list_position({dists}, list_min({dists})) - 1"
+
+    def lut_expr(j: int) -> str:
+        off = j * _PQ_DSUB
+        dots = " + ".join(
+            f"xd[{off+t+1}] * c[{t+1}]" for t in range(_PQ_DSUB)
+        )
+        return f"list_transform({_pq_cb_sql(j)}, c -> {dots})"
+
+    codes = "[" + ", ".join(code_expr(j) for j in range(_PQ_M)) + "]"
+    luts = "[" + ", ".join(lut_expr(j) for j in range(_PQ_M)) + "]"
+    score = " + ".join(
+        f"q.lut[{j+1}][c.codes[{j+1}] + 1]" for j in range(_PQ_M)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {_PQ_M * _PQ_DSUB}
+    ),
+    coded AS (SELECT vec_id, {codes} AS codes FROM base),
+    qs AS (SELECT vec_id, {luts} AS lut FROM base WHERE vec_id % 25 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {score} AS adc
+        FROM coded c JOIN qs q ON q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(adc AS REAL) AS cos,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+@_declare("q100_ann_pq_adc", _pq_oracle_sql())
+def q100(spark, sf_dir):
+    """PQ/ADC compressed-domain top-3 on the fixed dyadic codebooks —
+    pq_encode (map-only argmin codes) + pq_adc_topk (broadcast LUT
+    queries, m-term add-chain scoring, corpus never shuffled). The shared
+    q39 schema calls the score column 'cos'; for this part it carries the
+    ADC inner-product approximation (documented, same as qlsh's quantized
+    cos)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = similarity.pq_encode(emb, _PQ_CB)
+    out = similarity.pq_adc_topk(
+        coded, emb.where(F.col("vec_id") % 25 == 0), _PQ_CB, k=3
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("adc").cast("float").alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q99 — streaming NEAR-dup ingest gate (MinHash band first-seen state):
 # streaming execution vs a pure-SQL batch LSH oracle. The oracle's novelty
 # rule — a doc is novel iff it is the min-doc_id member of every one of its

@@ -3147,3 +3147,113 @@ def test_rrf_fuse_agreement_and_fixed_point(spark):
     assert tie == [(3, 1), (5, 2)]  # same score -> lower id first
     with pytest.raises(ValueError):
         tx.rrf_fuse(a, b, k0=0)
+
+
+def test_pq_train_encode_adc_recall_vs_int8(spark):
+    """The full PQ ladder on clustered synthetic data: pq_train learns
+    per-subspace codebooks deterministically, pq_encode compresses
+    map-only, and ADC top-10 recall against the exact float ranking is
+    high — and at this geometry at least matches the int8 symmetric
+    quantizer's recall (the ladder's previous rung), pinning that the
+    compressed-domain scorer is not a regression. Also pins NULL/ragged
+    encode semantics and codebook validation."""
+    import numpy as np
+
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    # geometry chosen so the exact top-k IS the query's cluster: k = one
+    # less than the cluster size, clusters well separated vs the 0.05
+    # noise. PQ cannot resolve differences below its codebook resolution
+    # (within-cluster ordering), so the meaningful recall pin is "does
+    # the compressed scorer rank the right CLUSTER on top" — the job PQ
+    # does in a real ANN stack, where it prunes candidates for an exact
+    # re-rank.
+    rng = np.random.RandomState(7)
+    d, n_clusters, per = 16, 5, 10
+    centers = rng.uniform(-1.0, 1.0, size=(n_clusters, d))
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.05, size=(per, d)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    queries = df.where(F.col("vec_id") % 10 == 0)
+    k = per - 1
+
+    def topk_sets(out, score_col):
+        sets = {}
+        for r in out.collect():
+            sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sets
+
+    # exact INNER-PRODUCT ranking (the metric both the int8 qdot scorer
+    # and PQ's ADC approximate), straight from numpy
+    q_ids = list(range(0, len(pts), 10))
+    dots = pts @ pts.T
+    exact = {}
+    for qi in q_ids:
+        order = sorted(
+            (i for i in range(len(pts)) if i != qi),
+            key=lambda i: (-dots[qi, i], i),
+        )
+        exact[qi] = set(order[:k])
+
+    books = sim.pq_train(df, m=4, ksub=8, iters=6)
+    assert len(books) == 4 and all(1 <= len(b) <= 8 for b in books)
+    assert all(len(cw) == 4 for b in books for cw in b)
+    coded = sim.pq_encode(df, books)
+    pq = topk_sets(sim.pq_adc_topk(coded, queries, books, k=k), "adc")
+
+    scale = sim.quantize_calibration(df, bits=8)
+    qc = sim.quantize_embeddings(df, scale, bits=8)
+    int8 = topk_sets(sim.quantized_topk(qc, qc.where(F.col("vec_id") % 10 == 0), k=k), "qdot")
+
+    def recall(approx):
+        rs = [len(approx.get(q, set()) & exact[q]) / k for q in exact]
+        return sum(rs) / len(rs)
+
+    r_pq, r_int8 = recall(pq), recall(int8)
+    # int8 is ~lossless at this scale (recall ~1); PQ must put the right
+    # cluster on top — at this geometry that means matching int8
+    assert r_int8 >= 0.95, r_int8
+    assert r_pq >= 0.9, (r_pq, r_int8)
+
+    # NULL and ragged vectors encode as NULL codes
+    bad = spark.createDataFrame(
+        [(1000, None), (1001, [0.0] * 7)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r.pq_codes for r in sim.pq_encode(bad, books).collect()}
+    assert rows[1000] is None and rows[1001] is None
+
+    # validation
+    with pytest.raises(ValueError, match="must divide"):
+        sim.pq_train(df, m=5)
+    with pytest.raises(ValueError, match="non-empty"):
+        sim.pq_encode(df, [])
+    with pytest.raises(ValueError, match="codeword width"):
+        sim.pq_encode(df, [[[0.0, 1.0], [1.0]]])
+    with pytest.raises(ValueError, match="k must be"):
+        sim.pq_adc_topk(coded, queries, books, k=0)
+
+
+def test_pq_encode_first_index_tie_break_and_determinism(spark):
+    """Equal-distance codewords resolve to the FIRST index (the
+    list_position semantics mirrored by the DuckDB oracle), and encoding
+    is partition-invariant."""
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    # two identical codewords: argmin must pick index 0, never 1
+    books = [[[0.5, 0.5], [0.5, 0.5], [-0.5, -0.5]]]
+    df = spark.createDataFrame(
+        [(i, [0.4 + 0.01 * (i % 3), 0.6]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    codes = {r.vec_id: list(r.pq_codes) for r in sim.pq_encode(df, books).collect()}
+    assert all(c == [0] for c in codes.values())
+    codes7 = {
+        r.vec_id: list(r.pq_codes)
+        for r in sim.pq_encode(df.repartition(7), books).collect()
+    }
+    assert codes == codes7
