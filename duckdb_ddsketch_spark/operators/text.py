@@ -40,6 +40,9 @@ __all__ = [
     "linear_quality_score",
     "dsir_logratio_weights",
     "rrf_fuse",
+    "vocab_token_counts",
+    "vocab_token_stats",
+    "BPE_SUBWORD_VOCAB",
 ]
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -95,6 +98,141 @@ def token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
         F.ceil(nchars / F.lit(4)).cast("int").alias("est_bpe_tokens"),
         (nchars.cast("double") / F.size(t)).alias("avg_token_len"),
     )
+
+
+# Fixed BPE-style subword vocab for vocab_token_stats: the 26 letters as
+# the fallback alphabet plus high-frequency English merges up to length 4
+# (classic bigram/trigram frequency lists). Deliberately SMALL and literal:
+# a vocab is a model artifact like a PQ codebook or an int8 scale — the
+# operator takes any list; this default makes counts deterministic and
+# oracle-checkable out of the box.
+BPE_SUBWORD_VOCAB = tuple(
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [
+        "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+        "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+        "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+        "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+        "the", "ing", "and", "ion", "tio", "ent", "ati", "for", "her",
+        "ter", "hat", "tha", "ere", "ate", "his", "con", "res", "ver",
+        "all", "ons",
+        "tion", "atio", "that", "ther", "with", "ment", "ions", "this",
+    ]
+)
+
+
+def _vocab_by_len(vocab: Sequence[str]) -> dict:
+    by_len: dict = {}
+    for v in vocab:
+        if not v:
+            raise ValueError("vocab entries must be non-empty strings")
+        by_len.setdefault(len(v), set()).add(v)
+    return {l: sorted(vs) for l, vs in by_len.items()}
+
+
+def vocab_token_counts(
+    text: Column, vocab: Sequence[str] = BPE_SUBWORD_VOCAB
+) -> Column:
+    """Greedy longest-match subword token accounting against a LITERAL
+    vocab — the WordPiece/BPE inference rule (at each position take the
+    longest vocab entry that prefixes the remaining word; fall back to
+    one character, counting it unknown if even the single character is
+    out-of-vocab). Returns a struct (n_words, n_bpe_tokens, n_unk);
+    NULL text counts as zeros.
+
+    This replaces the chars/4 BPE proxy wherever a pipeline needs REAL
+    vocab-driven token counts (pack budgets, token manifests): feed
+    ``vocab_token_counts(col).getField("n_bpe_tokens")`` as the token
+    column of ``sampling.materialize_sequences`` / ``pack_sequences``.
+
+    Shape: pure per-row expression — a fold over each word's character
+    positions with the vocab baked in as literal arrays, nested in a fold
+    over the words. Map-only, no shuffle, no UDF, whole-row parallel at
+    any scale; the greedy step is O(word_len x #lengths) small-array
+    probes. Both folds and the per-word state are let-bound so nothing
+    re-evaluates (see dedup._let). Tokenization is per-word (words split
+    on whitespace, lowercased), so counts are exact for any vocab whose
+    merges never cross spaces — the WordPiece convention.
+    """
+    from .dedup import _let  # runtime import: dedup imports this module
+
+    by_len = _vocab_by_len(vocab)
+    arrs = {
+        l: F.array(*[F.lit(t) for t in by_len[l]])
+        for l in sorted(by_len, reverse=True)
+    }
+
+    def word_fold(w: Column) -> Column:
+        def matched(pos: Column) -> Column:
+            return F.coalesce(
+                *[
+                    F.when(
+                        F.array_contains(arrs[l], w.substr(pos + 1, F.lit(l))),
+                        F.lit(l),
+                    )
+                    for l in sorted(by_len, reverse=True)
+                ]
+            )
+
+        def merge(acc: Column, i: Column) -> Column:
+            m = matched(acc["pos"])
+            return F.when(
+                i == acc["pos"] + 1,  # at a segment boundary
+                F.struct(
+                    (acc["pos"] + F.coalesce(m, F.lit(1))).alias("pos"),
+                    (acc["n"] + 1).alias("n"),
+                    (acc["unk"] + F.when(m.isNull(), 1).otherwise(0)).alias(
+                        "unk"
+                    ),
+                ),
+            ).otherwise(acc)
+
+        init = F.struct(
+            F.lit(0).alias("pos"), F.lit(0).alias("n"), F.lit(0).alias("unk")
+        )
+        return F.aggregate(F.sequence(F.lit(1), F.length(w)), init, merge)
+
+    zero = F.struct(
+        F.lit(0).cast("long").alias("n_words"),
+        F.lit(0).cast("long").alias("n_bpe_tokens"),
+        F.lit(0).cast("long").alias("n_unk"),
+    )
+
+    def outer(acc: Column, w: Column) -> Column:
+        def build(s: Column) -> Column:
+            return F.struct(
+                (acc["n_words"] + 1).alias("n_words"),
+                (acc["n_bpe_tokens"] + s["n"]).alias("n_bpe_tokens"),
+                (acc["n_unk"] + s["unk"]).alias("n_unk"),
+            )
+
+        return F.when(
+            F.length(w) > 0, _let(word_fold(w), build)
+        ).otherwise(acc)
+
+    words = F.split(F.lower(F.trim(text)), " +")
+    return F.when(text.isNotNull(), F.aggregate(words, zero, outer)).otherwise(
+        zero
+    )
+
+
+def vocab_token_stats(
+    df: DataFrame,
+    vocab: Sequence[str] = BPE_SUBWORD_VOCAB,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document greedy-vocab token accounting:
+    (id, n_words, n_bpe_tokens, n_unk) — see :func:`vocab_token_counts`.
+    Map-only; one row per input document (NULL text reports zeros).
+
+    The three fields come out of ONE evaluation of the fold: ``inline``
+    is a generator, and Generate nodes are never collapsed into the
+    projection — three plain getField output columns would each inline
+    their own copy of the whole fold (the CollapseProject hazard
+    dedup._let documents, in multi-column form)."""
+    st = vocab_token_counts(F.col(text), vocab)
+    return df.select(F.col(id_col), F.inline(F.array(st)))
 
 
 def stopword_ratio(

@@ -1129,12 +1129,24 @@ FROM ({O['q69_conversion_funnel']}) f""",
             F.lit(0.0).alias("c4"),
             F.lit(0.0).alias("c5"),
         )
+        # round 10: vocab-driven greedy subword token accounting — the
+        # REAL BPE-style counts next to the 'tokens' part's chars/4 proxy
+        tok = Q["q101_vocab_token_stats"](spark, sf_dir).select(
+            F.lit("tok").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_words").cast("double").alias("c1"),
+            F.col("n_bpe_tokens").cast("double").alias("c2"),
+            F.col("n_unk").cast("double").alias("c3"),
+            F.lit(0.0).alias("c4"),
+            F.lit(0.0).alias("c5"),
+        )
         return (
             toks.unionByName(qual)
             .unionByName(lm)
             .unionByName(chunks)
             .unionByName(clf)
             .unionByName(dsir)
+            .unionByName(tok)
         )
 
     add(
@@ -1212,7 +1224,13 @@ SELECT 'dsir' AS part, CAST(doc_id AS VARCHAR) AS key,
        dsir_score AS c1, CAST(n_features AS DOUBLE) AS c2,
        CAST(n_grams AS DOUBLE) AS c3,
        CAST(0.0 AS DOUBLE) AS c4, CAST(0.0 AS DOUBLE) AS c5
-FROM ({O['q96_dsir_scores']}) dsq""",
+FROM ({O['q96_dsir_scores']}) dsq
+UNION ALL
+SELECT 'tok' AS part, CAST(doc_id AS VARCHAR) AS key,
+       CAST(n_words AS DOUBLE) AS c1, CAST(n_bpe_tokens AS DOUBLE) AS c2,
+       CAST(n_unk AS DOUBLE) AS c3,
+       CAST(0.0 AS DOUBLE) AS c4, CAST(0.0 AS DOUBLE) AS c5
+FROM ({O['q101_vocab_token_stats']}) vtk""",
     )
 
     ren("q46_language_id", "q33_language_id")

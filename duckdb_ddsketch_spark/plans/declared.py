@@ -5255,6 +5255,86 @@ def q98(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q101 — vocab-driven greedy subword tokenization (q45 'tok' part): real
+# BPE-style token accounting replacing the chars/4 proxy. Spark executes a
+# map-only nested fold with the vocab as literal arrays (text.py
+# vocab_token_counts); the DuckDB mirror walks the identical greedy rule
+# with a recursive CTE over the DISTINCT words. Counts are integers —
+# hash-exact by construction.
+# ---------------------------------------------------------------------------
+
+
+def _vocab_oracle_sql() -> str:
+    by_len: dict = {}
+    for v in text.BPE_SUBWORD_VOCAB:
+        by_len.setdefault(len(v), set()).add(v)
+    lens = sorted(by_len, reverse=True)
+
+    def in_list(l: int) -> str:
+        return ", ".join("'" + t + "'" for t in sorted(by_len[l]))
+
+    step_cases = " ".join(
+        f"WHEN substr(w, pos + 1, {l}) IN ({in_list(l)}) THEN {l}"
+        for l in lens
+    )
+    match_any = " OR ".join(
+        f"substr(w, pos + 1, {l}) IN ({in_list(l)})" for l in lens
+    )
+    return f"""
+    WITH RECURSIVE
+    tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents
+    ),
+    tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+    words AS (SELECT DISTINCT w FROM tok2),
+    seg AS (
+        SELECT w, 0 AS pos, 0 AS n, 0 AS unk FROM words
+        UNION ALL
+        SELECT w,
+               pos + (CASE {step_cases} ELSE 1 END),
+               n + 1,
+               unk + (CASE WHEN {match_any} THEN 0 ELSE 1 END)
+        FROM seg WHERE pos < len(w)
+    ),
+    fin AS (SELECT w, n, unk FROM seg WHERE pos >= len(w)),
+    perdoc AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_words,
+               SUM(f.n) AS n_bpe_tokens,
+               SUM(f.unk) AS n_unk
+        FROM tok2 t JOIN fin f ON f.w = t.w
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(COALESCE(p.n_unk, 0) AS BIGINT) AS n_unk
+    FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+    """
+
+
+@_declare("q101_vocab_token_stats", _vocab_oracle_sql())
+def q101(spark, sf_dir):
+    """Greedy longest-match subword token accounting on the fixed
+    BPE_SUBWORD_VOCAB — per-doc (n_words, n_bpe_tokens, n_unk), map-only
+    on the Spark side (nested literal-vocab folds; no shuffle, no UDF).
+    The DuckDB oracle walks the same greedy rule word-by-word via a
+    recursive CTE; the Spark plan deliberately does NOT factor through
+    distinct words — at corpus scale a map-only pass beats a
+    distinct+join detour, and the per-word rule is cheap."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.vocab_token_stats(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_unk").cast("long").alias("n_unk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q100 — product-quantization ADC top-k (q39 'pq' part): the compressed-
 # domain ANN scorer over FIXED literal dyadic codebooks. Like q38's
 # 'proj'/'maha' parts, the gate pins the ARITHMETIC (encode argmin + LUT

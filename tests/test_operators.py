@@ -3257,3 +3257,104 @@ def test_pq_encode_first_index_tie_break_and_determinism(spark):
         for r in sim.pq_encode(df.repartition(7), books).collect()
     }
     assert codes == codes7
+
+
+def test_vocab_token_stats_greedy_semantics(spark):
+    """Greedy longest-match segmentation against a tiny explicit vocab:
+    longest wins at each position, fallback is one character, characters
+    outside the vocab count as unknown; NULL/empty/whitespace texts
+    report zeros; and the counts feed pack_sequences as real token
+    budgets (the chars/4-proxy replacement)."""
+    from duckdb_ddsketch_spark.operators import sampling
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    voc = ["a", "b", "c", "ab", "abc", "bc"]
+    rows = [
+        (0, "abcab"),     # abc + ab -> 2 tokens
+        (1, "ababc"),     # ab + abc -> 2
+        (2, "ba"),        # b + a -> 2
+        (3, "axc"),       # a + x(unk) + c -> 3 tokens, 1 unk
+        (4, "xyz"),       # 3 unk
+        (5, None),
+        (6, ""),
+        (7, "   "),
+        (8, "ABC ab"),    # lowercased: abc + ab -> 2 words, 2 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_unk)
+        for r in tx.vocab_token_stats(df, vocab=voc).collect()
+    }
+    assert got == {
+        0: (1, 2, 0),
+        1: (1, 2, 0),
+        2: (1, 2, 0),
+        3: (1, 3, 1),
+        4: (1, 3, 3),
+        5: (0, 0, 0),
+        6: (0, 0, 0),
+        7: (0, 0, 0),
+        8: (2, 2, 0),
+    }, got
+
+    # pack pipeline consuming REAL vocab token counts
+    packed = sampling.pack_sequences(
+        df.withColumn("n_tok", tx.vocab_token_counts(F.col("text"), voc)
+                      .getField("n_bpe_tokens")),
+        "n_tok", budget=4, order_col="doc_id",
+    )
+    seqs = {r.doc_id: r.seq_id for r in packed.collect()}
+    # cumulative tokens before each doc: 0,2,4,6,9,12,12,12,12
+    assert seqs[0] == 0 and seqs[1] == 0 and seqs[2] == 1 and seqs[3] == 1
+    assert seqs[4] == 2
+
+    with pytest.raises(ValueError, match="non-empty"):
+        tx.vocab_token_stats(df, vocab=["a", ""])
+
+
+def test_vocab_token_stats_default_vocab_matches_python(spark):
+    """The default BPE_SUBWORD_VOCAB path agrees with a direct python
+    implementation of the greedy rule on real-ish text, and is
+    partition-invariant (pure map-only expression)."""
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    by_len = {}
+    for v in tx.BPE_SUBWORD_VOCAB:
+        by_len.setdefault(len(v), set()).add(v)
+    lens = sorted(by_len, reverse=True)
+
+    def pydoc(t):
+        if t is None:
+            return (0, 0, 0)
+        words = [w for w in t.strip().lower().split() if w]
+        n = unk = 0
+        for w in words:
+            pos = 0
+            while pos < len(w):
+                step = next(
+                    (l for l in lens
+                     if len(w[pos:pos + l]) == l and w[pos:pos + l] in by_len[l]),
+                    None,
+                )
+                if step is None:
+                    step, unk = 1, unk + 1
+                pos += step
+                n += 1
+        return (len(words), n, unk)
+
+    rows = [
+        (0, "The nation of information stations mentions this"),
+        (1, "Quartz 99 glyphs! vex'd zombies?"),
+        (2, "internationalization antidisestablishmentarianism"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_unk)
+        for r in tx.vocab_token_stats(df).collect()
+    }
+    assert got == {i: pydoc(t) for i, t in rows}, got
+    got7 = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_unk)
+        for r in tx.vocab_token_stats(df.repartition(7)).collect()
+    }
+    assert got == got7
