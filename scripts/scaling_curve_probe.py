@@ -24,8 +24,14 @@ session's output in (min per matching (family, rows) cell, slopes
 recomputed).
 
 Usage: python scripts/scaling_curve_probe.py [fam1,fam2,...] [--merge f.json]
+                                              [--scales 0.25,0.5,1.0]
 Families: exact_dedup hll_distinct text_metrics sessionize pctrank
           ann_quantized pack_manifest kmeans
+--scales overrides the probed grid (e.g. 0.25,0.5,1.0,4.0 to extend a
+family one octave PAST its bench size — round 10 used this to
+distinguish span_extents' log-factor slope from a hidden second-order
+term). Cells at pre-existing row counts still min-merge via --merge; new
+row counts simply extend the curve.
 """
 
 from __future__ import annotations
@@ -432,12 +438,17 @@ PROBES = {
 
 
 def main() -> None:
+    global SCALES
     argv = list(sys.argv[1:])
     prior = None
     if "--merge" in argv:
         i = argv.index("--merge")
         with open(argv[i + 1]) as f:
             prior = json.load(f)
+        del argv[i : i + 2]
+    if "--scales" in argv:
+        i = argv.index("--scales")
+        SCALES = tuple(sorted(float(s) for s in argv[i + 1].split(",")))
         del argv[i : i + 2]
     only = set(argv[0].split(",")) if argv else None
     from pyspark.sql import SparkSession, functions as F

@@ -51,6 +51,9 @@ ALLOWED_BNLJ = {
     "q94_bm25_topk",
     "q96_dsir_scores",
     "q98_rrf_hybrid",  # 3-row qid × broadcast 10-row prior fan-out
+    # corpus × broadcast LUT-queries on the non-equi self-exclusion
+    # predicate — the same query-bounded envelope as brute_force_topk
+    "q100_ann_pq_adc",
 }
 
 # bodies that EXECUTE a stream (or drive an iterative loop that depends
