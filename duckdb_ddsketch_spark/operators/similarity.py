@@ -39,7 +39,9 @@ __all__ = [
     "embedding_neardup_lsh",
     "semantic_dedup",
     "pq_adc_topk",
+    "pq_adc_topk_blas",
     "pq_encode",
+    "pq_encode_blas",
     "pq_train",
     "quantize_calibration",
     "quantize_embeddings",
@@ -1678,6 +1680,204 @@ def pq_adc_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("adc"))
         .where(F.col("adc").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def pq_encode_blas(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """:func:`pq_encode` on the Arrow + numpy path — returns
+    (id_col, out_col) with BIT-IDENTICAL codes: the squared-L2 distances
+    accumulate per sub-dimension in the same left-to-right order as the
+    expression form's fold (never the ||x||^2 - 2x.c + ||c||^2
+    rearrangement, whose different doubles could flip an argmin on a
+    near-tie), and numpy's argmin takes the FIRST minimum exactly like
+    array_position. Map-only (mapInArrow), corpus never shuffles; use for
+    bulk encoding where the interpreted-HOF expression form's per-row
+    lambda overhead dominates (measured ~10x on the 2M x 128 bench
+    shape). NULL / ragged / non-finite vectors drop out (the expression
+    form keeps them as NULL-code rows — select its output when you need
+    one row per input).
+
+    ``id_col`` must be integral (ids stage as an int64 vector), like the
+    other _blas forms.
+    """
+    import numpy as np
+
+    m, dsub = _pq_shape(codebooks)
+    _require_int_ids(df, id_col, "pq_encode_blas")
+    width = m * dsub
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            mat, ok = _rb_vec_matrix(rb.column(1), width)
+            if mat is None:
+                continue
+            ids, ok_id = _i64_ids(rb.column(0))
+            if ok is not None:
+                ids = ids[ok]
+                if ok_id is not None:
+                    ok_id = ok_id[ok]
+            if ok_id is not None:
+                mat = mat[ok_id]
+                ids = ids[ok_id]
+            if not len(mat):
+                continue
+            finite = np.isfinite(mat).all(axis=1)
+            if not finite.all():
+                mat = mat[finite]
+                ids = ids[finite]
+                if not len(mat):
+                    continue
+            codes = np.empty((mat.shape[0], m), dtype=np.int32)
+            for j, cb in enumerate(books):
+                acc = np.zeros((mat.shape[0], cb.shape[0]))
+                off = j * dsub
+                for t in range(dsub):
+                    d = mat[:, off + t, None] - cb[None, :, t]
+                    acc = acc + d * d
+                codes[:, j] = np.argmin(acc, axis=1)  # first min, like
+                # array_position(ds, array_min(ds))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "i": pa.array(ids, pa.int64()),
+                    "c": pa.array(list(codes), pa.list_(pa.int32())),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        encode, schema="i long, c array<int>"
+    ).select(F.col("i").alias(id_col), F.col("c").alias(out_col))
+
+
+def pq_adc_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    vec_col: str = "embedding",
+    max_query_rows: int = 10_000,
+) -> DataFrame:
+    """:func:`pq_adc_topk` on the Arrow + numpy path, BIT-IDENTICAL to
+    the expression form: the per-query lookup tables accumulate one
+    sub-dimension at a time and the ADC score one subspace at a time —
+    the same add sequence as the folds — so scores, ranks, and tie-breaks
+    match exactly (pinned in pytest). The LUT gather (score[b, q] =
+    sum_j LUT_j[code_bj, q]) is numpy fancy indexing, the operation ADC
+    exists for. Same envelope as the other _blas top-ks: bounded query
+    collect, corpus codes stream through mapInArrow, never shuffled,
+    |partitions| x |q| x k rows into the final window; the Arrow transfer
+    ships m small ints per row — at m=16 over 128 dims that is 64x fewer
+    bytes than the float64 vectors. Rows whose codes are NULL, ragged,
+    or out of range for their codebook drop out.
+    """
+    import numpy as np
+
+    m, dsub = _pq_shape(codebooks)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _require_int_ids(queries, id_col, "pq_adc_topk_blas")
+    q_rows = (
+        queries.where(
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) == m * dsub)
+        )
+        .select(id_col, vec_col)
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"pq_adc_topk_blas collects the query set to the driver; got "
+            f"more than max_query_rows={max_query_rows} rows. Use "
+            "pq_adc_topk (no driver collect) for large query sets, or "
+            "raise max_query_rows explicitly."
+        )
+    q_rows = [r for r in q_rows if r[0] is not None]
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc double, rank int"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sizes = np.array([b.shape[0] for b in books], dtype=np.int64)
+    # LUT_j: (ksub_j, nq), accumulated in the expression fold's order
+    luts = []
+    for j, cb in enumerate(books):
+        acc = np.zeros((len(q_rows), cb.shape[0]))
+        off = j * dsub
+        for t in range(dsub):
+            acc = acc + np.outer(q_mat[:, off + t], cb[:, t])
+        luts.append(acc.T.copy())
+
+    def score(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            mat, ok = _rb_vec_matrix(rb.column(1), m)
+            if mat is None:
+                continue
+            ids, ok_id = _i64_ids(rb.column(0))
+            if ok is not None:
+                ids = ids[ok]
+                if ok_id is not None:
+                    ok_id = ok_id[ok]
+            if ok_id is not None:
+                mat = mat[ok_id]
+                ids = ids[ok_id]
+            if not len(mat):
+                continue
+            finite = np.isfinite(mat).all(axis=1)
+            if not finite.all():
+                mat = mat[finite]
+                ids = ids[finite]
+                if not len(mat):
+                    continue
+            cint = mat.astype(np.int64)
+            valid = ((cint >= 0) & (cint < sizes[None, :])).all(axis=1)
+            if not valid.all():
+                cint = cint[valid]
+                ids = ids[valid]
+                if not len(cint):
+                    continue
+            scores = np.zeros((cint.shape[0], len(q_ids)))
+            for j in range(m):
+                scores = scores + luts[j][cint[:, j]]
+            # self-pairs are dropped inside _local_topk_batch (take k+1
+            # absorbs the lost slot); require_finite guards NaN query
+            # components flowing through the LUT
+            take = min(k + 1, scores.shape[0])
+            qi, ri = _local_topk_batch(
+                ids, q_ids, scores, take, require_finite=True
+            )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "query_id": pa.array(q_ids[qi], pa.int64()),
+                    "neighbor_id": pa.array(ids[ri], pa.int64()),
+                    "adc": pa.array(scores[ri, qi], pa.float64()),
+                }
+            )
+
+    scored = corpus.select(id_col, codes_col).mapInArrow(
+        score, schema="query_id long, neighbor_id long, adc double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()

@@ -84,6 +84,7 @@ def test_all_spark_families_execute(spark, bench_small):
         "qnorm_60m",  # round 8: quantile normalization (CDF inversion)
         "span_extents_2m",  # round 9: substring-level dedup extents
         "bm25_15m",  # round 9: BM25 retrieval scoring over the text corpus
+        "ann_pq_2m_x128",  # round 10: PQ/ADC compressed-domain ANN
     }
     assert all(t >= 0 for t in fam.values())
 
@@ -343,7 +344,7 @@ def test_emit_final_line_fits_capture_budget(bench_small, capsys, tmp_path, monk
     monkeypatch.setattr(bench_small, "__file__", str(tmp_path / "bench.py"))
     bench_small._RAW_RUNS.clear()
     fams = list(bench_small.FAMILY_PASS1_ORDER)
-    assert len(fams) == 21
+    assert len(fams) == 22
     result = {
         "duckdb_oracle": {f"q{i:02d}_some_headline_query_name": 0.123 for i in range(9)},
         "duckdb_60m_sec": 24.567,
@@ -566,3 +567,42 @@ def test_family_band_retry_can_clear(bench_small):
     finally:
         del b.FRESH_BANDS["__fake2__"]
     b._RAW_RUNS.clear()
+
+
+def test_pq_mirror_agrees(spark, bench_small):
+    """Round-10 family: the DuckDB PQ/ADC mirror must return the SAME
+    (query_id, neighbor_id, adc, rank) top-k rows as the Spark
+    pq_encode_blas -> pq_adc_topk_blas pipeline at small N — the mirror
+    walks the identical fold-order arithmetic, so adc doubles are
+    bit-exact (no rounding in the comparison)."""
+    from duckdb_ddsketch_spark.operators import similarity
+
+    b = bench_small
+    vec = "array(" + ", ".join(
+        f"CAST(((id * {p}) % 1024) / 64.0D + 0.5D AS DOUBLE)"
+        for p in b.ANN_PRIMES
+    ) + ")"
+    corpus = spark.range(b.N_ANN_CORPUS, numPartitions=8).selectExpr(
+        "id AS vec_id", f"{vec} AS embedding"
+    )
+    queries = spark.range(b.N_ANN_Q, numPartitions=2).selectExpr(
+        "id AS vec_id", f"{vec} AS embedding"
+    )
+    coded = similarity.pq_encode_blas(corpus, b.PQ_CB)
+    srows = sorted(
+        (r.query_id, r.neighbor_id, float(r.adc), r.rank)
+        for r in similarity.pq_adc_topk_blas(
+            coded, queries, b.PQ_CB, k=b.ANN_K, max_query_rows=b.N_ANN_Q
+        ).collect()
+    )
+    con = duckdb.connect()
+    try:
+        drows = sorted(
+            (int(q), int(d), float(s), int(rk))
+            for q, d, s, rk in con.execute(
+                b._duckdb_family_sqls()["ann_pq_2m_x128"]
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert srows == drows and len(srows) == b.ANN_K * b.N_ANN_Q

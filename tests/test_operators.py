@@ -3358,3 +3358,55 @@ def test_vocab_token_stats_default_vocab_matches_python(spark):
         for r in tx.vocab_token_stats(df.repartition(7)).collect()
     }
     assert got == got7
+
+
+def test_pq_blas_forms_bit_identical_to_expression_forms(spark):
+    """pq_encode_blas / pq_adc_topk_blas accumulate distances, LUTs, and
+    ADC sums in the SAME left-to-right order as the expression forms'
+    folds, so codes AND float scores are bit-identical — not ulp-close.
+    Also pins the BLAS guards: NULL/ragged vectors and out-of-range codes
+    drop out; oversized query sets raise."""
+    import numpy as np
+
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    pts = rng.uniform(-1.0, 1.0, size=(120, 12))
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    rows += [(500, None), (501, [0.0] * 5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = [
+        [[float(((j * 5 + c * 3 + t * 7) % 9) - 4) * 0.25 for t in range(4)]
+         for c in range(6)]
+        for j in range(3)
+    ]
+
+    expr_codes = {
+        r.vec_id: (list(r.pq_codes) if r.pq_codes is not None else None)
+        for r in sim.pq_encode(df, books).collect()
+    }
+    blas_codes = {
+        r.vec_id: list(r.pq_codes)
+        for r in sim.pq_encode_blas(df, books).collect()
+    }
+    # blas drops NULL/ragged rows; expression form NULLs them
+    assert expr_codes[500] is None and expr_codes[501] is None
+    assert set(blas_codes) == {i for i in range(len(pts))}
+    assert all(blas_codes[i] == expr_codes[i] for i in blas_codes)
+
+    queries = df.where(F.col("vec_id") % 30 == 0)
+    coded = sim.pq_encode(df, books)
+    a = sorted(
+        (r.query_id, r.neighbor_id, float(r.adc), r.rank)
+        for r in sim.pq_adc_topk(coded, queries, books, k=5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, float(r.adc), r.rank)
+        for r in sim.pq_adc_topk_blas(
+            sim.pq_encode_blas(df, books), queries, books, k=5
+        ).collect()
+    )
+    assert a == b and len(a) == 5 * 4  # bit-exact doubles, 4 queries
+
+    with pytest.raises(ValueError, match="max_query_rows"):
+        sim.pq_adc_topk_blas(coded, df, books, k=5, max_query_rows=3)
