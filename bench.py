@@ -431,6 +431,10 @@ FRESH_BANDS = {
     # the skew-review fix replaced the per-term df window with a pinned
     # candidate aggregate + broadcast df join; DuckDB 112.1/132.0)
     "bm25_15m": {"spark": 15.4, "duckdb": 112.0},
+    # round 10 (first cells, measured on a session the record itself
+    # documents as ~15-25% slow — future rounds should expect to lower
+    # this band rather than flag against it)
+    "ann_pq_2m_x128": {"spark": 2.86, "duckdb": 85.3},
 }
 
 BAND_TOL = 1.6  # the documented ~±40% machine swing + margin

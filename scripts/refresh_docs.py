@@ -77,6 +77,14 @@ FAMILY_DESC = {
         "duplicate-span extents (2 M×24-token docs; 34 M-gram census,"
         " stitched substring dedup; DuckDB mirror MATERIALIZED)"
     ),
+    "bm25_15m": (
+        "BM25 retrieval scoring (15 M docs / 120 M tokens, 3 queries;"
+        " one pruned corpus pass, fixed-point sums)"
+    ),
+    "ann_pq_2m_x128": (
+        "PQ/ADC compressed-domain ANN (encode to 4 sub-codes +"
+        " broadcast-LUT scoring, same 2 M×16-dim shape)"
+    ),
 }
 
 

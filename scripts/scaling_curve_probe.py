@@ -143,6 +143,22 @@ def _ann_quantized(spark, n):
     ).collect()
 
 
+def _ann_pq(spark, n):
+    from duckdb_ddsketch_spark.operators import similarity
+
+    vec = "array(" + ", ".join(
+        f"CAST(((id * {p}) % 1024) / 64.0D + 0.5D AS DOUBLE)"
+        for p in bench.ANN_PRIMES
+    ) + ")"
+    corpus = _gen(spark, n, [("vec_id", "id"), ("embedding", vec)])
+    queries = _gen(spark, bench.N_ANN_Q, [("vec_id", "id"), ("embedding", vec)])
+    coded = similarity.pq_encode_blas(corpus, bench.PQ_CB)
+    similarity.pq_adc_topk_blas(
+        coded, queries, bench.PQ_CB, k=bench.ANN_K,
+        max_query_rows=bench.N_ANN_Q,
+    ).collect()
+
+
 def _pack(spark, n):
     from pyspark.sql import functions as F
 
@@ -407,6 +423,9 @@ PROBES = {
     # job overhead (which is WHY it beats the quadratic SQL comparator);
     # the linear corpus term only dominates the measurement from ~2M up
     "ann_quantized": (4 * bench.N_ANN_CORPUS, _ann_quantized),
+    # round 10 — PQ/ADC: same 4x-the-bench-corpus reasoning (fixed job
+    # overhead dominates below ~2M rows); encode + gather both ∝ n
+    "ann_pq": (4 * bench.N_ANN_CORPUS, _ann_pq),
     "pack_manifest": (bench.N_PACK, _pack),
     "kmeans": (bench.N_60M, _kmeans),
     # 9:1 left/right like the bench family; the union-tag-window's sort is
