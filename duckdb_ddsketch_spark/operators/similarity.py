@@ -38,6 +38,7 @@ __all__ = [
     "lsh_topk",
     "embedding_neardup_lsh",
     "semantic_dedup",
+    "ivf_pq_topk",
     "pq_adc_topk",
     "pq_adc_topk_blas",
     "pq_encode",
@@ -1605,6 +1606,141 @@ def pq_encode(
     return df.withColumn(out_col, guarded)
 
 
+def _pq_lut_col(vec: Column, codebooks) -> Column:
+    """Per-row ADC lookup table: array of ``m`` arrays, entry [j][c] =
+    <vec_subj, codebook[j][c]>, each dot accumulated left-to-right (the
+    fold order every PQ form here mirrors). Subvectors are let-bound so
+    the vector expression evaluates once per subspace, not per codeword."""
+    from .dedup import _let
+
+    m, dsub = _pq_shape(codebooks)
+    dvec = _dbl(vec)
+
+    def sub_lut(j: int) -> Column:
+        cb = F.array(
+            *[
+                F.array(*[F.lit(float(v)) for v in cw])
+                for cw in codebooks[j]
+            ]
+        )
+
+        def body(sub: Column) -> Column:
+            return F.transform(
+                cb,
+                lambda c: F.aggregate(
+                    F.zip_with(sub, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ),
+            )
+
+        return _let(F.slice(dvec, j * dsub + 1, dsub), body)
+
+    return F.array(*[sub_lut(j) for j in range(m)])
+
+
+def _pq_adc_expr(lut: Column, codes: Column) -> Column:
+    """ADC score: sum_j lut[j][codes_j], folded in subspace order (the
+    exact add sequence the BLAS form and the DuckDB mirrors replay)."""
+    return F.aggregate(
+        F.zip_with(lut, codes, lambda l, cd: F.element_at(l, cd + 1)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-vector index posture — coarse cells
+    prune WHICH rows are scored (:func:`ivf_topk`'s probe machinery),
+    product-quantized codes compress WHAT is scored (:func:`pq_adc_topk`'s
+    broadcast-LUT arithmetic). Each query ranks the per-cell mean
+    centroids by cosine, keeps its ``nprobe`` nearest cells, and
+    ADC-scores only those cells' rows from their m-byte PQ codes.
+
+    At 100 TB this is the only ANN shape that is simultaneously
+    sub-linear in rows touched (nprobe/num_cells of the corpus, which a
+    cell-partitioned store turns into partition pruning) and sub-linear
+    in bytes per row touched (m code bytes, not d floats). The centroid
+    table is cells x d doubles (broadcast); probes are a query-bounded
+    broadcast; the corpus is never shuffled. Candidates are scored with
+    the same fold-order ADC arithmetic as :func:`pq_adc_topk`, so with
+    literal codebooks the scores stay engine-reproducible; recall is
+    bounded by the probe choice exactly as in :func:`ivf_topk` (raise
+    ``nprobe`` to trade scan for recall). Returns
+    (query_id, neighbor_id, adc, rank); NULL-label rows are never
+    searched, NULL-code rows drop out.
+
+    ``corpus`` needs the raw ``vec_col`` only to build centroids; pass a
+    pre-built centroid table at index-build time in production by
+    storing cell assignments alongside the codes (this function mirrors
+    :func:`ivf_topk`'s build-from-labels shape for oracle parity).
+    """
+    m, dsub = _pq_shape(codebooks)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    centroids = _cell_centroids(corpus, vec_col, label_col)
+    q = queries.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == m * dsub)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        _dbl(F.col(vec_col)).alias("qvec"),
+        _pq_lut_col(F.col(vec_col), codebooks).alias("__lut"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "__lut",
+            "cell",
+            cosine(F.col("qvec"), F.col("centroid")).alias("ccos"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("ccos").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .where(F.col("crank") <= nprobe)
+        .select("query_id", "__lut", "cell")
+    )
+    c = corpus.where(F.col(codes_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(codes_col).alias("__cd"),
+        F.col(label_col).alias("cell"),
+    )
+    scored = c.join(
+        F.broadcast(probes),
+        (c["cell"] == probes["cell"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _pq_adc_expr(F.col("__lut"), F.col("__cd")).alias("adc"),
+    ).where(F.col("adc").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1631,51 +1767,19 @@ def pq_adc_topk(
     (query_id, neighbor_id, adc, rank), self-pairs excluded, ties by
     neighbor id; NULL codes / wrong-width queries drop out.
     """
-    from .dedup import _let
-
     m, dsub = _pq_shape(codebooks)
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    qvec = _dbl(F.col(vec_col))
-
-    def sub_lut(j: int) -> Column:
-        cb = F.array(
-            *[
-                F.array(*[F.lit(float(v)) for v in cw])
-                for cw in codebooks[j]
-            ]
-        )
-
-        def body(sub: Column) -> Column:
-            return F.transform(
-                cb,
-                lambda c: F.aggregate(
-                    F.zip_with(sub, c, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, b: a + b,
-                ),
-            )
-
-        return _let(F.slice(qvec, j * dsub + 1, dsub), body)
-
     q = queries.where(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == m * dsub)
     ).select(
         F.col(id_col).alias("query_id"),
-        F.array(*[sub_lut(j) for j in range(m)]).alias("__lut"),
+        _pq_lut_col(F.col(vec_col), codebooks).alias("__lut"),
     )
     c = corpus.where(F.col(codes_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("__cd")
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("__lut"),
-            F.col("__cd"),
-            lambda lut, cd: F.element_at(lut, cd + 1),
-        ),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
+    adc = _pq_adc_expr(F.col("__lut"), F.col("__cd"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("adc"))

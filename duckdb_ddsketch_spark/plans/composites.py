@@ -835,8 +835,11 @@ UNION ALL
         ("ivf", "q28_ann_ivf_topk"),
         ("qlsh", "q26b_ann_lsh_quantized"),
         # round 10: PQ/ADC compressed-domain scoring on fixed dyadic
-        # codebooks ('cos' carries the ADC inner-product approximation)
+        # codebooks ('cos' carries the ADC inner-product approximation),
+        # and the IVF-PQ composition (coarse cells prune, codes compress
+        # — the billion-vector index posture)
         ("pq", "q100_ann_pq_adc"),
+        ("ivfpq", "q102_ann_ivf_pq"),
     )
 
     def q39_ann(spark, sf_dir) -> DataFrame:

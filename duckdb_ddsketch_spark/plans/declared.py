@@ -5438,6 +5438,101 @@ def q100(spark, sf_dir):
     )
 
 
+def _ivf_pq_oracle_sql() -> str:
+    """DuckDB mirror of ivf_pq_topk: q28's centroid/probe machinery (the
+    proven float-avg + cosine probe pattern) composed with q100's
+    fold-order PQ codes, LUTs, and ADC sum — candidates restricted to
+    each query's nprobe cells, then scored compressed-domain."""
+    def code_expr(j: int) -> str:
+        off = j * _PQ_DSUB
+        terms = " + ".join(
+            f"(xd[{off+t+1}] - c[{t+1}]) * (xd[{off+t+1}] - c[{t+1}])"
+            for t in range(_PQ_DSUB)
+        )
+        dists = f"list_transform({_pq_cb_sql(j)}, c -> {terms})"
+        return f"list_position({dists}, list_min({dists})) - 1"
+
+    def lut_expr(j: int) -> str:
+        off = j * _PQ_DSUB
+        dots = " + ".join(
+            f"xd[{off+t+1}] * c[{t+1}]" for t in range(_PQ_DSUB)
+        )
+        return f"list_transform({_pq_cb_sql(j)}, c -> {dots})"
+
+    codes = "[" + ", ".join(code_expr(j) for j in range(_PQ_M)) + "]"
+    luts = "[" + ", ".join(lut_expr(j) for j in range(_PQ_M)) + "]"
+    score = " + ".join(
+        f"q.lut[{j+1}][c.codes[{j+1}] + 1]" for j in range(_PQ_M)
+    )
+    d = _PQ_M * _PQ_DSUB
+    return f"""
+    WITH base AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {d}
+    ),
+    cent AS (
+        SELECT label AS cell, i AS pos, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+        FROM embeddings, (SELECT unnest(range(1, {d + 1})) AS i) t
+        WHERE label IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    centroids AS (
+        SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.xd, c.centroid) DESC,
+                            c.cell ASC
+               ) AS crank
+        FROM base q, centroids c
+        WHERE q.vec_id % 25 = 0
+    ),
+    sel AS (SELECT query_id, cell FROM probes WHERE crank <= 2),
+    coded AS (SELECT vec_id, label, {codes} AS codes FROM base),
+    qs AS (SELECT vec_id, {luts} AS lut FROM base WHERE vec_id % 25 = 0),
+    scored AS (
+        SELECT s.query_id, c.vec_id AS neighbor_id, {score} AS adc
+        FROM sel s
+        JOIN coded c ON c.label = s.cell AND c.vec_id != s.query_id
+        JOIN qs q ON q.vec_id = s.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(adc AS REAL) AS cos,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+@_declare("q102_ann_ivf_pq", _ivf_pq_oracle_sql())
+def q102(spark, sf_dir):
+    """IVF-PQ composition on the fixed dyadic codebooks: coarse label
+    cells prune (q28's proven centroid/probe machinery), PQ codes
+    compress what is scored (q100's fold-order ADC arithmetic)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = similarity.pq_encode(emb, _PQ_CB).where(
+        F.col("embedding").isNotNull()
+    )
+    out = similarity.ivf_pq_topk(
+        coded, emb.where(F.col("vec_id") % 25 == 0), _PQ_CB, k=3, nprobe=2
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("adc").cast("float").alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q99 — streaming NEAR-dup ingest gate (MinHash band first-seen state):
 # streaming execution vs a pure-SQL batch LSH oracle. The oracle's novelty

@@ -3410,3 +3410,57 @@ def test_pq_blas_forms_bit_identical_to_expression_forms(spark):
 
     with pytest.raises(ValueError, match="max_query_rows"):
         sim.pq_adc_topk_blas(coded, df, books, k=5, max_query_rows=3)
+
+
+def test_ivf_pq_topk_composition(spark):
+    """IVF-PQ = ivf_topk's probe pruning + pq_adc_topk's scoring: with
+    ONE cell (nprobe=1) it returns exactly pq_adc_topk's rows over the
+    same codes; with well-separated cells each query's candidates come
+    only from its probed cell."""
+    import numpy as np
+
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(3)
+    books = [
+        [[float(((j * 5 + c * 3 + t * 7) % 9) - 4) * 0.25 for t in range(4)]
+         for c in range(6)]
+        for j in range(2)
+    ]
+
+    # one cell: identical to the unpruned ADC ranking
+    pts = rng.uniform(-1.0, 1.0, size=(60, 8))
+    one = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]], 0) for i in range(len(pts))],
+        "vec_id long, embedding array<double>, label int",
+    )
+    coded = sim.pq_encode(one, books)
+    queries = one.where(F.col("vec_id") % 20 == 0)
+    a = sorted(
+        (r.query_id, r.neighbor_id, float(r.adc), r.rank)
+        for r in sim.ivf_pq_topk(coded, queries, books, k=5, nprobe=1).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, float(r.adc), r.rank)
+        for r in sim.pq_adc_topk(coded, queries, books, k=5).collect()
+    )
+    assert a == b and len(a) == 5 * 3
+
+    # two separated cells: candidates only from the query's own cell
+    far = np.concatenate([pts[:30] + 10.0, pts[30:] - 10.0])
+    two = spark.createDataFrame(
+        [(i, [float(x) for x in far[i]], int(i >= 30)) for i in range(60)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    coded2 = sim.pq_encode(two, books)
+    out = sim.ivf_pq_topk(
+        coded2, two.where(F.col("vec_id").isin(0, 35)), books, k=5, nprobe=1
+    ).collect()
+    for r in out:
+        if r.query_id == 0:
+            assert r.neighbor_id < 30, r
+        else:
+            assert r.neighbor_id >= 30, r
+
+    with pytest.raises(ValueError, match="nprobe"):
+        sim.ivf_pq_topk(coded, queries, books, nprobe=0)

@@ -54,6 +54,9 @@ ALLOWED_BNLJ = {
     # corpus × broadcast LUT-queries on the non-equi self-exclusion
     # predicate — the same query-bounded envelope as brute_force_topk
     "q100_ann_pq_adc",
+    # queries × broadcast cells-x-d centroid table (probe selection) —
+    # the same bounded envelope as q28's IVF probe
+    "q102_ann_ivf_pq",
 }
 
 # bodies that EXECUTE a stream (or drive an iterative loop that depends
