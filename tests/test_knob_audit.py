@@ -46,6 +46,7 @@ KNOB_REGISTRY = {
     ("operators/similarity.py", "brute_force_topk_blas", "max_query_rows"): "loud (raises)",
     ("operators/similarity.py", "semantic_dedup", "max_cell"): "pinned (q88, 1<<62)",
     ("operators/similarity.py", "quantized_topk_blas", "max_query_rows"): "loud (raises)",
+    ("operators/similarity.py", "pq_adc_topk_blas", "max_query_rows"): "loud (raises)",
     ("operators/similarity.py", "ivf_topk_blas", "max_query_rows"): "loud (raises)",
 }
 
