@@ -5370,7 +5370,12 @@ def _pq_oracle_sql() -> str:
     squared-L2 argmin per subspace (list_position = FIRST min, matching
     Spark's array_position tie-break), per-query LUT dots, and the m-term
     ADC sum — every sum written as an explicit left-to-right chain to
-    match the Spark fold's order (its 0.0 + t1 first step is exact)."""
+    match the Spark fold's order (its 0.0 + t1 first step is exact).
+    The ranked CTE drops NULL-adc rows to mirror pq_adc_topk's filter:
+    an interior-NULL embedding codes to NULL-bearing codes and a NULL
+    score, which DuckDB would otherwise keep (NULLS LAST) while Spark
+    drops it — a hash mismatch whenever a query has < k finite
+    candidates."""
     def code_expr(j: int) -> str:
         off = j * _PQ_DSUB
         terms = " + ".join(
@@ -5408,7 +5413,7 @@ def _pq_oracle_sql() -> str:
         SELECT query_id, neighbor_id, adc,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY adc DESC, neighbor_id ASC) AS rank
-        FROM scored
+        FROM scored WHERE adc IS NOT NULL
     )
     SELECT query_id, neighbor_id, CAST(adc AS REAL) AS cos,
            CAST(rank AS INT) AS rank
@@ -5442,7 +5447,9 @@ def _ivf_pq_oracle_sql() -> str:
     """DuckDB mirror of ivf_pq_topk: q28's centroid/probe machinery (the
     proven float-avg + cosine probe pattern) composed with q100's
     fold-order PQ codes, LUTs, and ADC sum — candidates restricted to
-    each query's nprobe cells, then scored compressed-domain."""
+    each query's nprobe cells, then scored compressed-domain. The ranked
+    CTE drops NULL-adc rows to mirror ivf_pq_topk's filter (see
+    _pq_oracle_sql)."""
     def code_expr(j: int) -> str:
         off = j * _PQ_DSUB
         terms = " + ".join(
@@ -5504,7 +5511,7 @@ def _ivf_pq_oracle_sql() -> str:
         SELECT query_id, neighbor_id, adc,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY adc DESC, neighbor_id ASC) AS rank
-        FROM scored
+        FROM scored WHERE adc IS NOT NULL
     )
     SELECT query_id, neighbor_id, CAST(adc AS REAL) AS cos,
            CAST(rank AS INT) AS rank

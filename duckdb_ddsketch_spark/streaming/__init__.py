@@ -501,6 +501,17 @@ def streaming_neardup_bands(
     (an LSH near-dup candidate). Returns the surviving band rows with all
     input columns plus (band_id, band_hash).
 
+    Shingle-less documents (NULL text, or fewer than ``ngram`` tokens)
+    carry NO MinHash information — the batch pipeline never emits them
+    from ``minhash_signatures_df``, so batch LSH never treats them as
+    candidates. The stream matches: such rows BYPASS the band state
+    entirely and pass through with ``bands`` per-arrival sentinel band
+    rows (band_hash = md5 over a reserved tag, the band index, <id_col>,
+    and the event time — unique per arrival, so they never collide with
+    anything and never enter state). Without this guard every degenerate
+    doc would share the all-NULL signature's md5('') bands and all but
+    the first would be silently dropped wholesale.
+
     Scale shape: the signature is computed per-row map-side (no
     pre-state aggregation is possible in a stream, so the shingle set is
     evaluated once per hash — fine at ingest row sizes; the batch
@@ -517,12 +528,20 @@ def streaming_neardup_bands(
     :func:`streaming_first_seen`; the distinct-band SET emitted is.
     """
     from ..operators.dedup import minhash_band_structs
+    from ..operators.text import word_ngrams
 
     if num_hashes % bands != 0:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes}"
         )
-    banded = stream.select(
+    # word_ngrams returns a (possibly empty) array, never NULL, so this
+    # predicate is two-valued and the where/~where split is a partition
+    has_shingles = F.size(word_ngrams(F.col(text), ngram)) > 0
+    # watermark BEFORE the split: each branch's watermark node must see
+    # every source row, or a branch whose filter matches nothing would
+    # hold the min-policy global watermark at epoch and stall all output
+    wm = stream.withWatermark(ts_col, watermark)
+    banded = wm.where(has_shingles).select(
         "*",
         F.explode(
             minhash_band_structs(
@@ -530,9 +549,31 @@ def streaming_neardup_bands(
             )
         ).alias("__b"),
     ).select("*", "__b.band_id", "__b.band_hash").drop("__b")
-    return banded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        ["band_id", "band_hash"]
+    gated = banded.dropDuplicatesWithinWatermark(["band_id", "band_hash"])
+    sentinel = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("__noshingle__"),
+                        F.lit(str(b)),
+                        F.col(id_col).cast("string"),
+                        F.col(ts_col).cast("string"),
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
     )
+    passthrough = (
+        wm.where(~has_shingles)
+        .select("*", F.explode(sentinel).alias("__b"))
+        .select("*", "__b.band_id", "__b.band_hash")
+        .drop("__b")
+    )
+    return gated.unionByName(passthrough)
 
 
 def streaming_neardup_lsh(
@@ -560,6 +601,10 @@ def streaming_neardup_lsh(
     LSH candidate rule: one shared band = candidate pair). A document
     whose EVERY band was already seen produces no output row at all —
     it is dropped wholesale, like a repeat in ``streaming_first_seen``.
+    Shingle-less documents (NULL text / fewer than ``ngram`` tokens) are
+    always novel: they bypass the band state with per-arrival sentinel
+    bands (see :func:`streaming_neardup_bands`), matching batch LSH,
+    which never emits them as candidates.
 
     Returns (window_start, window_end, <id_col>, n_new_bands, is_novel),
     emitted in append mode when the event-time window closes under the

@@ -69,6 +69,7 @@ STREAMING = {
     "q71_streaming_distinct_windows",
     "q79_streaming_heavy_hitters",
     "q86_streaming_first_seen",
+    "q99_streaming_neardup",
 }
 
 

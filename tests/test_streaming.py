@@ -779,6 +779,65 @@ def test_streaming_neardup_lsh_gate(spark, tmp_path):
     ]
 
 
+def test_streaming_neardup_shingleless_always_novel(spark, tmp_path):
+    """Shingle-less docs (NULL text / fewer than ngram tokens) carry no
+    MinHash information and must NEVER be gated — the batch pipeline
+    (minhash_signatures_df) never emits them, so batch LSH never calls
+    them candidates. They bypass the band state with per-arrival sentinel
+    bands: every degenerate doc comes out is_novel=true, including a
+    later one arriving after an earlier degenerate doc (before the fix
+    they all shared md5('') bands and the second was dropped wholesale),
+    and they spend no band state that could gate a REAL doc."""
+    import time as _time
+
+    from duckdb_ddsketch_spark.streaming import streaming_neardup_lsh
+
+    src = str(tmp_path / "neardup_empty_in")
+    schema = "doc_id bigint, text string, ts timestamp"
+
+    def write_file(mode, rows):
+        spark.createDataFrame(rows, "doc_id long, text string, ts_str string") \
+            .select("doc_id", "text", F.to_timestamp("ts_str").alias("ts")) \
+            .coalesce(1).write.mode(mode).parquet(src)
+
+    # batch 0: a NULL-text doc, a one-token doc (< ngram=2), and a real doc
+    write_file("overwrite", [
+        (1, None, "2024-03-01 10:00:00"),
+        (2, "solitary", "2024-03-01 10:00:10"),
+        (3, "a genuinely real document with plenty of shingled tokens inside",
+         "2024-03-01 10:00:20"),
+    ])
+    _time.sleep(1.1)
+    # batch 1 (later window): MORE degenerate docs — one NULL, one empty
+    # string, one single-token — all must still be novel
+    write_file("append", [
+        (4, None, "2024-03-01 12:00:00"),
+        (5, "", "2024-03-01 12:00:10"),
+        (6, "word", "2024-03-01 12:00:20"),
+    ])
+    _time.sleep(1.1)
+    # batch 2: watermark-advancing sentinel
+    write_file("append", [(99, "sentinel text far in the future", "2024-03-02 09:00:00")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_neardup_lsh(
+        stream, "ts", text="text", id_col="doc_id",
+        num_hashes=16, bands=4, watermark="10 minutes", window="1 hour",
+    )
+    rows = _collect_stream(out, str(tmp_path / "ck_neardup_empty"))
+    got = {r.doc_id: (r.n_new_bands, r.is_novel) for r in rows}
+
+    # every degenerate doc passes through as novel, across both batches
+    for doc in (1, 2, 4, 5, 6):
+        assert got[doc] == (4, True), (doc, got.get(doc))
+    assert got[3] == (4, True)
+    assert 99 not in got  # sentinel window never closed
+
+
 def test_streaming_neardup_bands_validation(spark, tmp_path):
     from duckdb_ddsketch_spark.streaming import streaming_neardup_bands
 
