@@ -1164,10 +1164,19 @@ def q17(spark, sf_dir):
     register_ddsketch_functions(spark)
     register_views(spark, sf_dir, ["orders"])
     # build per-status pre-sketches in SQL (scalar sub-pipeline), roll up with
-    # the registered UDAF, extract stats via the struct-returning scalar
+    # the registered UDAF, extract stats via the struct-returning scalar.
+    # The seed comes from the reference's TABLE-FUNCTION constructor
+    # syntax VERBATIM (src/lib.rs:53-113, the README's first query) — a
+    # Python UDTF emitting one constant (sketch BINARY) row, cross-joined
+    # in; Catalyst broadcasts the 1-row side, so this is pure syntax
+    # surface with no plan cost. ddsketch_empty(α) remains the scalar
+    # expression-position form of the same constructor.
     return spark.sql(
         """
-        WITH pre AS (
+        WITH seed AS (
+            SELECT sketch AS empty_sk FROM ddsketch_create(0.01)
+        ),
+        pre AS (
             SELECT o_orderstatus,
                    CAST(o_orderkey % 16 AS INT) AS bkt,
                    o_totalprice
@@ -1177,8 +1186,8 @@ def q17(spark, sf_dir):
             SELECT o_orderstatus, bkt, ddsketch_agg(sk) AS sketch
             FROM (
                 SELECT o_orderstatus, bkt,
-                       ddsketch_add(ddsketch_empty(0.01d), o_totalprice) AS sk
-                FROM pre
+                       ddsketch_add(empty_sk, o_totalprice) AS sk
+                FROM pre CROSS JOIN seed
             )
             GROUP BY o_orderstatus, bkt
         ),

@@ -51,6 +51,34 @@ def test_scalar_surface_sql(spark, fixtures):
     assert all(r.p99 is not None and r.mn < r.mx for r in out)
 
 
+def test_create_table_function_sql(spark, fixtures):
+    """The reference README's first query runs VERBATIM: ddsketch_create
+    is a Python UDTF (reference src/lib.rs:53-113 — one (sketch BLOB)
+    row, optional α defaulting to 0.01). Closed deviation #1 (round 11,
+    PySpark 4 spark.udtf.register). The no-arg form, the α form, and the
+    scalar expression-position form all produce identical wire bytes."""
+    tvf = spark.sql("SELECT sketch FROM ddsketch_create(0.01)").collect()
+    assert len(tvf) == 1
+    tvf_default = spark.sql("SELECT sketch FROM ddsketch_create()").collect()
+    assert len(tvf_default) == 1
+    scalar = spark.sql("SELECT ddsketch_empty(0.01d) AS sketch").first()
+    expected = DDSketch(0.01).encode()
+    assert bytes(tvf[0].sketch) == expected
+    assert bytes(tvf_default[0].sketch) == expected
+    assert bytes(scalar.sketch) == expected
+    # non-default accuracy flows through the bind parameter
+    loose = spark.sql("SELECT sketch FROM ddsketch_create(0.05)").first()
+    assert bytes(loose.sketch) == DDSketch(0.05).encode() != expected
+    # and the emitted blob is a live sketch: add + quantile round-trips
+    got = spark.sql(
+        """
+        SELECT ddsketch_quantile(ddsketch_add(sketch, 42.0d), 0.5d) AS p50
+        FROM ddsketch_create(0.01)
+        """
+    ).first()
+    assert abs(got.p50 - 42.0) / 42.0 < 0.02
+
+
 def test_nested_region_merge_sql(spark, fixtures):
     out = spark.sql(
         """

@@ -57,6 +57,9 @@ ALLOWED_BNLJ = {
     # queries × broadcast cells-x-d centroid table (probe selection) —
     # the same bounded envelope as q28's IVF probe
     "q102_ann_ivf_pq",
+    # orders × the 1-row ddsketch_create() UDTF seed (reference TVF
+    # syntax, round 11) — broadcast side is literally one constant row
+    "q17_sql_surface_cte",
 }
 
 # bodies that EXECUTE a stream (or drive an iterative loop that depends
