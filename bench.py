@@ -19,6 +19,14 @@ an end-of-session band retry that records a ``family_band_notes`` entry
 (cleared_by_retry / load_suspect) whenever a cell exceeds its band.
 See _run_family_passes for the full rules and the r8 contamination
 post-mortem that motivated them.
+
+Self-healing (round 11): after both engines finish, every family still
+load_suspect gets ONE fresh-process attribution pair
+(``SPARK_GRAFT_BENCH_ONLY=<family>`` subprocess — the exact adjudication
+command earlier rounds ran by hand); an in-band fresh cell is
+substituted into the official record with a ``substituted_by_attribution``
+note, so the shipped record interprets itself with no side file. See
+_heal_load_suspects.
 """
 
 from __future__ import annotations
@@ -534,6 +542,95 @@ def _run_family_passes(entries, engine: str, result: dict) -> dict:
             }
         )
     return {n: round(min(ts), 3) for n, ts in times.items()}
+
+
+_HEAL_OFF = os.environ.get("SPARK_GRAFT_NO_HEAL", "") == "1"
+_HEAL_MAX_FAMILIES = 5  # > this many flags = globally slow session; say so
+_HEAL_TIMEOUT_SEC = 1800  # widest pair (kmeans_15m_d64) ~280 s + 2 startups
+
+
+def _heal_load_suspects(result: dict) -> None:
+    """Self-heal the official record (round 11, VERDICT r10 item 1).
+
+    For each family still load_suspect after the in-session retry, run ONE
+    fresh-process attribution pair — ``SPARK_GRAFT_BENCH_ONLY=<family>``
+    in a subprocess, i.e. the exact adjudication command rounds 9–10 ran
+    by hand — and fold its cells into the quoted min. A fresh cell inside
+    the band clears the flag IN-RECORD (note status
+    ``substituted_by_attribution``, raw in-session reps preserved in the
+    note and sidecar); a fresh process that is STILL over the band is two
+    independent processes agreeing, so the load_suspect flag stands. This
+    replaces the rounds-9/10 pattern of a clean side record
+    (bench_local_rN.json) that a reader of the official record never saw.
+
+    Skipped inside attribution subprocesses (they have _ONLY set) and
+    under SPARK_GRAFT_NO_HEAL=1 (tests, nested safety)."""
+    import subprocess
+
+    notes = result.get("family_band_notes", [])
+    flagged = [n for n in notes if n.get("status") == "load_suspect"]
+    fams = list(dict.fromkeys(n["family"] for n in flagged))
+    if not fams:
+        return
+    if len(fams) > _HEAL_MAX_FAMILIES:
+        # a third of the registry over-band is a slow SESSION, not per-cell
+        # noise — attribution reruns would run under the same load and
+        # burn ~an hour; flag the session instead
+        result["heal_note"] = (
+            f"{len(fams)} families flagged (> {_HEAL_MAX_FAMILIES}):"
+            " session-wide load, attribution reruns skipped"
+        )
+        return
+    env = dict(os.environ)
+    env["SPARK_GRAFT_NO_HEAL"] = "1"
+    for fam in fams:
+        env["SPARK_GRAFT_BENCH_ONLY"] = fam
+        fam_notes = [n for n in flagged if n["family"] == fam]
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                timeout=_HEAL_TIMEOUT_SEC,
+                env=env,
+            )
+            parsed = None
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    cand = json.loads(line)
+                except (json.JSONDecodeError, ValueError):
+                    continue
+                if isinstance(cand, dict) and (
+                    "spark_families_60m_sec" in cand
+                    or "duckdb_families_60m_sec" in cand
+                ):
+                    parsed = cand
+                    break
+            if parsed is None:
+                raise RuntimeError(
+                    f"no families record in attribution stdout"
+                    f" (rc={proc.returncode})"
+                )
+        except Exception as exc:  # timeout, crash, unparseable — keep flag
+            for n in fam_notes:
+                n["attribution_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        for engine in ("spark", "duckdb"):
+            fresh = parsed.get(f"{engine}_families_60m_sec", {}).get(fam)
+            if fresh is None:
+                continue
+            _record(f"{engine}_fam:{fam}", fresh)  # sidecar keeps every rep
+            cells = result.get(f"{engine}_families_60m_sec", {})
+            note = next((n for n in fam_notes if n["engine"] == engine), None)
+            if fam in cells:
+                cells[fam] = round(min(cells[fam], fresh), 3)
+            if note is None:
+                continue  # engine wasn't flagged; fresh rep recorded anyway
+            note["attribution_sec"] = round(fresh, 3)
+            note["runs_sec"].append(round(fresh, 3))
+            band = note["band_ref_sec"]
+            if min(note["runs_sec"]) <= band * BAND_TOL + BAND_ABS:
+                note["status"] = "substituted_by_attribution"
 
 
 def _best3(fn, key=None) -> float:
@@ -1944,6 +2041,11 @@ def main() -> None:
         run_spark_families(spark, result)
 
     spark.stop()
+    # official runs self-heal before emitting: any family still flagged
+    # after the in-session retry gets one fresh-process attribution pair,
+    # substituted in-record when it lands inside the band
+    if not _ONLY and not _HEAL_OFF:
+        _heal_load_suspects(result)
     # raw repetitions behind the best-of point estimates travel on their own
     # stdout line + sidecar (see _emit) — spread makes shared-runner noise
     # distinguishable from regression without bloating the summary line

@@ -3360,6 +3360,73 @@ def test_vocab_token_stats_default_vocab_matches_python(spark):
     assert got == got7
 
 
+def test_ivf_pq_recall_monotone_in_nprobe(spark):
+    """The IVF-PQ posture's recall/nprobe trade-off, measured (round 11,
+    VERDICT r10 item 4): on OVERLAPPING clusters (noise comparable to
+    center spacing, so a query's exact inner-product top-k crosses cell
+    boundaries) recall@k against the exact float ranking is monotone
+    non-decreasing in nprobe, reaches the int8 pin's floor (0.9) by
+    nprobe=4, and at nprobe=cells equals the full-scan ADC scorer's
+    recall exactly — probing every cell IS pq_adc_topk, pinning that the
+    composition loses nothing beyond the probe choice."""
+    import numpy as np
+
+    from duckdb_ddsketch_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(13)
+    d, n_clusters, per = 16, 8, 10
+    centers = rng.uniform(-1.0, 1.0, size=(n_clusters, d))
+    # noise 0.35 vs typical center spacing ~2.3: clusters overlap enough
+    # that nprobe=1 misses real neighbors but the signal survives
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.35, size=(per, d)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [
+            (i, int(i // per), [float(x) for x in pts[i]])
+            for i in range(len(pts))
+        ],
+        "vec_id long, label int, embedding array<double>",
+    ).cache()
+    queries = df.where(F.col("vec_id") % 10 == 0)
+    k = per - 1
+
+    q_ids = list(range(0, len(pts), 10))
+    dots = pts @ pts.T
+    exact = {}
+    for qi in q_ids:
+        order = sorted(
+            (i for i in range(len(pts)) if i != qi),
+            key=lambda i: (-dots[qi, i], i),
+        )
+        exact[qi] = set(order[:k])
+
+    books = sim.pq_train(df, m=4, ksub=16, iters=6)
+    coded = sim.pq_encode(df, books)
+
+    def topk_sets(out):
+        sets = {}
+        for r in out.collect():
+            sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sets
+
+    def recall(approx):
+        rs = [len(approx.get(q, set()) & exact[q]) / k for q in exact]
+        return sum(rs) / len(rs)
+
+    curve = {
+        nprobe: recall(
+            topk_sets(sim.ivf_pq_topk(coded, queries, books, k=k, nprobe=nprobe))
+        )
+        for nprobe in (1, 2, 4, 8)
+    }
+    assert curve[1] <= curve[2] <= curve[4] <= curve[8], curve
+    assert curve[4] >= 0.9, curve  # the int8 pin's floor, by nprobe=4
+    # probing all cells = the full-scan ADC scorer, identically
+    full = recall(topk_sets(sim.pq_adc_topk(coded, queries, books, k=k)))
+    assert curve[8] == full, (curve, full)
+
+
 def test_pq_blas_forms_bit_identical_to_expression_forms(spark):
     """pq_encode_blas / pq_adc_topk_blas accumulate distances, LUTs, and
     ADC sums in the SAME left-to-right order as the expression forms'
