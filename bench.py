@@ -439,10 +439,12 @@ FRESH_BANDS = {
     # the skew-review fix replaced the per-term df window with a pinned
     # candidate aggregate + broadcast df join; DuckDB 112.1/132.0)
     "bm25_15m": {"spark": 15.4, "duckdb": 112.0},
-    # round 10 (first cells, measured on a session the record itself
-    # documents as ~15-25% slow — future rounds should expect to lower
-    # this band rather than flag against it)
-    "ann_pq_2m_x128": {"spark": 2.86, "duckdb": 85.3},
+    # round 11 re-base (VERDICT r10 item 3): spark min 2.225 over six
+    # fresh-process reps on a steal-checked idle box (r10's 2.86 was
+    # calibrated in that round's slow session, ~25% loose); duckdb keeps
+    # the r10 85.3 — the same idle box measured 94.0/114.8/131.3, so the
+    # historical min is already the tight detector
+    "ann_pq_2m_x128": {"spark": 2.22, "duckdb": 85.3},
 }
 
 BAND_TOL = 1.6  # the documented ~±40% machine swing + margin
