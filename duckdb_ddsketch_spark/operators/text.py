@@ -130,6 +130,19 @@ def _vocab_by_len(vocab: Sequence[str]) -> dict:
     return {l: sorted(vs) for l, vs in by_len.items()}
 
 
+# Above this vocab size vocab_token_stats routes to the Arrow bulk form
+# and the pure-expression Column form refuses loudly. Measured round 11:
+# EVERY native probe container is a linear scan per lookup — literal
+# arrays (array_contains over the length class) and even a
+# constant-folded literal map (Spark map literals are ArrayBasedMapData;
+# element_at/GetMapValue scans keys) — so at 32k entries a probe costs
+# ~16k string compares and a single small doc takes ~0.1 core-seconds in
+# the (interpreted) fold. A vocab is a model artifact, and model-sized
+# lookup tables belong in an Arrow-batched kernel with a real hash dict
+# — the same call the PQ codebooks make with their BLAS forms.
+VOCAB_EXPR_MAX = 512
+
+
 def vocab_token_counts(
     text: Column, vocab: Sequence[str] = BPE_SUBWORD_VOCAB
 ) -> Column:
@@ -146,36 +159,52 @@ def vocab_token_counts(
     column of ``sampling.materialize_sequences`` / ``pack_sequences``.
 
     Shape: pure per-row expression — a fold over each word's character
-    positions with the vocab baked in as literal arrays, nested in a fold
-    over the words. Map-only, no shuffle, no UDF, whole-row parallel at
-    any scale; the greedy step is O(word_len x #lengths) small-array
-    probes. Both folds and the per-word state are let-bound so nothing
-    re-evaluates (see dedup._let). Tokenization is per-word (words split
-    on whitespace, lowercased), so counts are exact for any vocab whose
-    merges never cross spaces — the WordPiece convention.
+    positions with the vocab baked in as per-length literal arrays,
+    nested in a fold over the words. Map-only, no shuffle, no UDF,
+    whole-row parallel at any scale; the greedy step is
+    O(word_len x #lengths) small-array probes. Both folds and the
+    per-word state are let-bound so nothing re-evaluates (see
+    dedup._let). Tokenization is per-word (words split on whitespace,
+    lowercased), so counts are exact for any vocab whose merges never
+    cross spaces — the WordPiece convention.
+
+    Vocabs larger than VOCAB_EXPR_MAX are REFUSED loudly: every native
+    probe container Spark offers is a per-lookup linear scan (literal
+    arrays, and even constant-folded map literals — ArrayBasedMapData),
+    so a 32k merge table in expression form is a measured scale cliff
+    (~0.1 core-s per small doc). :func:`vocab_token_stats` carries the
+    same semantics past the threshold via its Arrow bulk kernel.
     """
     from .dedup import _let  # runtime import: dedup imports this module
 
     by_len = _vocab_by_len(vocab)
-    arrs = {
-        l: F.array(*[F.lit(t) for t in by_len[l]])
-        for l in sorted(by_len, reverse=True)
-    }
+    if len(vocab) > VOCAB_EXPR_MAX:
+        raise ValueError(
+            f"vocab has {len(vocab)} entries > VOCAB_EXPR_MAX"
+            f" ({VOCAB_EXPR_MAX}): every native probe container is a"
+            " per-lookup LINEAR scan (literal arrays and map literals"
+            " alike), so a production-sized merge table in a pure"
+            " expression is a scale cliff — use vocab_token_stats(df,"
+            " vocab) which routes to the Arrow bulk kernel"
+        )
+    lengths_desc = sorted(by_len, reverse=True)
+    arrs = {l: F.array(*[F.lit(t) for t in by_len[l]]) for l in lengths_desc}
+
+    def matched(pos: Column, w: Column) -> Column:
+        return F.coalesce(
+            *[
+                F.when(
+                    F.array_contains(arrs[l], w.substr(pos + 1, F.lit(l))),
+                    F.lit(l),
+                )
+                for l in lengths_desc
+            ]
+        )
 
     def word_fold(w: Column) -> Column:
-        def matched(pos: Column) -> Column:
-            return F.coalesce(
-                *[
-                    F.when(
-                        F.array_contains(arrs[l], w.substr(pos + 1, F.lit(l))),
-                        F.lit(l),
-                    )
-                    for l in sorted(by_len, reverse=True)
-                ]
-            )
 
         def merge(acc: Column, i: Column) -> Column:
-            m = matched(acc["pos"])
+            m = matched(acc["pos"], w)
             return F.when(
                 i == acc["pos"] + 1,  # at a segment boundary
                 F.struct(
@@ -221,6 +250,7 @@ def vocab_token_stats(
     vocab: Sequence[str] = BPE_SUBWORD_VOCAB,
     text: str = "text",
     id_col: str = "doc_id",
+    form: str = "auto",
 ) -> DataFrame:
     """Per-document greedy-vocab token accounting:
     (id, n_words, n_bpe_tokens, n_unk) — see :func:`vocab_token_counts`.
@@ -230,9 +260,123 @@ def vocab_token_stats(
     is a generator, and Generate nodes are never collapsed into the
     projection — three plain getField output columns would each inline
     their own copy of the whole fold (the CollapseProject hazard
-    dedup._let documents, in multi-column form)."""
+    dedup._let documents, in multi-column form).
+
+    ``form`` picks the evaluation kernel (same greedy rule, same output,
+    pinned equal by test_vocab_bulk_form_matches_array_form):
+
+    - ``"expr"`` — the pure-expression fold above: zero Python anywhere,
+      the form the q101 DuckDB oracle mirrors. HOF folds are interpreted
+      (no codegen) and every probe linear-scans its literal length-class
+      array, so its throughput is modest: measured 41.7 s / 1M docs even
+      at the default 94-entry vocab (SCALING.md round 11). Refuses
+      vocabs over VOCAB_EXPR_MAX.
+    - ``"bulk"`` — the Arrow kernel (:func:`_vocab_token_stats_bulk`):
+      real hash-dict probes + per-batch word memoization; measured
+      0.9-1.0 s / 1M docs at BOTH 94 and 32k vocab entries, linear to
+      4M docs. The production path at any vocab size.
+    - ``"auto"`` (default) — ``expr`` up to VOCAB_EXPR_MAX (keeps the
+      oracle-gated zero-Python plan for the vocabs that gate), ``bulk``
+      above (where the expression form is a measured cliff)."""
+    if form not in ("auto", "expr", "bulk"):
+        raise ValueError(f"form must be auto|expr|bulk, got {form!r}")
+    if form == "bulk" or (form == "auto" and len(vocab) > VOCAB_EXPR_MAX):
+        return _vocab_token_stats_bulk(df, vocab, text, id_col)
     st = vocab_token_counts(F.col(text), vocab)
     return df.select(F.col(id_col), F.inline(F.array(st)))
+
+
+def _vocab_token_stats_bulk(
+    df: DataFrame,
+    vocab: Sequence[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-vocab form of :func:`vocab_token_stats`: the greedy
+    longest-match rule over a REAL hash dict in an Arrow-batched kernel
+    (``mapInPandas``) with per-batch word memoization.
+
+    Why not the expression form: every native probe container is a
+    per-lookup LINEAR scan — ``array_contains`` over a length class, and
+    even a constant-folded literal map (Spark map literals are
+    ArrayBasedMapData; GetMapValue scans its keys) — so a 32k merge
+    table costs ~16k string compares per probe and ~0.1 core-seconds per
+    small document (measured, SCALING.md round 11). Here a probe is one
+    O(1) dict lookup, and the per-batch memo collapses repeated words
+    (Zipf: most of a real batch), the shuffle-free version of the
+    dictionary-encode-then-process trick.
+
+    Scale shape: map-only over the corpus, no shuffle, Arrow-batched
+    both ways; the vocab ships once per worker in the closure (a model
+    artifact, exactly like the PQ codebooks in the BLAS forms). Output
+    and semantics identical to the expression form, including the
+    space-only split/trim and truncated-probe conventions (exact for
+    ASCII text; both engines' ``lower`` agree there)."""
+    by_len = _vocab_by_len(vocab)
+    sets = {l: frozenset(vs) for l, vs in by_len.items()}
+    lengths = sorted(sets, reverse=True)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        import re
+
+        import pandas as pd
+
+        cache: dict = {}
+
+        def word_counts(w: str):
+            r = cache.get(w)
+            if r is None:
+                pos = n = unk = 0
+                L = len(w)
+                while pos < L:
+                    step = None
+                    for l in lengths:
+                        seg = w[pos : pos + l]
+                        if len(seg) == l and seg in sets[l]:
+                            step = l
+                            break
+                    if step is None:
+                        step = 1
+                        unk += 1
+                    pos += step
+                    n += 1
+                r = (n, unk)
+                if len(cache) < 1_000_000:  # bound the memo, keep the hits
+                    cache[w] = r
+            return r
+
+        split = re.compile(" +").split
+        for pdf in it:
+            nw_col, nt_col, nu_col = [], [], []
+            for t in pdf[text]:
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    nw_col.append(0), nt_col.append(0), nu_col.append(0)
+                    continue
+                # mirror F.split(F.lower(F.trim(text)), " +"): SPACE-only
+                # trim and split (tabs/newlines stay inside "words")
+                nw = nt = nu = 0
+                for w in split(str(t).strip(" ").lower()):
+                    if not w:
+                        continue
+                    n, unk = word_counts(w)
+                    nw += 1
+                    nt += n
+                    nu += unk
+                nw_col.append(nw), nt_col.append(nt), nu_col.append(nu)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": pd.Series(nw_col, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(nt_col, dtype="int64"),
+                    "n_unk": pd.Series(nu_col, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text).mapInPandas(
+        batches,
+        f"{id_col} {id_type}, n_words long, n_bpe_tokens long, n_unk long",
+    )
 
 
 def stopword_ratio(

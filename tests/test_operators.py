@@ -3312,6 +3312,59 @@ def test_vocab_token_stats_greedy_semantics(spark):
         tx.vocab_token_stats(df, vocab=["a", ""])
 
 
+def test_vocab_bulk_form_matches_array_form(spark):
+    """The >VOCAB_EXPR_MAX Arrow bulk kernel is output-identical to the
+    expression form (round 11 scale path — measured in SCALING.md:
+    every native probe container is a per-lookup linear scan, so a 32k
+    merge table needs a real hash dict). Pinned by padding the SAME
+    semantic vocab over the threshold with inert entries (digits-only
+    tokens that never match the letter-only words), which must not
+    change a single count; a padding entry that DOES match must change
+    counts identically in both forms."""
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    base = list(tx.BPE_SUBWORD_VOCAB)
+    assert len(base) <= tx.VOCAB_EXPR_MAX
+    padded = base + [str(10_000 + i) for i in range(tx.VOCAB_EXPR_MAX + 10)]
+    assert len(padded) > tx.VOCAB_EXPR_MAX
+
+    rows = [
+        (0, "The nation of information stations mentions this"),
+        (1, "Quartz 99 glyphs! vex'd zombies?"),
+        (2, "internationalization antidisestablishmentarianism"),
+        (3, None),
+        (4, ""),
+        (5, "the THE tHe theth thethe"),
+        (6, "tab\there newline\nthere   spaced"),  # space-only split
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arr = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_unk)
+        for r in tx.vocab_token_stats(df, vocab=base).collect()
+    }
+    blk = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_unk)
+        for r in tx.vocab_token_stats(df, vocab=padded).collect()
+    }
+    assert arr == blk, (arr, blk)
+    # a matching padding entry shifts counts the same way in both forms
+    # (prove the bulk dict is actually consulted)
+    arr2 = {
+        r.doc_id: r.n_bpe_tokens
+        for r in tx.vocab_token_stats(df, vocab=base + ["theth"]).collect()
+    }
+    blk2 = {
+        r.doc_id: r.n_bpe_tokens
+        for r in tx.vocab_token_stats(df, vocab=padded + ["theth"]).collect()
+    }
+    assert arr2 == blk2, (arr2, blk2)
+    assert blk2[5] < blk[5][1]  # 'theth' one token now; 'thethe' = theth+e
+
+    # the pure-expression Column form refuses production vocabs loudly
+    with pytest.raises(ValueError, match="VOCAB_EXPR_MAX"):
+        tx.vocab_token_counts(F.lit("x"), padded)
+
+
 def test_vocab_token_stats_default_vocab_matches_python(spark):
     """The default BPE_SUBWORD_VOCAB path agrees with a direct python
     implementation of the greedy rule on real-ish text, and is
