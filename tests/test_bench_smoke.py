@@ -569,6 +569,94 @@ def test_family_band_retry_can_clear(bench_small):
     b._RAW_RUNS.clear()
 
 
+def test_heal_substitutes_in_band_attribution_cells(bench_small, monkeypatch):
+    """Round 11 self-healing: a load_suspect family gets one fresh-process
+    attribution pair; an in-band fresh cell is substituted into the
+    official record and the note becomes substituted_by_attribution; a
+    still-over-band fresh cell keeps the flag; a crashed subprocess keeps
+    the flag with an attribution_error; >_HEAL_MAX_FAMILIES skips with a
+    session-load note. Subprocess mocked — the real pair is exercised by
+    running bench.py with SPARK_GRAFT_BENCH_ONLY."""
+    import json as _json
+    import subprocess as _sp
+
+    b = bench_small
+
+    def fake_run(cmd, capture_output, text, timeout, env):
+        fam = env["SPARK_GRAFT_BENCH_ONLY"]
+        assert env["SPARK_GRAFT_NO_HEAL"] == "1"
+
+        class P:
+            returncode = 0
+            stdout = (
+                _json.dumps({"partial": "duckdb_done"})
+                + "\n"
+                + _json.dumps(
+                    {
+                        "metric": "bench_only_families",
+                        "spark_families_60m_sec": {fam: 1.0},
+                        "duckdb_families_60m_sec": {fam: 50.0},
+                    }
+                )
+            )
+
+        if fam == "__crash__":
+            raise _sp.TimeoutExpired(cmd, timeout)
+        return P()
+
+    monkeypatch.setattr(_sp, "run", fake_run)
+    b._RAW_RUNS.clear()
+    b.FRESH_BANDS["__h1__"] = {"spark": 0.9, "duckdb": 100.0}
+    b.FRESH_BANDS["__h2__"] = {"spark": 0.1}
+    b.FRESH_BANDS["__crash__"] = {"spark": 0.9}
+    try:
+        result = {
+            "spark_families_60m_sec": {"__h1__": 9.9, "__h2__": 9.9, "__crash__": 9.9},
+            "duckdb_families_60m_sec": {"__h1__": 999.0},
+            "family_band_notes": [
+                {"family": "__h1__", "engine": "spark", "band_ref_sec": 0.9,
+                 "runs_sec": [9.9], "status": "load_suspect"},
+                {"family": "__h2__", "engine": "spark", "band_ref_sec": 0.1,
+                 "runs_sec": [9.9], "status": "load_suspect"},
+                {"family": "__crash__", "engine": "spark", "band_ref_sec": 0.9,
+                 "runs_sec": [9.9], "status": "load_suspect"},
+            ],
+        }
+        b._heal_load_suspects(result)
+        by_fam = {n["family"]: n for n in result["family_band_notes"]}
+        # __h1__: fresh 1.0 <= 0.9*1.6+0.3 -> substituted, cell healed,
+        # and the UNFLAGGED duckdb cell still takes the fresh min
+        assert by_fam["__h1__"]["status"] == "substituted_by_attribution"
+        assert by_fam["__h1__"]["attribution_sec"] == 1.0
+        assert result["spark_families_60m_sec"]["__h1__"] == 1.0
+        assert result["duckdb_families_60m_sec"]["__h1__"] == 50.0
+        # __h2__: fresh 1.0 > 0.1*1.6+0.3 = 0.46 -> two processes agree,
+        # flag stands (but the better cell is still quoted)
+        assert by_fam["__h2__"]["status"] == "load_suspect"
+        assert result["spark_families_60m_sec"]["__h2__"] == 1.0
+        # __crash__: subprocess died -> flag stands with an error note
+        assert by_fam["__crash__"]["status"] == "load_suspect"
+        assert "TimeoutExpired" in by_fam["__crash__"]["attribution_error"]
+        # attribution reps land in the sidecar raw runs
+        assert 1.0 in b._RAW_RUNS["spark_fam:__h1__"]
+
+        # > _HEAL_MAX_FAMILIES flagged -> session-wide load, no reruns
+        many = {
+            "family_band_notes": [
+                {"family": f"__m{i}__", "engine": "spark", "band_ref_sec": 1,
+                 "runs_sec": [9.9], "status": "load_suspect"}
+                for i in range(b._HEAL_MAX_FAMILIES + 1)
+            ],
+        }
+        b._heal_load_suspects(many)
+        assert "session-wide load" in many["heal_note"]
+        assert all(n["status"] == "load_suspect" for n in many["family_band_notes"])
+    finally:
+        for k in ("__h1__", "__h2__", "__crash__"):
+            del b.FRESH_BANDS[k]
+        b._RAW_RUNS.clear()
+
+
 def test_pq_mirror_agrees(spark, bench_small):
     """Round-10 family: the DuckDB PQ/ADC mirror must return the SAME
     (query_id, neighbor_id, adc, rank) top-k rows as the Spark
