@@ -39,9 +39,11 @@ class _DDSketchCreate:
     one row, one `sketch BLOB/BINARY` column holding the empty sketch's
     wire bytes; the relative-accuracy parameter is optional and defaults
     to 0.01 (lib.rs:72-78). A one-row constructor has no performance
-    surface, so a Python UDTF (arrow disabled — one tiny row) is the
-    right tool; it closes what was permanent deviation #1 now that the
-    repo runs PySpark 4 (UDTF registration is Spark 3.5+)."""
+    surface; arrow stays ON anyway so the physical node is
+    ArrowEvalPythonUDTF and the registry-wide no-BatchEvalPython plan
+    guard (test_plans) holds with no carve-out. Closes what was
+    permanent deviation #1 now that the repo runs PySpark 4 (UDTF
+    registration is Spark 3.5+)."""
 
     def eval(self, relative_accuracy: float = None):  # noqa: D102
         from ..sketch import DDSketch, DEFAULT_RELATIVE_ACCURACY
@@ -70,7 +72,7 @@ def register_all(spark: SparkSession) -> SparkSession:
     # they need an input series.
     spark.udtf.register(
         "ddsketch_create",
-        udtf(_DDSketchCreate, returnType="sketch binary", useArrow=False),
+        udtf(_DDSketchCreate, returnType="sketch binary", useArrow=True),
     )
     spark.udf.register(
         "ddsketch_create",
