@@ -1143,6 +1143,18 @@ FROM ({O['q69_conversion_funnel']}) f""",
             F.lit(0.0).alias("c4"),
             F.lit(0.0).alias("c5"),
         )
+        # round 11: the Arrow BULK kernel of the same greedy rule — same
+        # oracle as 'tok', so expr-form/bulk-form identity is itself a
+        # driver-gated fact (q103 header)
+        tokb = Q["q103_vocab_token_stats_bulk"](spark, sf_dir).select(
+            F.lit("tokb").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_words").cast("double").alias("c1"),
+            F.col("n_bpe_tokens").cast("double").alias("c2"),
+            F.col("n_unk").cast("double").alias("c3"),
+            F.lit(0.0).alias("c4"),
+            F.lit(0.0).alias("c5"),
+        )
         return (
             toks.unionByName(qual)
             .unionByName(lm)
@@ -1150,6 +1162,7 @@ FROM ({O['q69_conversion_funnel']}) f""",
             .unionByName(clf)
             .unionByName(dsir)
             .unionByName(tok)
+            .unionByName(tokb)
         )
 
     add(
@@ -1233,7 +1246,13 @@ SELECT 'tok' AS part, CAST(doc_id AS VARCHAR) AS key,
        CAST(n_words AS DOUBLE) AS c1, CAST(n_bpe_tokens AS DOUBLE) AS c2,
        CAST(n_unk AS DOUBLE) AS c3,
        CAST(0.0 AS DOUBLE) AS c4, CAST(0.0 AS DOUBLE) AS c5
-FROM ({O['q101_vocab_token_stats']}) vtk""",
+FROM ({O['q101_vocab_token_stats']}) vtk
+UNION ALL
+SELECT 'tokb' AS part, CAST(doc_id AS VARCHAR) AS key,
+       CAST(n_words AS DOUBLE) AS c1, CAST(n_bpe_tokens AS DOUBLE) AS c2,
+       CAST(n_unk AS DOUBLE) AS c3,
+       CAST(0.0 AS DOUBLE) AS c4, CAST(0.0 AS DOUBLE) AS c5
+FROM ({O['q103_vocab_token_stats_bulk']}) vtkb""",
     )
 
     ren("q46_language_id", "q33_language_id")

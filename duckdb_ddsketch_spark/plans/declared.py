@@ -5343,6 +5343,26 @@ def q101(spark, sf_dir):
     )
 
 
+@_declare("q103_vocab_token_stats_bulk", _vocab_oracle_sql())
+def q103(spark, sf_dir):
+    """The Arrow BULK kernel of the same greedy rule (round 11 —
+    text._vocab_token_stats_bulk: hash-dict probes + per-batch word
+    memoization, the production path at any vocab size; measured ~45x
+    the interpreted expression fold, SCALING.md). Same oracle as q101:
+    the two forms are defined to be output-identical, and this slot
+    makes that identity a driver-gated cross-engine fact, not just a
+    pytest pin. Integer counts — hash-exact by construction."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.vocab_token_stats(docs, form="bulk")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_unk").cast("long").alias("n_unk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q100 — product-quantization ADC top-k (q39 'pq' part): the compressed-
 # domain ANN scorer over FIXED literal dyadic codebooks. Like q38's
