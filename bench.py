@@ -445,6 +445,9 @@ FRESH_BANDS = {
     # the r10 85.3 — the same idle box measured 94.0/114.8/131.3, so the
     # historical min is already the tight detector
     "ann_pq_2m_x128": {"spark": 2.22, "duckdb": 85.3},
+    # round 11 (first cells: two fresh-process pairs on the round's
+    # ordinary box state — spark 6.45/5.42, duckdb 65.8/58.9)
+    "vocab_tok_15m": {"spark": 5.42, "duckdb": 58.9},
 }
 
 BAND_TOL = 1.6  # the documented ~±40% machine swing + margin
@@ -470,6 +473,7 @@ FAMILY_PASS1_ORDER = [
     "ann_quantized_2m_x128",
     "ann_pq_2m_x128",
     "text_metrics_15m",
+    "vocab_tok_15m",
     "bm25_15m",
     "kmeans_15m_d64",
     "sessionize_60m",
@@ -1041,6 +1045,59 @@ def _duckdb_family_sqls() -> dict:
            SUM(n_distinct) AS distinct_sum, SUM(est_bpe) AS bpe_sum,
            AVG(avg_tok) AS avg_tok_len
     FROM per
+    """
+
+    # round 11: vocab-driven greedy subword tokenization over the same
+    # 15M-doc corpus — the REAL token accounting (q101/q103 semantics,
+    # default BPE_SUBWORD_VOCAB) as a throughput family. DuckDB walks the
+    # greedy rule over the DISTINCT words with a recursive CTE and joins
+    # the per-word counts back to the exploded corpus (its best available
+    # pure-SQL form — the same dictionary-encode trick the Spark bulk
+    # kernel gets from per-batch memoization); Spark runs the Arrow bulk
+    # kernel (text._vocab_token_stats_bulk).
+    from duckdb_ddsketch_spark.operators.text import BPE_SUBWORD_VOCAB
+
+    vt_by_len: dict = {}
+    for v in BPE_SUBWORD_VOCAB:
+        vt_by_len.setdefault(len(v), set()).add(v)
+    vt_lens = sorted(vt_by_len, reverse=True)
+    vt_step = " ".join(
+        "WHEN substr(w, pos + 1, {l}) IN ({ts}) THEN {l}".format(
+            l=l, ts=", ".join("'" + t + "'" for t in sorted(vt_by_len[l]))
+        )
+        for l in vt_lens
+    )
+    vt_any = " OR ".join(
+        "substr(w, pos + 1, {l}) IN ({ts})".format(
+            l=l, ts=", ".join("'" + t + "'" for t in sorted(vt_by_len[l]))
+        )
+        for l in vt_lens
+    )
+    sqls["vocab_tok_15m"] = f"""
+    WITH RECURSIVE
+    docs AS (
+        SELECT range AS doc_id,
+               {_minhash_text_sql(f'range % {N_TEXT_D}')} AS text
+        FROM range({N_TEXT})
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM docs
+    ),
+    tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+    words AS (SELECT DISTINCT w FROM tok2),
+    seg AS (
+        SELECT w, 0 AS pos, 0 AS n, 0 AS unk FROM words
+        UNION ALL
+        SELECT w,
+               pos + (CASE {vt_step} ELSE 1 END),
+               n + 1,
+               unk + (CASE WHEN {vt_any} THEN 0 ELSE 1 END)
+        FROM seg WHERE pos < len(w)
+    ),
+    fin AS (SELECT w, n, unk FROM seg WHERE pos >= len(w))
+    SELECT COUNT(*) AS word_sum, SUM(f.n) AS tok_sum, SUM(f.unk) AS unk_sum
+    FROM tok2 t JOIN fin f ON f.w = t.w
     """
 
     # BM25 retrieval over the same 15M-doc text corpus: 3 probe queries,
@@ -1688,6 +1745,24 @@ def run_spark_families(spark, result: dict) -> None:
 
     entries.append(("text_metrics_15m", text_metrics, None))
 
+    def vocab_tok():
+        from duckdb_ddsketch_spark.operators import text as text_ops
+
+        t = (
+            _minhash_text_sql(f"id % {N_TEXT_D}")
+            .replace("//", "div")
+            .replace("VARCHAR", "STRING")
+        )
+        docs = gen(N_TEXT, [("doc_id", "id"), ("text", t)])
+        st = text_ops.vocab_token_stats(docs, form="bulk")
+        st.agg(
+            F.sum("n_words").alias("word_sum"),
+            F.sum("n_bpe_tokens").alias("tok_sum"),
+            F.sum("n_unk").alias("unk_sum"),
+        ).collect()
+
+    entries.append(("vocab_tok_15m", vocab_tok, None))
+
     def bm25_15m():
         from duckdb_ddsketch_spark.operators import text as text_ops
 
@@ -2074,13 +2149,22 @@ def _emit(result: dict) -> None:
     stdout line; the FINAL line carries the per-query oracle TOTAL (the
     only form the docs/judge quote), and band notes collapse to a
     ``load_suspect`` family list (cleared retries are routine — the full
-    evidence stays one line up).
+    evidence stays one line up). Round 11 (the 23rd family nudged the
+    worst-case line to 1902 B): the final line's family cells are
+    trimmed to 2 decimals — a 10 ms summary granularity; the 3-decimal
+    values stay on the raw-runs line and sidecar.
     """
     result.pop("raw_runs_sec", None)
     notes = result.pop("family_band_notes", [])
     oracle = result.pop("duckdb_oracle", None)
     if oracle is not None:
         result["duckdb_oracle_total"] = round(sum(oracle.values()), 3)
+    for fam_key in ("spark_families_60m_sec", "duckdb_families_60m_sec"):
+        fams = result.get(fam_key)
+        if fams:
+            raw_fams = {f"{fam_key}_3dp": dict(fams)}
+            _RAW_RUNS.setdefault("final_cells_3dp", {}).update(raw_fams)
+            result[fam_key] = {k: round(v, 2) for k, v in fams.items()}
     suspects = [n["family"] for n in notes if n.get("status") == "load_suspect"]
     if suspects:
         result["load_suspect"] = suspects

@@ -85,6 +85,10 @@ FAMILY_DESC = {
         "PQ/ADC compressed-domain ANN (encode to 4 sub-codes +"
         " broadcast-LUT scoring, same 2 M×16-dim shape)"
     ),
+    "vocab_tok_15m": (
+        "greedy vocab tokenization (15 M docs / 120 M words, Arrow bulk"
+        " kernel vs recursive-CTE mirror)"
+    ),
 }
 
 

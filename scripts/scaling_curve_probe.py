@@ -342,6 +342,28 @@ def _span_extents(spark, n):
     ).collect()
 
 
+def _vocab_tok(spark, n):
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import text as text_ops
+
+    # the bench family's corpus with the duplicate-class space ∝ n
+    # (constant docs-per-class; per-batch memo hit rate therefore
+    # constant — the split a scale-up preserves)
+    d = max(1, int(bench.N_TEXT_D * n / bench.N_TEXT))
+    t = (
+        bench._minhash_text_sql(f"id % {d}")
+        .replace("//", "div")
+        .replace("VARCHAR", "STRING")
+    )
+    docs = _gen(spark, n, [("doc_id", "id"), ("text", t)])
+    text_ops.vocab_token_stats(docs, form="bulk").agg(
+        F.sum("n_words").alias("w"),
+        F.sum("n_bpe_tokens").alias("t"),
+        F.sum("n_unk").alias("u"),
+    ).collect()
+
+
 def _bm25(spark, n):
     from duckdb_ddsketch_spark.operators import text as text_ops
 
@@ -453,6 +475,8 @@ PROBES = {
     "span_extents": (bench.N_SPAN, _span_extents),
     # round 9 — BM25 retrieval scoring (prune-then-aggregate chain)
     "bm25": (bench.N_TEXT, _bm25),
+    # round 11 — greedy vocab tokenization, Arrow bulk kernel
+    "vocab_tok": (bench.N_TEXT, _vocab_tok),
 }
 
 

@@ -85,6 +85,7 @@ def test_all_spark_families_execute(spark, bench_small):
         "span_extents_2m",  # round 9: substring-level dedup extents
         "bm25_15m",  # round 9: BM25 retrieval scoring over the text corpus
         "ann_pq_2m_x128",  # round 10: PQ/ADC compressed-domain ANN
+        "vocab_tok_15m",  # round 11: greedy vocab tokenization, bulk kernel
     }
     assert all(t >= 0 for t in fam.values())
 
@@ -344,7 +345,7 @@ def test_emit_final_line_fits_capture_budget(bench_small, capsys, tmp_path, monk
     monkeypatch.setattr(bench_small, "__file__", str(tmp_path / "bench.py"))
     bench_small._RAW_RUNS.clear()
     fams = list(bench_small.FAMILY_PASS1_ORDER)
-    assert len(fams) == 22
+    assert len(fams) == 23
     result = {
         "duckdb_oracle": {f"q{i:02d}_some_headline_query_name": 0.123 for i in range(9)},
         "duckdb_60m_sec": 24.567,
@@ -567,6 +568,40 @@ def test_family_band_retry_can_clear(bench_small):
     finally:
         del b.FRESH_BANDS["__fake2__"]
     b._RAW_RUNS.clear()
+
+
+def test_vocab_tok_mirror_agrees(spark, bench_small):
+    """The round-11 vocab_tok_15m family: the Spark Arrow bulk kernel and
+    the DuckDB distinct-word recursive-CTE mirror must compute identical
+    (word_sum, tok_sum, unk_sum) totals at small N — same greedy rule,
+    same default vocab, integer-exact."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ddsketch_spark.operators import text as text_ops
+
+    b = bench_small
+    con = duckdb.connect()
+    try:
+        t = (
+            b._minhash_text_sql(f"id % {b.N_TEXT_D}")
+            .replace("//", "div")
+            .replace("VARCHAR", "STRING")
+        )
+        docs = spark.range(b.N_TEXT, numPartitions=8).selectExpr(
+            "id AS doc_id", f"{t} AS text"
+        )
+        srow = (
+            text_ops.vocab_token_stats(docs, form="bulk")
+            .agg(F.sum("n_words"), F.sum("n_bpe_tokens"), F.sum("n_unk"))
+            .collect()[0]
+        )
+        drow = con.execute(
+            b._duckdb_family_sqls()["vocab_tok_15m"]
+        ).fetchall()[0]
+        assert tuple(int(x) for x in srow) == tuple(int(x) for x in drow)
+        assert int(srow[0]) > 0 and int(srow[1]) > int(srow[0])
+    finally:
+        con.close()
 
 
 def test_heal_substitutes_in_band_attribution_cells(bench_small, monkeypatch):
