@@ -118,6 +118,13 @@ def test_duplicate_clusters_raises_on_nonconvergence(spark):
     chain = [(i, i + 1) for i in range(9)]  # path graph, diameter 9
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(ValueError, match="did not converge"):
-        dedup.duplicate_clusters(pairs, max_iters=2)
-    out = dedup.duplicate_clusters(pairs, max_iters=20)
+        dedup.duplicate_clusters(pairs, max_iters=2, method="propagation")
+    out = dedup.duplicate_clusters(pairs, max_iters=20, method="propagation")
     assert {r.cluster_id for r in out.collect()} == {0}
+    # the log-diameter star form has the same loud-cap contract: one
+    # contraction round cannot collapse a 60-hop path
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.duplicate_clusters(deep, max_iters=1, method="star")

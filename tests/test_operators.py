@@ -336,13 +336,65 @@ def test_duplicate_clusters_converges_exactly_at_max_iters(spark):
     )
     out = {
         r.id: r.cluster_id
-        for r in dedup.duplicate_clusters(pairs, max_iters=9).collect()
+        for r in dedup.duplicate_clusters(
+            pairs, max_iters=9, method="propagation"
+        ).collect()
     }
     assert set(out.values()) == {0}
     assert len(out) == 10
     # and a genuinely-too-small cap still fails loudly
     with pytest.raises(ValueError, match="did not converge"):
-        dedup.duplicate_clusters(pairs, max_iters=3).collect()
+        dedup.duplicate_clusters(pairs, max_iters=3, method="propagation").collect()
+
+
+def test_duplicate_clusters_star_beats_propagation_cap(spark):
+    """The round-12 scale fix: a planted path-graph cluster whose diameter
+    (120) exceeds the default propagation iteration cap (24) — the shape
+    real boilerplate dup chains take — must pass through the default
+    (star-contraction) form in O(log diameter) rounds."""
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    # propagation at the default cap trips, by design
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, method="propagation").collect()
+    # the default form sails through with the SAME default cap
+    out = {r.id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == n + 1
+
+
+def test_duplicate_clusters_star_matches_propagation(spark):
+    """Both methods must produce the identical (id, cluster_id) map on a
+    multi-component graph with merges, singleton-by-self-loop, and
+    out-of-order ids."""
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 8), (21, 20), (20, 22), (40, 40), (7, 8)],
+        "id_a long, id_b long",
+    )
+    star = {r.id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    prop = {
+        r.id: r.cluster_id
+        for r in dedup.duplicate_clusters(pairs, method="propagation").collect()
+    }
+    assert star == prop
+    assert star[5] == star[3] == star[8] == star[7] == 3
+    assert star[21] == star[20] == star[22] == 20
+    assert star[40] == 40
+
+
+def test_star_contraction_round_count_is_logarithmic(spark):
+    """Pin the O(log diameter) claim on a real path graph: 1,000 hops of
+    diameter must converge in ≤ 12 contraction rounds (measured: ~8)."""
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(n)], "a long, b long"
+    )
+    stars, rounds = dedup._star_contraction(edges, max_rounds=20)
+    assert rounds <= 12
+    assert {r.b for r in stars.collect()} == {0}
+    assert stars.count() == n
 
 
 def test_duplicate_clusters_end_to_end(spark, docs):
