@@ -569,6 +569,12 @@ def _heal_load_suspects(result: dict) -> None:
     replaces the rounds-9/10 pattern of a clean side record
     (bench_local_rN.json) that a reader of the official record never saw.
 
+    The attribution pair times BOTH engines, and the min-merge applies to
+    both cells — including the engine that was NOT flagged (consistent
+    with the session-wide min-of-reps protocol: a fresh-process rep is
+    just another rep, and every substitution is raw-sidecar'd either
+    way).
+
     Skipped inside attribution subprocesses (they have _ONLY set) and
     under SPARK_GRAFT_NO_HEAL=1 (tests, nested safety)."""
     import subprocess
@@ -1053,12 +1059,16 @@ def _duckdb_family_sqls() -> dict:
     # greedy rule over the DISTINCT words with a recursive CTE and joins
     # the per-word counts back to the exploded corpus (its best available
     # pure-SQL form — the same dictionary-encode trick the Spark bulk
-    # kernel gets from per-batch memoization); Spark runs the Arrow bulk
+    # kernel gets from per-task memoization); Spark runs the Arrow bulk
     # kernel (text._vocab_token_stats_bulk).
     from duckdb_ddsketch_spark.operators.text import BPE_SUBWORD_VOCAB
 
     vt_by_len: dict = {}
     for v in BPE_SUBWORD_VOCAB:
+        # entries are inlined below as '<token>' in SQL IN-lists: a
+        # quote would break the statement if the mirror is ever
+        # parameterized over a user vocab, so assert the invariant here
+        assert "'" not in v, f"vocab entry {v!r} contains a quote"
         vt_by_len.setdefault(len(v), set()).add(v)
     vt_lens = sorted(vt_by_len, reverse=True)
     vt_step = " ".join(

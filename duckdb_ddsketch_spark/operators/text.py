@@ -43,6 +43,7 @@ __all__ = [
     "vocab_token_counts",
     "vocab_token_stats",
     "BPE_SUBWORD_VOCAB",
+    "BPE_SUBWORD_VOCAB_2K",
 ]
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -117,6 +118,29 @@ BPE_SUBWORD_VOCAB = tuple(
         "ter", "hat", "tha", "ere", "ate", "his", "con", "res", "ver",
         "all", "ons",
         "tion", "atio", "that", "ther", "with", "ment", "ions", "this",
+    ]
+)
+
+
+# Deterministic ~2k-entry vocab (26 letters + all 676 bigrams + every
+# 13th trigram = 2,054 entries) — a PRODUCTION-SHAPED merge table past
+# VOCAB_EXPR_MAX, where vocab_token_stats' auto routing MUST take the
+# Arrow bulk kernel (the expression fold refuses it loudly). Exists so
+# the driver gate exercises the hash-dict path in the regime that is its
+# reason to exist (q104 / q45 'tokx'), not just below the boundary where
+# the expression form could gate anyway. Lowercase ASCII letters only —
+# quote-free by construction (the DuckDB oracle inlines entries into SQL
+# IN-lists) and outside the non-ASCII lower() divergence documented on
+# vocab_token_stats.
+BPE_SUBWORD_VOCAB_2K = tuple(
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [chr(i) + chr(j) for i in range(97, 123) for j in range(97, 123)]
+    + [
+        chr(i) + chr(j) + chr(k)
+        for i in range(97, 123)
+        for j in range(97, 123)
+        for k in range(97, 123)
+        if ((i - 97) * 676 + (j - 97) * 26 + (k - 97)) % 13 == 0
     ]
 )
 
@@ -272,12 +296,27 @@ def vocab_token_stats(
       at the default 94-entry vocab (SCALING.md round 11). Refuses
       vocabs over VOCAB_EXPR_MAX.
     - ``"bulk"`` — the Arrow kernel (:func:`_vocab_token_stats_bulk`):
-      real hash-dict probes + per-batch word memoization; measured
+      real hash-dict probes + per-task word memoization; measured
       0.9-1.0 s / 1M docs at BOTH 94 and 32k vocab entries, linear to
       4M docs. The production path at any vocab size.
     - ``"auto"`` (default) — ``expr`` up to VOCAB_EXPR_MAX (keeps the
       oracle-gated zero-Python plan for the vocabs that gate), ``bulk``
-      above (where the expression form is a measured cliff)."""
+      above (where the expression form is a measured cliff).
+
+    Non-ASCII caveat on ``"auto"``: the two kernels lowercase with
+    different engines — ``expr`` uses Spark's ``lower`` (JVM Unicode
+    tables), ``bulk`` uses Python ``str.lower()`` (unicodedata) — whose
+    case tables are maintained independently and diverge on
+    recently-added codepoints (measured on this JVM/Python pair: 5 BMP
+    codepoints, e.g. U+A7CB LATIN CAPITAL LETTER RAMS HORN lowercases
+    in Spark but not in Python; a full-BMP sweep is pinned in
+    test_vocab_bulk_nonascii_lower_divergence). So the same non-ASCII
+    corpus can change counts purely because the vocab grew past
+    VOCAB_EXPR_MAX and auto switched kernels. ASCII text is exact on
+    both forms (pinned identical by
+    test_vocab_bulk_form_matches_array_form); for non-ASCII corpora
+    whose counts must be stable across vocab growth, pass
+    ``form="bulk"`` explicitly so the kernel never switches."""
     if form not in ("auto", "expr", "bulk"):
         raise ValueError(f"form must be auto|expr|bulk, got {form!r}")
     if form == "bulk" or (form == "auto" and len(vocab) > VOCAB_EXPR_MAX):
@@ -294,7 +333,10 @@ def _vocab_token_stats_bulk(
 ) -> DataFrame:
     """Production-vocab form of :func:`vocab_token_stats`: the greedy
     longest-match rule over a REAL hash dict in an Arrow-batched kernel
-    (``mapInPandas``) with per-batch word memoization.
+    (``mapInPandas``) with per-task word memoization (the memo
+    dict outlives each Arrow batch and is shared by every batch the
+    task processes, bounded at 1M entries — strictly better than
+    per-batch).
 
     Why not the expression form: every native probe container is a
     per-lookup LINEAR scan — ``array_contains`` over a length class, and
@@ -302,7 +344,7 @@ def _vocab_token_stats_bulk(
     ArrayBasedMapData; GetMapValue scans its keys) — so a 32k merge
     table costs ~16k string compares per probe and ~0.1 core-seconds per
     small document (measured, SCALING.md round 11). Here a probe is one
-    O(1) dict lookup, and the per-batch memo collapses repeated words
+    O(1) dict lookup, and the per-task memo collapses repeated words
     (Zipf: most of a real batch), the shuffle-free version of the
     dictionary-encode-then-process trick.
 

@@ -1155,6 +1155,18 @@ FROM ({O['q69_conversion_funnel']}) f""",
             F.lit(0.0).alias("c4"),
             F.lit(0.0).alias("c5"),
         )
+        # round 12: the bulk kernel at a 2,054-entry generated vocab —
+        # past VOCAB_EXPR_MAX, the regime the hash-dict kernel exists
+        # for, where auto-routing MUST pick it (q104 header)
+        tokx = Q["q104_vocab_token_stats_bigvocab"](spark, sf_dir).select(
+            F.lit("tokx").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_words").cast("double").alias("c1"),
+            F.col("n_bpe_tokens").cast("double").alias("c2"),
+            F.col("n_unk").cast("double").alias("c3"),
+            F.lit(0.0).alias("c4"),
+            F.lit(0.0).alias("c5"),
+        )
         return (
             toks.unionByName(qual)
             .unionByName(lm)
@@ -1163,6 +1175,7 @@ FROM ({O['q69_conversion_funnel']}) f""",
             .unionByName(dsir)
             .unionByName(tok)
             .unionByName(tokb)
+            .unionByName(tokx)
         )
 
     add(
@@ -1252,7 +1265,13 @@ SELECT 'tokb' AS part, CAST(doc_id AS VARCHAR) AS key,
        CAST(n_words AS DOUBLE) AS c1, CAST(n_bpe_tokens AS DOUBLE) AS c2,
        CAST(n_unk AS DOUBLE) AS c3,
        CAST(0.0 AS DOUBLE) AS c4, CAST(0.0 AS DOUBLE) AS c5
-FROM ({O['q103_vocab_token_stats_bulk']}) vtkb""",
+FROM ({O['q103_vocab_token_stats_bulk']}) vtkb
+UNION ALL
+SELECT 'tokx' AS part, CAST(doc_id AS VARCHAR) AS key,
+       CAST(n_words AS DOUBLE) AS c1, CAST(n_bpe_tokens AS DOUBLE) AS c2,
+       CAST(n_unk AS DOUBLE) AS c3,
+       CAST(0.0 AS DOUBLE) AS c4, CAST(0.0 AS DOUBLE) AS c5
+FROM ({O['q104_vocab_token_stats_bigvocab']}) vtkx""",
     )
 
     ren("q46_language_id", "q33_language_id")

@@ -5273,9 +5273,14 @@ def q98(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _vocab_oracle_sql() -> str:
+def _vocab_oracle_sql(vocab=None) -> str:
+    vocab = text.BPE_SUBWORD_VOCAB if vocab is None else vocab
     by_len: dict = {}
-    for v in text.BPE_SUBWORD_VOCAB:
+    for v in vocab:
+        # entries are inlined into SQL IN-lists as '<token>'; a quote
+        # would break the statement (both default vocabs are lowercase
+        # ASCII letters only, so this is an invariant, not a filter)
+        assert "'" not in v, f"vocab entry {v!r} contains a quote"
         by_len.setdefault(len(v), set()).add(v)
     lens = sorted(by_len, reverse=True)
 
@@ -5346,7 +5351,7 @@ def q101(spark, sf_dir):
 @_declare("q103_vocab_token_stats_bulk", _vocab_oracle_sql())
 def q103(spark, sf_dir):
     """The Arrow BULK kernel of the same greedy rule (round 11 —
-    text._vocab_token_stats_bulk: hash-dict probes + per-batch word
+    text._vocab_token_stats_bulk: hash-dict probes + per-task word
     memoization, the production path at any vocab size; measured ~45x
     the interpreted expression fold, SCALING.md). Same oracle as q101:
     the two forms are defined to be output-identical, and this slot
@@ -5355,6 +5360,31 @@ def q103(spark, sf_dir):
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     out = text.vocab_token_stats(docs, form="bulk")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_unk").cast("long").alias("n_unk"),
+    )
+
+
+@_declare(
+    "q104_vocab_token_stats_bigvocab",
+    _vocab_oracle_sql(text.BPE_SUBWORD_VOCAB_2K),
+)
+def q104(spark, sf_dir):
+    """The bulk kernel gated IN ITS OWN REGIME (round 12): the greedy
+    rule over the 2,054-entry generated vocab (BPE_SUBWORD_VOCAB_2K) —
+    beyond VOCAB_EXPR_MAX=512, where the expression fold refuses loudly
+    and ``form="auto"`` MUST route to the Arrow hash-dict kernel. q103
+    pins expr/bulk identity at the 94-entry default; this slot pins the
+    production-sized path against the same recursive-CTE DuckDB oracle
+    built from the big vocab (per-length IN-lists of 26/676/1,352
+    entries — DuckDB hashes constant IN-lists, so the mirror bears the
+    size). Integer counts — hash-exact by construction."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.vocab_token_stats(docs, vocab=text.BPE_SUBWORD_VOCAB_2K)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_words").cast("long").alias("n_words"),

@@ -621,21 +621,38 @@ def streaming_neardup_lsh(
     first-wins gate, WHICH of two same-micro-batch colliders is called
     novel is not deterministic; the novel/dropped PARTITION of any
     cross-batch collision is.
+
+    Counting rule (round 12): sentinel rows from shingle-less arrivals
+    are excluded from the band count — a (window, doc) group that is
+    PURE sentinel reads ``n_new_bands == bands`` regardless of how many
+    times the degenerate doc arrived in the window (each arrival emits
+    ``bands`` passthrough rows, so a plain count(*) would read
+    2x ``bands`` for a retried NULL-text event and flip the documented
+    always-novel contract to FALSE). Distinct aggregates are unsupported
+    in streaming, so the split is a conditional count on the same
+    shingle predicate the band stage branched on; a mixed group (same id
+    arriving both with and without shingles in one window) is decided by
+    its real band rows alone.
     """
+    from ..operators.text import word_ngrams
+
     first = streaming_neardup_bands(
         stream, ts_col, text=text, id_col=id_col, num_hashes=num_hashes,
         bands=bands, ngram=ngram, watermark=watermark,
     )
-    return (
-        first.groupBy(F.window(F.col(ts_col), window).alias("win"), id_col)
-        .agg(F.count(F.lit(1)).alias("n_new_bands"))
-        .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
-            id_col,
-            F.col("n_new_bands").cast("int").alias("n_new_bands"),
-            (F.col("n_new_bands") == bands).alias("is_novel"),
-        )
+    is_real = (F.size(word_ngrams(F.col(text), ngram)) > 0).cast("int")
+    agg = first.groupBy(F.window(F.col(ts_col), window).alias("win"), id_col).agg(
+        F.sum(is_real).alias("__n_real")
+    )
+    n_new = F.when(F.col("__n_real") > 0, F.col("__n_real")).otherwise(
+        F.lit(bands)
+    )
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        id_col,
+        n_new.cast("int").alias("n_new_bands"),
+        (n_new == bands).alias("is_novel"),
     )
 
 

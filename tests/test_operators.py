@@ -3417,6 +3417,71 @@ def test_vocab_bulk_form_matches_array_form(spark):
         tx.vocab_token_counts(F.lit("x"), padded)
 
 
+def test_vocab_bulk_nonascii_lower_divergence(spark):
+    """Document the form='auto' caveat with a concrete pinned row: the
+    expr kernel lowercases with the JVM's Unicode tables, the bulk
+    kernel with Python's, and the tables are maintained independently —
+    on this JVM/Python pair a full-BMP sweep found 5 diverging
+    codepoints (e.g. U+A7CB LATIN CAPITAL LETTER RAMS HORN lowers to
+    U+0264 in Spark but is untouched by Python). With a vocab
+    containing the lowercase form, the SAME document therefore counts
+    differently in the two kernels — which is exactly why auto's
+    kernel switch at VOCAB_EXPR_MAX is documented as ASCII-exact only,
+    and non-ASCII corpora should pin form='bulk'."""
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    cap, low = "Ɤ", "ɤ"  # RAMS HORN capital / small rams horn
+    jvm_lower = spark.createDataFrame([(cap,)], "t string").select(
+        F.lower("t")
+    ).first()[0]
+    py_lower = cap.lower()
+    if jvm_lower == py_lower:  # future JVM/Python pair caught up: caveat gone
+        pytest.skip("case tables agree on U+A7CB on this JVM/Python pair")
+    assert jvm_lower == low and py_lower == cap
+    df = spark.createDataFrame([(0, cap)], "doc_id long, text string")
+    vocab = [low]
+    ex = tx.vocab_token_stats(df, vocab=vocab, form="expr").first()
+    bk = tx.vocab_token_stats(df, vocab=vocab, form="bulk").first()
+    # expr: JVM lower maps the char INTO the vocab; bulk: Python lower
+    # leaves it out-of-vocab — one word either way, unk differs
+    assert (ex.n_words, ex.n_unk) == (1, 0)
+    assert (bk.n_words, bk.n_unk) == (1, 1)
+    # and for pure-ASCII text the two kernels are identical on the same
+    # vocab (the regime the auto switch is exact in)
+    adf = spark.createDataFrame([(0, "The RAMS horn")], "doc_id long, text string")
+    aex = tx.vocab_token_stats(adf, form="expr").first()
+    abk = tx.vocab_token_stats(adf, form="bulk").first()
+    assert tuple(aex) == tuple(abk)
+
+
+def test_vocab_auto_routes_bulk_past_threshold(spark):
+    """BPE_SUBWORD_VOCAB_2K (2,054 entries) is past VOCAB_EXPR_MAX, so
+    form='auto' must route to the Arrow bulk kernel (the expr fold
+    refuses loudly) — the q104/q45-'tokx' driver slot depends on this
+    routing, and the vocab must stay quote-free because the DuckDB
+    oracle inlines it into SQL IN-lists."""
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    v2k = tx.BPE_SUBWORD_VOCAB_2K
+    assert len(v2k) == 26 + 676 + 1352 == 2054
+    assert len(v2k) > tx.VOCAB_EXPR_MAX
+    assert all(("'" not in t) and t.isascii() and t.islower() for t in v2k)
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, None)], "doc_id long, text string"
+    )
+    auto = tx.vocab_token_stats(df, vocab=v2k)  # form="auto"
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:500]
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_unk) for r in auto.collect()}
+    blk = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_unk)
+        for r in tx.vocab_token_stats(df, vocab=v2k, form="bulk").collect()
+    }
+    assert got == blk
+    with pytest.raises(ValueError, match="VOCAB_EXPR_MAX"):
+        tx.vocab_token_stats(df, vocab=v2k, form="expr").collect()
+
+
 def test_vocab_token_stats_default_vocab_matches_python(spark):
     """The default BPE_SUBWORD_VOCAB path agrees with a direct python
     implementation of the greedy rule on real-ish text, and is

@@ -809,9 +809,17 @@ def test_streaming_neardup_shingleless_always_novel(spark, tmp_path):
     ])
     _time.sleep(1.1)
     # batch 1 (later window): MORE degenerate docs — one NULL, one empty
-    # string, one single-token — all must still be novel
+    # string, one single-token — all must still be novel. Docs 4 and 5
+    # arrive REPEATEDLY within the window (4 twice at different times, 5
+    # as an identical-ts retry): each arrival emits `bands` sentinel
+    # rows, so a plain count(*) would read 2*bands for the (window, id)
+    # group and flip the always-novel contract to FALSE with an
+    # out-of-domain band count (round-12 advisor fix: sentinel rows are
+    # excluded from the count and a pure-sentinel group reads bands)
     write_file("append", [
         (4, None, "2024-03-01 12:00:00"),
+        (4, None, "2024-03-01 12:00:30"),
+        (5, "", "2024-03-01 12:00:10"),
         (5, "", "2024-03-01 12:00:10"),
         (6, "word", "2024-03-01 12:00:20"),
     ])
