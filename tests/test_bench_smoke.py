@@ -644,10 +644,12 @@ def test_heal_substitutes_in_band_attribution_cells(bench_small, monkeypatch):
     b.FRESH_BANDS["__h1__"] = {"spark": 0.9, "duckdb": 100.0}
     b.FRESH_BANDS["__h2__"] = {"spark": 0.1}
     b.FRESH_BANDS["__crash__"] = {"spark": 0.9}
+    b.FRESH_BANDS["__hd__"] = {"spark": 0.9, "duckdb": 40.0}
     try:
         result = {
-            "spark_families_60m_sec": {"__h1__": 9.9, "__h2__": 9.9, "__crash__": 9.9},
-            "duckdb_families_60m_sec": {"__h1__": 999.0},
+            "spark_families_60m_sec": {"__h1__": 9.9, "__h2__": 9.9,
+                                       "__crash__": 9.9, "__hd__": 0.8},
+            "duckdb_families_60m_sec": {"__h1__": 999.0, "__hd__": 777.0},
             "family_band_notes": [
                 {"family": "__h1__", "engine": "spark", "band_ref_sec": 0.9,
                  "runs_sec": [9.9], "status": "load_suspect"},
@@ -655,6 +657,10 @@ def test_heal_substitutes_in_band_attribution_cells(bench_small, monkeypatch):
                  "runs_sec": [9.9], "status": "load_suspect"},
                 {"family": "__crash__", "engine": "spark", "band_ref_sec": 0.9,
                  "runs_sec": [9.9], "status": "load_suspect"},
+                # a DUCKDB-engine flag: the r11 in-situ validation only ever
+                # exercised spark-cell substitutions (VERDICT r11 nit d)
+                {"family": "__hd__", "engine": "duckdb", "band_ref_sec": 40.0,
+                 "runs_sec": [777.0], "status": "load_suspect"},
             ],
         }
         b._heal_load_suspects(result)
@@ -666,14 +672,26 @@ def test_heal_substitutes_in_band_attribution_cells(bench_small, monkeypatch):
         assert result["spark_families_60m_sec"]["__h1__"] == 1.0
         assert result["duckdb_families_60m_sec"]["__h1__"] == 50.0
         # __h2__: fresh 1.0 > 0.1*1.6+0.3 = 0.46 -> two processes agree,
-        # flag stands (but the better cell is still quoted)
+        # flag stands WITH BOTH VALUES readable in the note (the
+        # in-session reps and the appended fresh attribution rep)
         assert by_fam["__h2__"]["status"] == "load_suspect"
+        assert by_fam["__h2__"]["attribution_sec"] == 1.0
+        assert by_fam["__h2__"]["runs_sec"] == [9.9, 1.0]
         assert result["spark_families_60m_sec"]["__h2__"] == 1.0
         # __crash__: subprocess died -> flag stands with an error note
         assert by_fam["__crash__"]["status"] == "load_suspect"
         assert "TimeoutExpired" in by_fam["__crash__"]["attribution_error"]
-        # attribution reps land in the sidecar raw runs
+        assert "attribution_sec" not in by_fam["__crash__"]
+        # __hd__: the DUCKDB-engine substitution path — fresh 50.0 is
+        # inside 40*1.6+0.3, so the duckdb cell heals in-record while the
+        # unflagged spark cell keeps its (better) in-session min
+        assert by_fam["__hd__"]["status"] == "substituted_by_attribution"
+        assert by_fam["__hd__"]["attribution_sec"] == 50.0
+        assert result["duckdb_families_60m_sec"]["__hd__"] == 50.0
+        assert result["spark_families_60m_sec"]["__hd__"] == 0.8
+        # attribution reps land in the sidecar raw runs for both engines
         assert 1.0 in b._RAW_RUNS["spark_fam:__h1__"]
+        assert 50.0 in b._RAW_RUNS["duckdb_fam:__hd__"]
 
         # > _HEAL_MAX_FAMILIES flagged -> session-wide load, no reruns
         many = {
