@@ -39,6 +39,7 @@ KNOB_REGISTRY = {
     ("operators/dedup.py", "jaccard_pairs", "max_df"): "off-by-default (None)",
     ("operators/dedup.py", "lsh_plan", "max_hashes"): "driver-side planner search bound, touches no data (results change only via the b/r the CALLER then passes on)",
     ("operators/dedup.py", "duplicate_clusters", "max_iters"): "loud (raises on non-convergence)",
+    ("operators/dedup.py", "_star_contraction", "max_rounds"): "loud (raises on non-convergence; internal plumbing of duplicate_clusters max_iters)",
     ("operators/dedup.py", "simhash_pairs", "max_hamming"): "pinned+oracle-mirrors (q36)",
     ("operators/multimodal.py", "sample_frames", "max_frames"): "semantic sampling spec, oracle mirrors (q49)",
     ("operators/analytics.py", "cohort_retention", "max_offset"): "off-by-default (None)",
