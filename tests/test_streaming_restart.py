@@ -36,10 +36,11 @@ def _drain(stream_df, ckpt, mode="append"):
     return results
 
 
-def test_streaming_first_seen_state_survives_restart(spark, tmp_path):
-    """dropDuplicatesWithinWatermark state recovery: a duplicate whose
-    original arrived BEFORE the restart is still dropped AFTER it, and
-    pre-restart files are not reprocessed (no re-emission of docs 1/2)."""
+def _first_seen_restart_scenario(spark, tmp_path):
+    """Shared body: dropDuplicatesWithinWatermark state recovery — a
+    duplicate whose original arrived BEFORE the restart is still dropped
+    AFTER it, and pre-restart files are not reprocessed (no re-emission
+    of docs 1/2)."""
     from duckdb_ddsketch_spark.streaming import streaming_first_seen
 
     src = str(tmp_path / "restart_in")
@@ -85,6 +86,34 @@ def test_streaming_first_seen_state_survives_restart(spark, tmp_path):
     second = lifetime()
     # offsets recovered (1/2 absent) AND digest state recovered (3 dropped)
     assert sorted(r.doc_id for r in second) == [4]
+
+
+def test_streaming_first_seen_state_survives_restart(spark, tmp_path):
+    _first_seen_restart_scenario(spark, tmp_path)
+
+
+def test_streaming_first_seen_restart_under_rocksdb(spark, tmp_path):
+    """Same recovery scenario through the RocksDB state store — the
+    documented production posture (scalable_state_conf). Restart recovery
+    there reloads state from RocksDB snapshots + changelog, a different
+    code path from the default heap provider's delta files."""
+    from duckdb_ddsketch_spark.streaming import scalable_state_conf
+
+    saved = {}
+    for k, v in scalable_state_conf().items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        _first_seen_restart_scenario(spark, tmp_path)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_streaming_neardup_state_survives_restart(spark, tmp_path):
