@@ -419,7 +419,16 @@ FRESH_BANDS = {
     "minhash_lsh_600k": {"spark": 3.26, "duckdb": 48.9},
     "bitmap_retention": {"spark": 4.94, "duckdb": 6.84},
     "ann_brute_2m_x128": {"spark": 1.49, "duckdb": 59.1},
-    "ann_quantized_2m_x128": {"spark": 1.67, "duckdb": 71.5},
+    # round 12 re-base: the 1.67 floor was never observed again after it
+    # was set (officials: r10 2.56, r11 2.08) and six fresh-process reps
+    # on an initially-idle box read 2.25/2.53/2.86/2.95/5.11/3.36 (the
+    # last two inside a verified load episode; the 3.36 cell crossed the
+    # old 2.97 flag limit — the false-flag shape the heal would then have
+    # to clean up). Band = the r11 official multi-pass floor; duckdb
+    # keeps 71.5 (r11 official 77.9 is within tolerance; the same six
+    # reps read 92.4-153, a duckdb-slow evening, min well under the 114.7
+    # limit)
+    "ann_quantized_2m_x128": {"spark": 2.08, "duckdb": 71.5},
     "text_metrics_15m": {"spark": 1.84, "duckdb": 57.8},
     "sessionize_60m": {"spark": 3.91, "duckdb": 8.52},
     "pack_manifest_15m": {"spark": 1.26, "duckdb": 1.17},
