@@ -2043,7 +2043,16 @@ def main() -> None:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", "8g")
+        # 16g (was 8g, the never-calibrated original default): the r11/r12
+        # adjudications proved 8g put kmeans_15m_d64's 3.84 GB cached
+        # corpus exactly at the unified-memory eviction boundary (~4.6 GB
+        # usable), making the cell bimodal — 8g fresh processes read
+        # 32-90 s across one day while 16g read a stable 31.5/35.2 at
+        # band. DuckDB's phase runs uncapped on the same 128 GiB box, so
+        # a 16g Spark heap is still the conservative side of a fair
+        # comparison, and it is the more representative per-executor
+        # posture for the cached-corpus families at cluster scale.
+        .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
