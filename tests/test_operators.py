@@ -384,6 +384,66 @@ def test_duplicate_clusters_star_matches_propagation(spark):
     assert star[40] == 40
 
 
+def test_duplicate_clusters_star_matches_union_find_on_random_graphs(spark):
+    """Three-way equivalence on seeded random graphs: the star-contraction
+    default, the propagation form, and a pure-Python union-find ground
+    truth must all produce the identical (id -> component-min) map. The
+    shapes mix sparse Erdős–Rényi edges, a random tree (long-ish
+    diameter), a dense clique, duplicate edges, self-loops, and both
+    orientations — the structures the fixed-graph tests don't cover."""
+    import random
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = 300
+        edges = []
+        # sparse random edges
+        for _ in range(200):
+            edges.append((rng.randrange(n), rng.randrange(n)))
+        # a random tree over a 60-node id range (parent < child)
+        base = rng.randrange(n - 80)
+        for v in range(base + 1, base + 60):
+            edges.append((v, rng.randrange(base, v)))
+        # a clique over 8 random nodes
+        clique = rng.sample(range(n), 8)
+        edges.extend(
+            (a, b) for i, a in enumerate(clique) for b in clique[i + 1:]
+        )
+        # self-loops, duplicates, reversed orientations
+        edges.append((5, 5))
+        edges.extend(rng.sample(edges, 30))
+        edges.extend((b, a) for a, b in rng.sample(edges, 30))
+
+        # ground truth: union-find, labels = component min
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        truth = {v: find(v) for v in touched}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {
+            r.id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()
+        }
+        prop = {
+            r.id: r.cluster_id
+            for r in dedup.duplicate_clusters(
+                pairs, max_iters=200, method="propagation"
+            ).collect()
+        }
+        assert star == truth, f"star != union-find at seed {seed}"
+        assert prop == truth, f"propagation != union-find at seed {seed}"
+
+
 def test_star_contraction_round_count_is_logarithmic(spark):
     """Pin the O(log diameter) claim on a real path graph: 1,000 hops of
     diameter must converge in ≤ 12 contraction rounds (measured: ~8)."""
