@@ -1452,6 +1452,32 @@ def test_pack_sequences_budget_and_reconciliation(spark):
     assert got == dict(expect)
 
 
+def test_pack_sequences_doc_larger_than_budget(spark):
+    """A single document larger than the budget — routine in web corpora —
+    straddles MULTIPLE sequences: it is assigned to the sequence its first
+    token lands in, later docs resume at the correct cumulative offset,
+    and the wholly-interior sequences (middle chunks of the giant doc)
+    legitimately have no manifest row (no document STARTS there; the
+    tokenizer-side writer derives them from the straddler). Token totals
+    still reconcile exactly."""
+    from duckdb_ddsketch_spark.operators import sampling
+
+    # budget 1000: docs at 400, 3500 (giant), 300, 200
+    rows = [(0, 400), (1, 3500), (2, 300), (3, 200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    seqs = {
+        r.doc_id: r.seq_id
+        for r in sampling.pack_sequences(df, "n_tokens", 1000).collect()
+    }
+    # cumulative-before: 0, 400, 3900, 4200 -> floor/1000 = 0, 0, 3, 4
+    assert seqs == {0: 0, 1: 0, 2: 3, 3: 4}
+    man = sampling.pack_manifest(df, "n_tokens", budget=1000).collect()
+    got = {r.seq_id: (r.n_docs, r.token_sum) for r in man}
+    # seqs 1 and 2 are wholly inside the giant doc: no rows for them
+    assert got == {0: (2, 3900), 3: (1, 300), 4: (1, 200)}
+    assert sum(r.token_sum for r in man) == sum(t for _, t in rows)
+
+
 def test_pack_sequences_integer_div_path(spark):
     """Integral token columns route through exact integer DIV (the plan
     must carry no double cast for seq_id); non-integral columns keep the
