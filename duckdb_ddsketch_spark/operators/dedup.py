@@ -76,7 +76,7 @@ def exact_dedup(
 
     Returns the input columns plus ``is_canonical``; filter on it to dedup.
     """
-    h = F.md5(normalize_text(F.col(text)))
+    h = F.unhex(F.md5(normalize_text(F.col(text))))
     w = Window.partitionBy(h)
     return df.withColumn(
         "is_canonical", F.col(id_col) == F.min(id_col).over(w)
@@ -86,8 +86,16 @@ def exact_dedup(
 def exact_dedup_summary(
     df: DataFrame, keys: Sequence[str], text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-group dedup accounting: docs, distinct texts, dup rows."""
-    h = F.md5(normalize_text(F.col(text)))
+    """Per-group dedup accounting: docs, distinct texts, dup rows.
+
+    The digest is shuffled/aggregated as unhex(md5) — the 16-byte binary,
+    not the 32-char hex string: the key is internal (only counts reach the
+    output, and unhex is injective on hex so every count is unchanged) and
+    the narrower key halves the distinct-aggregate's shuffle bytes and
+    hash-table row width (guide §2.3; round-12 probe: 21.7 s -> 7.9 s
+    in-session at the 60M bench shape, fresh-process pair in
+    OPTIMIZATION_r12.md)."""
+    h = F.unhex(F.md5(normalize_text(F.col(text))))
     return (
         df.select(*keys, h.alias("h"))
         .groupBy(*keys)

@@ -43,6 +43,32 @@ def test_exact_dedup_summary(spark, docs):
     assert out.n_dups == 2
 
 
+def test_exact_dedup_summary_binary_digest_matches_hex(spark, docs):
+    # round 12: the summary shuffles unhex(md5) (16-byte binary) instead
+    # of the 32-char hex string; unhex is injective on hex digests, so
+    # every count must equal the hex-keyed reference aggregate
+    from duckdb_ddsketch_spark.operators.dedup import normalize_text
+
+    df = docs.withColumn("g", (F.col("doc_id") % 2).cast("string"))
+    got = {
+        tuple(r)
+        for r in dedup.exact_dedup_summary(df, ["g"]).collect()
+    }
+    h = F.md5(normalize_text(F.col("text")))
+    ref = {
+        tuple(r)
+        for r in df.select("g", h.alias("h"))
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct"),
+            (F.count("*") - F.countDistinct("h")).cast("long").alias("n_dups"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
 def test_jaccard_pairs_finds_near_dup(spark, docs):
     out = {
         (r.id_a, r.id_b): r.jaccard
