@@ -1050,10 +1050,18 @@ def bm25_scores(
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # size() of the filtered token array == Σ tf for the doc; greatest(,0)
-    # guards NULL text (size -1 / NULL under either sizeOfNull setting)
-    tok_n = F.size(
-        F.filter(tokens(F.lower(F.col(text))), lambda t: t != F.lit(""))
+    # dl = number of non-empty tokens. regexp_count over the space-trimmed
+    # text counts the maximal non-space runs WITHOUT materializing a token
+    # array + a filtered copy per document (round 12, guide §1.2 per-task
+    # work: the counting-only scan measured 2.00 -> 1.45 s at the 15M-doc
+    # bench shape, full family min 19.8 -> 15.6 s in-session). Provably
+    # equal to size(filter(split(trim(s), ' +'), t != '')) for every
+    # string: after the space-trim both count the non-empty
+    # space-separated segments (tabs/newlines are non-space bytes to both
+    # the split and the character class); NULL text maps to 0 via
+    # coalesce, exactly like the old greatest(size, 0) guard.
+    tok_n = F.coalesce(
+        F.regexp_count(F.trim(F.col(text)), F.lit("[^ ]+")), F.lit(0)
     )
     qterms = (
         queries.select(
@@ -1066,7 +1074,7 @@ def bm25_scores(
     uterms = qterms.select("term").distinct()
     toks = df.select(
         F.col(id_col).alias("__doc"),
-        F.greatest(tok_n, F.lit(0)).alias("dl"),
+        tok_n.alias("dl"),
         F.explode(tokens(F.lower(F.col(text)))).alias("term"),
     ).where(F.col("term") != "")
     hits = toks.join(F.broadcast(uterms), "term")
@@ -1087,7 +1095,7 @@ def bm25_scores(
     cand = per_doc_term.join(F.broadcast(dfreq), "term")
     stats = df.select(
         F.countDistinct(F.col(id_col)).alias("n_docs"),
-        F.sum(F.greatest(tok_n, F.lit(0))).alias("total_tokens"),
+        F.sum(tok_n).alias("total_tokens"),
     )
     matched = cand.join(F.broadcast(qterms), "term").crossJoin(
         F.broadcast(stats)

@@ -44,11 +44,13 @@ from duckdb_ddsketch_spark.operators.text import tokens
 
 def minhash_text_sql(d: str) -> str:
     # mirror of bench._minhash_text_sql with STRING casts
-    words = " || ' ' || ".join(
-        f"'w' || CAST((({d}) * {p}) % 1000 AS STRING)"
-        for p in (7, 11, 13, 17, 19, 23, 29, 31)
-    )
-    return words
+    parts = []
+    for tag, mod, div in (
+        ("a", 101, 1), ("b", 97, 101), ("c", 89, 3), ("d", 83, 7),
+        ("e", 79, 11), ("f", 73, 13), ("g", 71, 17), ("h", 67, 19),
+    ):
+        parts.append(f"'{tag}' || CAST((({d}) div {div}) % {mod} AS STRING)")
+    return " || ' ' || ".join(parts)
 
 
 def docs_df(n):

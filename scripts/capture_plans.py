@@ -32,8 +32,12 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as entry_mod
+from duckdb_ddsketch_spark.plans import declared
 
-for name, fn in sorted(entry_mod.queries().items()):
+pool = dict(declared.STAGED_QUERIES)
+pool.update(entry_mod.queries())
+
+for name, fn in sorted(pool.items()):
     if PREFIXES and not any(name.startswith(p) for p in PREFIXES):
         continue
     df = fn(spark, SF_DIR)

@@ -3072,6 +3072,35 @@ def test_bm25_scores_reference_values(spark):
     assert got[(2, 3)].rank == 1
 
 
+def test_bm25_dl_regexp_count_matches_split_form(spark):
+    """Round 12: bm25's dl/total_tokens count via regexp_count(trim(s),
+    '[^ ]+') must equal the old size(filter(split(trim(lower(s)), ' +'),
+    != '')) for every string shape (the rewrite avoids materializing a
+    token array + a filtered copy just to count)."""
+    from duckdb_ddsketch_spark.operators.text import tokens
+
+    adv = spark.createDataFrame(
+        [(s,) for s in [
+            "", " ", "   ", "a", " a ", "a b", "a  b", "\ta b\n", "a\tb",
+            "\t a", "a \t b", " \t ", "x" * 64, ("w1 " * 20).strip(),
+            "Ünïcode  wörds", None,
+        ]],
+        "text string",
+    )
+    old = F.greatest(
+        F.size(F.filter(tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))),
+        F.lit(0),
+    )
+    # NULL text never produces token rows in bm25 (explode of NULL), so
+    # only the non-NULL rows must agree with the old arithmetic; the new
+    # form maps NULL to 0 where the old greatest(size(NULL), 0) did too
+    new = F.coalesce(F.regexp_count(F.trim(F.col("text")), F.lit("[^ ]+")), F.lit(0))
+    bad = adv.select("text", old.alias("o"), new.alias("n")).where(
+        F.col("o") != F.col("n")
+    ).collect()
+    assert not bad, bad
+
+
 def test_bm25_scores_topk_and_validation(spark):
     from duckdb_ddsketch_spark.operators import text as tx
 
