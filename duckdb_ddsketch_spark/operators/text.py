@@ -166,6 +166,17 @@ def _vocab_by_len(vocab: Sequence[str]) -> dict:
 # — the same call the PQ codebooks make with their BLAS forms.
 VOCAB_EXPR_MAX = 512
 
+# bm25_scores prunes corpus tokens against the distinct query-term set
+# BEFORE exploding them when the set is at most this many terms: the
+# in-array IN-list filter is a per-token linear scan (every native probe
+# container is — see the VOCAB_EXPR_MAX note above), but its fast-fail
+# string compares beat materializing + broadcast-hash-probing one row
+# per corpus token up to at least 128 terms (measured: 13.4 -> 7.5 s at
+# 9 terms, 22.7 -> 12.4 s at 128 terms, 15M docs / 120M tokens — min
+# over interleaved reps, scripts/bm25_prefilter_probe.py). Past the cap
+# the explode + broadcast semi-join prune applies unchanged.
+_BM25_PREFILTER_MAX = 128
+
 
 def vocab_token_counts(
     text: Column, vocab: Sequence[str] = BPE_SUBWORD_VOCAB
@@ -1017,17 +1028,28 @@ def bm25_scores(
     product, never a repeated subtree):
       1. ONE heavy pass: tokenize+explode with the document length dl —
          a map-side size() of the token array, no window, no second
-         branch — carried on every token row, then the broadcast
-         semi-join onto query terms prunes the RAW token stream BEFORE
-         any shuffle; the per-(doc, term) tf hash-aggregate shuffles
-         only query-term hits (tf over pruned rows equals tf over the
-         corpus — pruning drops whole terms, never occurrences of a
-         kept term). Measured on the 15M-doc bench family:
-         aggregate-then-prune 35.0 s → prune-then-aggregate 17.2 s. (A
-         driver-collected literal-terms variant computing tf map-side
-         via per-term size(filter(tokens == t)) — no explode at all —
-         measured 20.4 s: k array passes per document lose to one
-         explode + a broadcast hash filter; rejected.);
+         branch — carried on every token row, then the query-term
+         prune drops the RAW token stream BEFORE any shuffle; the
+         per-(doc, term) tf hash-aggregate shuffles only query-term
+         hits (tf over pruned rows equals tf over the corpus — pruning
+         drops whole terms, never occurrences of a kept term). Measured
+         on the 15M-doc bench family: aggregate-then-prune 35.0 s →
+         prune-then-aggregate 17.2 s. The prune itself has two forms:
+         for ≤ ``_BM25_PREFILTER_MAX`` distinct query terms (one
+         bounded limit-collect of the model-sized term set) the token
+         ARRAY is filtered against a literal IN-list before the explode,
+         so only hits are ever materialized as rows — at the bench's
+         ~1.4% hit rate that is a 75× smaller generate output, measured
+         13.4 → 7.5 s (min over interleaved reps; the IN-list is a
+         per-token linear scan — round-11 lesson — but its fast-fail
+         string compares are cheaper than materializing + hash-probing
+         a row per token, still winning at 128 terms: 22.7 → 12.4 s).
+         Beyond the cap the original explode + broadcast semi-join
+         prune applies unchanged. (A driver-collected literal-terms
+         variant computing tf map-side via per-term
+         size(filter(tokens == t)) — no explode at all — measured
+         20.4 s: k array passes per document lose to one pruned
+         explode; rejected.);
       2. df_t comes from a ≤-#terms-row groupBy('term') aggregate over
          the CHECKPOINTED per-(doc, term) candidate table, broadcast
          back onto it — deliberately NOT a per-term count window, whose
@@ -1072,12 +1094,28 @@ def bm25_scores(
         .distinct()
     )
     uterms = qterms.select("term").distinct()
-    toks = df.select(
-        F.col(id_col).alias("__doc"),
-        tok_n.alias("dl"),
-        F.explode(tokens(F.lower(F.col(text)))).alias("term"),
-    ).where(F.col("term") != "")
-    hits = toks.join(F.broadcast(uterms), "term")
+    # prune-before-explode when the distinct term set is small: the
+    # limit-collect is bounded (at most _BM25_PREFILTER_MAX + 1 rows of
+    # a model-sized-by-contract table), and overflow falls back to the
+    # broadcast semi-join prune without ever collecting the full set.
+    term_rows = uterms.limit(_BM25_PREFILTER_MAX + 1).collect()
+    if 0 < len(term_rows) <= _BM25_PREFILTER_MAX:
+        term_list = sorted(r[0] for r in term_rows)
+        tok_arr = F.filter(
+            tokens(F.lower(F.col(text))), lambda t: t.isin(term_list)
+        )
+        hits = df.select(
+            F.col(id_col).alias("__doc"),
+            tok_n.alias("dl"),
+            F.explode(tok_arr).alias("term"),
+        )
+    else:
+        toks = df.select(
+            F.col(id_col).alias("__doc"),
+            tok_n.alias("dl"),
+            F.explode(tokens(F.lower(F.col(text)))).alias("term"),
+        ).where(F.col("term") != "")
+        hits = toks.join(F.broadcast(uterms), "term")
     # pin the candidate aggregate (bounded by docs containing a query
     # term): df_t then comes from a PARTIALLY-AGGREGATED ≤-#terms-row
     # aggregate broadcast back on — never a per-term window, whose hot

@@ -3101,6 +3101,38 @@ def test_bm25_dl_regexp_count_matches_split_form(spark):
     assert not bad, bad
 
 
+def test_bm25_prefilter_branch_matches_join_branch(spark, monkeypatch):
+    """Round 12: bm25's prune-before-explode form (<= _BM25_PREFILTER_MAX
+    distinct query terms -> token array filtered against a literal
+    IN-list before the explode) must produce identical rows to the
+    explode + broadcast semi-join prune; the cap is monkeypatched to 0
+    to force the join branch on the same input."""
+    from duckdb_ddsketch_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple  cherry"),          # double space
+            (3, "banana banana banana durian"),
+            (4, ""),                        # empty text
+            (5, None),                      # NULL text
+            (6, "   "),                     # whitespace only
+            (7, "kiwi melon"),              # no query term at all
+            (8, "APPLE Banana"),            # case folding
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "apple"), (2, "banana durian"), (3, "apple banana")],
+        "query_id int, query_text string",
+    )
+    pre = sorted(map(tuple, tx.bm25_scores(docs, qs, k=10).collect()))
+    monkeypatch.setattr(tx, "_BM25_PREFILTER_MAX", 0)
+    join = sorted(map(tuple, tx.bm25_scores(docs, qs, k=10).collect()))
+    assert pre == join
+    assert pre  # non-degenerate: the corpus has matches
+
+
 def test_bm25_scores_topk_and_validation(spark):
     from duckdb_ddsketch_spark.operators import text as tx
 
