@@ -6,11 +6,18 @@ Prints ONE JSON line:
 
 The comparator is DuckDB executing the equivalent bin-math oracle SQL over
 the same parquet (BASELINE.md); its timings are included as
-``duckdb_oracle`` unless --no-compare is passed. The DuckDB section runs
-BEFORE the Spark JVM is started so neither engine's numbers are skewed by
-the other's threads/GC. ``native_sketch_rows_per_sec`` reports the native
-path's marginal throughput at 60M generated rows — the scale-relevant
-number (per-query times at sf0.1 are fixed-overhead-bound).
+``duckdb_oracle`` unless --no-compare is passed. The SPARK sections run
+FIRST (round 13 — the r12 record was erased when an external wall-clock
+timeout landed after a contention-doubled DuckDB phase): a timeout must
+cost the comparator, never the subject. The gateway JVM is shut down
+before the DuckDB phase starts so the comparator still runs on an
+otherwise-idle machine, and an incremental ``{"partial": ...}`` snapshot
+line is printed after every completed section and family rep — the
+driver parses the LAST stdout line, so a killed run is parsed as the
+newest complete snapshot instead of losing the round.
+``native_sketch_rows_per_sec`` reports the native path's marginal
+throughput at 60M generated rows — the scale-relevant number (per-query
+times at sf0.1 are fixed-overhead-bound).
 
 Per-family protocol (round 9): every 60M-class family runs under a
 multi-pass scheduler — spread repetitions in rotated order with min
@@ -40,6 +47,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# ---------------------------------------------------------------------------
+# Session wall-clock guard (round 13, VERDICT r12 items 1-2). The r12 run
+# was killed by an external timeout after the comparator phase — running
+# first back then — took ~2x its band under host contention and the
+# band-retry self-heal re-ran six 60-400 s DuckDB families on top. Every
+# REQUIRED measurement (pass-1 reps, headline, native) always runs; the
+# OPTIONAL extras (pass-2/3 spread reps, end-of-session band retries,
+# fresh-process heal pairs) are skipped once the session passes this
+# deadline, and skipped retries leave their cells flagged load_suspect
+# with a retry_skipped_over_budget marker instead of re-measuring them.
+# 4500 s: a healthy full session ends ~2400 s, a 2x-contended comparator
+# still fits pass 1, and the observed external kill window is > 4800 s.
+# ---------------------------------------------------------------------------
+_T0 = time.monotonic()
+_DEADLINE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "4500"))
+
+
+def _budget_left() -> float:
+    return _DEADLINE_SEC - (time.monotonic() - _T0)
 
 # Headline set: the scale-relevant pipelines (native path, the canonical
 # blob-aggregation roll-up, the pandas ingest path) plus one query from each
@@ -85,6 +112,34 @@ _ONLY = {
 
 def _fam_on(name: str) -> bool:
     return not _ONLY or name in _ONLY
+
+
+def _partial(result: dict, stage: str) -> None:
+    """Timeout insurance (round 13): print a compact snapshot of the
+    record so far. The driver parses the LAST stdout line, so if an
+    external wall-clock kill lands mid-run, the newest complete snapshot
+    becomes the round record instead of nothing. Completed runs end with
+    _emit's final line, which makes every snapshot invisible to them.
+
+    The snapshot applies the same compaction as _emit (families at 2dp,
+    oracle as a total, band notes left to the raw line/sidecar) so a
+    killed run's last line stays inside the driver's tail-capture window.
+    Attribution subprocesses skip snapshots entirely — the heal parser
+    scans their stdout in reverse for the first families record, which
+    must be _emit's authoritative final line."""
+    if _ONLY:
+        return
+    snap: dict = {"partial": stage}
+    for k, v in result.items():
+        if k == "family_band_notes":
+            continue
+        if k == "duckdb_oracle":
+            snap["duckdb_oracle_total"] = round(sum(v.values()), 3)
+        elif k in ("spark_families_60m_sec", "duckdb_families_60m_sec"):
+            snap[k] = {n: round(t, 2) for n, t in v.items()}
+        else:
+            snap[k] = v
+    print(json.dumps(snap), flush=True)
 
 # Round-over-round continuity contract: these keys appeared in the official
 # BENCH_r05.json `spark_families_60m_sec` and MUST keep their names —
@@ -502,13 +557,21 @@ FAMILY_PASS1_ORDER = [
 PASS_CUTOFFS = {"spark": (60.0, 15.0), "duckdb": (30.0, 10.0)}
 
 
-def _run_family_passes(entries, engine: str, result: dict) -> dict:
+def _run_family_passes(entries, engine: str, result: dict, on_progress=None) -> dict:
     """Run family entries under the multi-pass protocol; returns
     {name: min_sec}. ``entries``: list of (name, thunk, setup) — setup
     (or None) runs once before the family's first timed rep (stream
     staging, steady-state warm-ups). Families not selected by
     SPARK_GRAFT_BENCH_ONLY are skipped entirely. Band notes are appended
-    to result["family_band_notes"]."""
+    to result["family_band_notes"]. ``on_progress`` (round 13), when
+    given, is called with the current {name: min_sec} snapshot after
+    every timed rep — the partial-emission hook.
+
+    Round 13 budget rule: pass-1 reps always run (they ARE the record);
+    pass-2/3 spread reps and the end-of-session band retry are optional
+    robustness and are skipped once the session deadline passes —
+    a skipped retry leaves the cell load_suspect with
+    retry_skipped_over_budget instead of re-measuring it."""
     p2_cut, p3_cut = PASS_CUTOFFS[engine]
     order = {n: i for i, n in enumerate(FAMILY_PASS1_ORDER)}
     sel = [e for e in entries if _fam_on(e[0])]
@@ -522,21 +585,37 @@ def _run_family_passes(entries, engine: str, result: dict) -> dict:
             setup()
             warmed.add(name)
         times.setdefault(name, []).append(_timed(fn, key=f"{engine}_fam:{name}"))
+        if on_progress is not None:
+            on_progress({n: round(min(ts), 3) for n, ts in times.items()})
 
     def ref(name):
         band = FRESH_BANDS.get(name, {}).get(engine)
         # unknown (new) family: fall back to its measured pass-1 rep
         return band if band is not None else min(times[name])
 
+    def affordable(name):
+        # an optional rep is worth starting only while the session has
+        # room for ~2x its band estimate (contended boxes run slow)
+        return _budget_left() > 2.0 * max(ref(name), 1.0)
+
+    truncated = False
     for e in sel:  # pass 1 — canonical order
         run_one(e)
     for e in reversed(sel):  # pass 2 — reversed (old tail first)
         if ref(e[0]) < p2_cut:
+            if not affordable(e[0]):
+                truncated = True
+                continue
             run_one(e)
     third = len(sel) // 3
     for e in sel[third:] + sel[:third]:  # pass 3 — rotated by a third
         if ref(e[0]) < p3_cut:
+            if not affordable(e[0]):
+                truncated = True
+                continue
             run_one(e)
+    if truncated:
+        result.setdefault("passes_truncated_over_budget", []).append(engine)
 
     notes = result.setdefault("family_band_notes", [])
     for e in sel:
@@ -547,17 +626,20 @@ def _run_family_passes(entries, engine: str, result: dict) -> dict:
         limit = band * BAND_TOL + BAND_ABS
         if min(times[name]) <= limit:
             continue
-        run_one(e)  # one end-of-session retry, spread in time
-        cleared = min(times[name]) <= limit
-        notes.append(
-            {
-                "family": name,
-                "engine": engine,
-                "band_ref_sec": band,
-                "runs_sec": [round(t, 3) for t in times[name]],
-                "status": "cleared_by_retry" if cleared else "load_suspect",
-            }
-        )
+        note = {
+            "family": name,
+            "engine": engine,
+            "band_ref_sec": band,
+        }
+        if affordable(name):
+            run_one(e)  # one end-of-session retry, spread in time
+            cleared = min(times[name]) <= limit
+            note["status"] = "cleared_by_retry" if cleared else "load_suspect"
+        else:
+            note["status"] = "load_suspect"
+            note["retry_skipped_over_budget"] = True
+        note["runs_sec"] = [round(t, 3) for t in times[name]]
+        notes.append(note)
     return {n: round(min(ts), 3) for n, ts in times.items()}
 
 
@@ -609,6 +691,16 @@ def _heal_load_suspects(result: dict) -> None:
     for fam in fams:
         env["SPARK_GRAFT_BENCH_ONLY"] = fam
         fam_notes = [n for n in flagged if n["family"] == fam]
+        # round 13: a heal pair re-times BOTH engines plus two process
+        # startups — skip it (keeping the flag, which is honest: the cell
+        # IS unconfirmed) once the session deadline leaves no room, so
+        # healing can never be the straw that erases the record
+        bands = FRESH_BANDS.get(fam, {})
+        est = sum(bands.get(e, 150.0) for e in ("spark", "duckdb")) + 120.0
+        if _budget_left() < est:
+            for n in fam_notes:
+                n["attribution_error"] = "skipped: session deadline exhausted"
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -670,7 +762,8 @@ def _best3(fn, key=None) -> float:
 
 
 def run_duckdb(result: dict) -> None:
-    """DuckDB comparator on an otherwise-idle machine (no JVM yet)."""
+    """DuckDB comparator on an otherwise-idle machine (round 13: runs
+    AFTER the Spark phase, whose gateway JVM has been shut down)."""
     import duckdb
 
     from duckdb_ddsketch_spark.plans import declared
@@ -698,6 +791,7 @@ def run_duckdb(result: dict) -> None:
             ducks[name] = _best3(lambda: con.execute(sql).fetchall(), key=f"duckdb:{name}")
     if not _ONLY:
         result["duckdb_oracle"] = ducks
+        _partial(result, "duckdb_oracle_done")
 
     # Same 60M-row workload in DuckDB (generation + binned quantile
     # aggregation, one query, all threads) — the apples-to-apples
@@ -735,6 +829,7 @@ def run_duckdb(result: dict) -> None:
         t0 = time.perf_counter()
         con.execute(duck_60m).fetchall()
         result["duckdb_60m_sec"] = round(time.perf_counter() - t0, 3)
+        _partial(result, "duckdb_60m_done")
 
     if FAMILIES:
         entries = []
@@ -756,8 +851,13 @@ def run_duckdb(result: dict) -> None:
                 else:
                     setup = _ensure_stream_src
             entries.append((name, thunk, setup))
+
+        def _prog(cells):
+            result["duckdb_families_60m_sec"] = cells
+            _partial(result, "duckdb_families_progress")
+
         result["duckdb_families_60m_sec"] = _run_family_passes(
-            entries, "duckdb", result
+            entries, "duckdb", result, on_progress=_prog
         )
     con.close()
 
@@ -2012,18 +2112,46 @@ def run_spark_families(spark, result: dict) -> None:
         )
     )
 
-    result["spark_families_60m_sec"] = _run_family_passes(entries, "spark", result)
+    def _prog(cells):
+        result["spark_families_60m_sec"] = cells
+        _partial(result, "spark_families_progress")
+
+    result["spark_families_60m_sec"] = _run_family_passes(
+        entries, "spark", result, on_progress=_prog
+    )
+
+
+def _shutdown_jvm(spark) -> None:
+    """Stop Spark AND exit the gateway JVM (round 13): the DuckDB
+    comparator now runs AFTER the Spark phase, and it must still see an
+    otherwise-idle machine — spark.stop() alone leaves a 16g-heap JVM
+    process alive for the rest of the session."""
+    from pyspark import SparkContext
+
+    spark.stop()
+    gw = SparkContext._gateway
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    if gw is None:
+        return
+    try:
+        proc = getattr(gw, "proc", None)
+        gw.shutdown()
+        if proc is not None:
+            try:
+                proc.stdin.close()
+            except Exception:
+                pass
+            try:
+                proc.wait(timeout=30)
+            except Exception:
+                proc.kill()
+    except Exception:
+        pass  # best-effort: a lingering idle JVM only costs memory
 
 
 def main() -> None:
     result: dict = {}
-    if "--no-compare" not in sys.argv:
-        run_duckdb(result)
-        # partial-record insurance: if the session dies mid-Spark (driver
-        # timeout, OOM), the DuckDB half of the record survives on stdout.
-        # The driver parses only the LAST line, so this extra line is
-        # invisible to a completed run.
-        print(json.dumps({"partial": "duckdb_done", **result}), flush=True)
 
     from pyspark.sql import SparkSession
 
@@ -2117,6 +2245,7 @@ def main() -> None:
                 "sf": sf_label,
             }
         )
+        _partial(result, "spark_headline_done")
     else:
         result.update({"metric": "bench_only_families", "sf": sf_label})
 
@@ -2143,11 +2272,20 @@ def main() -> None:
         dt = time.perf_counter() - t0
         result["native_sketch_rows_per_sec"] = int(N_60M / dt)
         result["native_sketch_60m_sec"] = round(dt, 3)
+        _partial(result, "spark_native_done")
 
     if FAMILIES:
         run_spark_families(spark, result)
 
-    spark.stop()
+    # the full Spark record exists from here on — every later phase is
+    # comparator/robustness work an external timeout may cost us
+    _shutdown_jvm(spark)
+    _partial(result, "spark_done")
+
+    if "--no-compare" not in sys.argv:
+        run_duckdb(result)
+        _partial(result, "duckdb_done")
+
     # official runs self-heal before emitting: any family still flagged
     # after the in-session retry gets one fresh-process attribution pair,
     # substituted in-record when it lands inside the band

@@ -710,6 +710,95 @@ def test_heal_substitutes_in_band_attribution_cells(bench_small, monkeypatch):
         b._RAW_RUNS.clear()
 
 
+def test_partial_snapshot_lines(bench_small, capsys, monkeypatch):
+    """Round 13 (VERDICT r12 item 1): every completed section/family rep
+    prints a {"partial": ...} snapshot so an external wall-clock kill
+    leaves the newest complete record as the last stdout line. Snapshots
+    must apply _emit's compaction (band notes dropped, oracle totalled,
+    family cells at 2dp) so a killed run's last line stays inside the
+    driver's tail-capture window, and attribution subprocesses must not
+    print them (their stdout is reverse-scanned for the families record)."""
+    import json as _json
+
+    b = bench_small
+    result = {
+        "metric": "headline_queries_total",
+        "value": 1.5,
+        "duckdb_oracle": {"q01": 0.1, "q02": 0.25},
+        "spark_families_60m_sec": {"hll_distinct": 5.678},
+        "family_band_notes": [{"family": "f", "engine": "spark",
+                               "band_ref_sec": 1.0, "runs_sec": [9.9],
+                               "status": "load_suspect"}],
+    }
+    b._partial(result, "spark_done")
+    snap = _json.loads(capsys.readouterr().out.strip())
+    assert snap["partial"] == "spark_done"
+    assert "family_band_notes" not in snap
+    assert "duckdb_oracle" not in snap
+    assert snap["duckdb_oracle_total"] == 0.35
+    assert snap["spark_families_60m_sec"] == {"hll_distinct": 5.68}
+    assert snap["metric"] == "headline_queries_total"
+    # result itself is untouched (the final _emit still sees everything)
+    assert "duckdb_oracle" in result and "family_band_notes" in result
+    # attribution subprocesses stay snapshot-free
+    monkeypatch.setattr(b, "_ONLY", {"hll_distinct"})
+    b._partial(result, "spark_done")
+    assert capsys.readouterr().out == ""
+    # the family-passes progress hook feeds snapshots after every rep
+    monkeypatch.setattr(b, "_ONLY", set())
+    seen = []
+    b._run_family_passes(
+        [("hll_distinct", lambda: None, None)], "spark", {},
+        on_progress=lambda cells: seen.append(dict(cells)),
+    )
+    assert len(seen) == 3  # pass 1 + pass 2 + pass 3 for a cheap family
+    assert all("hll_distinct" in s for s in seen)
+    b._RAW_RUNS.clear()
+
+
+def test_budget_skips_optional_work(bench_small, monkeypatch):
+    """Round 13 (VERDICT r12 item 2): once the session deadline passes,
+    pass-2/3 spread reps, band retries and heal pairs are SKIPPED rather
+    than run — pass-1 cells always exist, skipped retries leave an honest
+    load_suspect + retry_skipped_over_budget note, and heal marks its
+    skip in attribution_error. A timeout can then never erase the record."""
+    b = bench_small
+    b._RAW_RUNS.clear()
+    monkeypatch.setattr(b, "_DEADLINE_SEC", -1.0)  # deadline already passed
+    calls = []
+    b.FRESH_BANDS["__b1__"] = {"spark": -1.0}  # any time exceeds the band
+    try:
+        result: dict = {}
+        fams = b._run_family_passes(
+            [("hll_distinct", lambda: calls.append("h"), None),
+             ("__b1__", lambda: calls.append("b"), None)],
+            "spark", result,
+        )
+        # exactly one pass-1 rep each: no pass-2/3, no retry
+        assert calls == ["h", "b"]
+        assert set(fams) == {"hll_distinct", "__b1__"}
+        assert result["passes_truncated_over_budget"] == ["spark"]
+        (note,) = result["family_band_notes"]
+        assert note["family"] == "__b1__"
+        assert note["status"] == "load_suspect"
+        assert note["retry_skipped_over_budget"] is True
+        assert len(note["runs_sec"]) == 1
+        # heal skips the pair and says so, keeping the flag
+        import subprocess as _sp
+
+        def boom(*a, **k):  # pragma: no cover - must not be reached
+            raise AssertionError("heal ran a subprocess past the deadline")
+
+        monkeypatch.setattr(_sp, "run", boom)
+        b._heal_load_suspects(result)
+        (note,) = result["family_band_notes"]
+        assert note["status"] == "load_suspect"
+        assert "deadline" in note["attribution_error"]
+    finally:
+        del b.FRESH_BANDS["__b1__"]
+        b._RAW_RUNS.clear()
+
+
 def test_pq_mirror_agrees(spark, bench_small):
     """Round-10 family: the DuckDB PQ/ADC mirror must return the SAME
     (query_id, neighbor_id, adc, rank) top-k rows as the Spark
