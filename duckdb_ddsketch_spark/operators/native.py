@@ -1129,7 +1129,16 @@ def quantile_normalize(
             # Local-bench wall-clock is neutral at 60M in-memory rows
             # (the probe join dominates); the saved pass matters where
             # input scans are storage-bound, i.e. the actual target.
-            binned = binned.localCheckpoint(eager=False)
+            # Project to the columns the CDF actually consumes BEFORE
+            # checkpointing: a checkpoint pins its full schema, so the
+            # unprojected form made the 60M-row hash aggregate compute
+            # (and materialize) sum(v*w)/min(v)/max(v) partials that
+            # quantile normalization never reads — the same stats
+            # Catalyst prunes fine in the checkpoint-free
+            # percentile_rank plan.
+            binned = binned.select(
+                *keys, "sign", "bin", "cnt"
+            ).localCheckpoint(eager=False)
         src = spark.sql(_cum_bins_sql(keys, gamma, "{b}"), b=binned)
         if keys:
             refagg = binned.groupBy("sign", "bin").agg(

@@ -6,7 +6,10 @@ array, hashes via ``md5``. Every operator is therefore whole-stage-codegen'd
 and partially aggregated — per-row work is embarrassingly parallel and the
 only shuffles are the final (small) per-group aggregations, so the designs
 hold at 100 TB: scans prune columns to ``text`` + keys, and no driver-side
-collection happens anywhere.
+collection happens anywhere — with ONE bounded exception:
+:func:`bm25_scores` collects at most ``_BM25_PREFILTER_MAX + 1`` distinct
+query terms (a model-sized-by-contract table, never the corpus) at call
+time to build its pre-explode term filter.
 """
 
 from __future__ import annotations
@@ -1066,6 +1069,12 @@ def bm25_scores(
          token-count expression, no explode — empty docs must count in N);
       5. final agg keyed (query, doc); top-k via per-query window over
          candidates only.
+    Note the call is NOT fully lazy: building the prune fires one bounded
+    Spark job over the model-sized query-term table (same class as a
+    broadcast-threshold probe), and that term table is materialized
+    (localCheckpoint) so the collected prefilter list and the scoring
+    join always see the SAME term set even if ``queries`` is built from
+    non-deterministic expressions.
     Beyond-reference operator (no counterpart in /root/reference).
     """
     if k1 < 0 or not (0.0 <= b <= 1.0):
@@ -1092,6 +1101,14 @@ def bm25_scores(
         )
         .where(F.col("term") != "")
         .distinct()
+        # one materialization feeds BOTH the collected prefilter term
+        # list and the execution-time scoring join: without it a
+        # non-deterministically evaluated `queries` input could yield
+        # execution-time terms absent from the collected snapshot, whose
+        # corpus rows the prefilter would already have dropped. The
+        # checkpointed table is model-sized by contract (distinct
+        # (query, term) pairs), so pinning it costs ~nothing.
+        .localCheckpoint(eager=False)
     )
     uterms = qterms.select("term").distinct()
     # prune-before-explode when the distinct term set is small: the
