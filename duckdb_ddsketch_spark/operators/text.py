@@ -170,15 +170,21 @@ def _vocab_by_len(vocab: Sequence[str]) -> dict:
 VOCAB_EXPR_MAX = 512
 
 # bm25_scores prunes corpus tokens against the distinct query-term set
-# BEFORE exploding them when the set is at most this many terms: the
-# in-array IN-list filter is a per-token linear scan (every native probe
-# container is — see the VOCAB_EXPR_MAX note above), but its fast-fail
-# string compares beat materializing + broadcast-hash-probing one row
-# per corpus token up to at least 128 terms (measured: 13.4 -> 7.5 s at
-# 9 terms, 22.7 -> 12.4 s at 128 terms, 15M docs / 120M tokens — min
-# over interleaved reps, scripts/bm25_prefilter_probe.py). Past the cap
-# the explode + broadcast semi-join prune applies unchanged.
-_BM25_PREFILTER_MAX = 128
+# BEFORE exploding them when the set is at most this many terms
+# (Catalyst folds the literal IN to an INSET hash set above
+# inSetConversionThreshold, so per-token probe cost is ~flat in set
+# size; what the prune buys is rows never materialized by the explode).
+# Round-12 measurements: 13.4 -> 7.5 s at 9 terms, 22.7 -> 12.4 s at
+# 128 mostly-missing terms (scripts/bm25_prefilter_probe.py). Round-13
+# crossover sweep with MOSTLY-EXISTING terms — the adversarial case,
+# where high hit rates shrink the saving — still shows no crossover
+# through 512: join-branch vs prefilter mins 22.1/16.4 s at 128 terms,
+# 31.1/19.7 at 256, 78.2/58.0 at 512 (15M docs / 120M tokens,
+# interleaved reps, scripts/bm25_crossover_probe.py; branch equality
+# pinned per set size). Cap set at the largest measured point — past
+# it the explode + broadcast semi-join prune applies unchanged, and the
+# bounded limit-collect never pulls more than cap+1 rows either way.
+_BM25_PREFILTER_MAX = 512
 
 
 def vocab_token_counts(
