@@ -499,10 +499,14 @@ FRESH_BANDS = {
     # fresh-process 12.64/12.60 vs 26.1/23.6/23.9 for the md5-string form;
     # DuckDB 57.6/57.5 on an idle machine)
     "span_extents_2m": {"spark": 12.6, "duckdb": 57.5},
-    # round 9 (fresh-process: prune-then-aggregate 17.2/17.8; 15.4 after
-    # the skew-review fix replaced the per-term df window with a pinned
-    # candidate aggregate + broadcast df join; DuckDB 112.1/132.0)
-    "bm25_15m": {"spark": 15.4, "duckdb": 112.0},
+    # round 13 re-base: the r12 regexp_count-dl + pre-explode-prune
+    # rewrites moved the family's floor well under the old 15.4 ref
+    # (fresh-process attribution pair this round: 7.43; full-protocol
+    # session mins 9.2/11.65 under documented contention windows), so
+    # 15.4 had become stale-high — a non-detector. Spark ref = the
+    # clean fresh-process min; duckdb keeps the round-9 112.0 (r13
+    # sessions read 112.7/121.8, within tolerance)
+    "bm25_15m": {"spark": 7.43, "duckdb": 112.0},
     # round 11 re-base (VERDICT r10 item 3): spark min 2.225 over six
     # fresh-process reps on a steal-checked idle box (r10's 2.86 was
     # calibrated in that round's slow session, ~25% loose); duckdb keeps
