@@ -41,6 +41,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens, word_ngrams
 
+# duplicate_span_extents: broadcast the materialized duplicated-gram census
+# into the probe join when it has at most this many rows. 2M keys build a
+# ~50-100 MB hash relation (xxhash64 BIGINT keys; ~2x that for md5 strings)
+# — safe on stock driver/executor memory; larger censuses (boilerplate-heavy
+# corpora) fall back to the equi-join. The bench-family census is ~450k rows.
+_SPAN_DUP_BROADCAST_MAX = 2_000_000
+
 __all__ = [
     "normalize_text",
     "exact_dedup",
@@ -183,10 +190,21 @@ def duplicate_span_extents(
       1. tokenize + positional rolling n-gram hash — map-only explode,
          linear in corpus tokens (same envelope as the MinHash shingles);
       2. duplication census — groupBy(16-byte hash) with map-side partial
-         countDistinct, output bounded by spans that actually repeat;
-      3. positions ⋈ duplicated hashes — equi-join on the hash; the dup
-         side is census-bounded (broadcastable when boilerplate is rare,
-         shuffle-join otherwise — AQE picks per run);
+         countDistinct, output bounded by spans that actually repeat; the
+         census output is materialized once (``localCheckpoint`` — an
+         EAGER, duplicated-gram-bounded job at call time) so its measured
+         row count can pick the probe join strategy;
+      3. positions ⋈ duplicated hashes — a BROADCAST equi-join on the
+         hash when the census fits ``_SPAN_DUP_BROADCAST_MAX`` rows:
+         the probe side then keeps its input partitioning AND its
+         (doc, position) sort order, so stage 4 runs with no further
+         exchange or sort (measured 12.5 -> 9.6 s fresh-floor on the 2M-doc
+         bench family; the pre-change plan shuffled all 34M gram rows by
+         hash for a sort-merge join, then re-shuffled the survivors by doc
+         — 4 exchanges + 3 corpus-scale sorts, now 1 census exchange).
+         Boilerplate-heavy censuses above the cap fall back to the
+         equi-join (AQE picks the strategy), still reading the
+         materialized census instead of rebuilding its gram pass;
       4. stitching — one lag + running-sum window and a groupBy, both
          keyed on doc_id (document-bounded partitions).
     A suffix automaton finds longer-than-n exact repeats too, but stage 1
@@ -194,6 +212,10 @@ def duplicate_span_extents(
     duplicated n-gram and the stitcher returns its full extent), and each
     stage above is a hash shuffle Spark executes at 100 TB without
     per-partition imperative code.
+
+    With ``min_docs=1`` every gram is "duplicated", so the census
+    materialization is corpus-token-sized — degenerate for this operator
+    (every token of every document lands in one extent) but still correct.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -244,9 +266,17 @@ def duplicate_span_extents(
         # a doc shorter than n tokens has no complete gram: lead(n-1) is
         # NULL past the end, which also trims the ragged tail grams
         .where(F.col("__last").isNotNull() if n > 1 else F.lit(True))
-        .select(id_col, (F.col("__pos0") + 1).alias("pos"), "h")
+        # keep the RAW __pos0 attribute (not pos = __pos0 + 1): the
+        # gram-build window already sorted each partition by
+        # (doc_id, __pos0), and with the broadcast probe join below the
+        # stitching window's required (doc_id, __pos0) order survives
+        # join + filter + project untouched, so the whole probe side runs
+        # sort-free. Projecting pos = __pos0 + 1 here would hide the
+        # ordering behind an expression alias and reinstate a 34M-row
+        # sort. 1-based positions are restored in the final aggregate.
+        .select(id_col, "__pos0", "h")
         # BOTH consumers (census and probe) need these rows with
-        # different pruning (census drops pos), so ReuseExchange does
+        # different pruning (census drops __pos0), so ReuseExchange does
         # NOT deduplicate the subtrees: the executed plan builds the
         # grams twice (scan + posexplode + per-doc window each time).
         # Measured trade-off: a lazy localCheckpoint that materializes
@@ -261,13 +291,27 @@ def duplicate_span_extents(
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
         .select("h")
+        # EAGER materialization of the duplicated-gram census (bounded by
+        # spans that actually repeat). Two things pay for it: the fallback
+        # join reads these rows instead of re-running the census gram
+        # pass, and — decisively — the materialized ROW COUNT is a real
+        # measurement the probe join strategy can be picked with. Catalyst
+        # cannot make this call: the census sits above an aggregate whose
+        # size estimate is input-scaled garbage, and AQE only learns real
+        # sizes after the probe side's 34M-row exchange has already been
+        # written (both join-input stages materialize together), so the
+        # pre-change plan stayed a sort-merge join even with a 3.6 MB
+        # build side.
+        .localCheckpoint()
     )
-    marked = grams.join(dup, "h").select(id_col, "pos")
-    w = Window.partitionBy(id_col).orderBy("pos")
+    probe = F.broadcast(dup) if dup.count() <= _SPAN_DUP_BROADCAST_MAX else dup
+    marked = grams.join(probe, "h").select(id_col, "__pos0")
+    w = Window.partitionBy(id_col).orderBy("__pos0")
     # pos - prev > n starts a new extent (prev NULL -> first extent);
     # pos - prev == n is ADJACENT grams (token ranges touch end-to-end)
+    # (__pos0 differences equal pos differences — the +1 shift cancels)
     brk = (
-        F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0))
+        F.when(F.col("__pos0") - F.lag("__pos0").over(w) <= n, F.lit(0))
         .otherwise(F.lit(1))
     )
     ext = marked.withColumn("brk", brk).withColumn(
@@ -277,8 +321,8 @@ def duplicate_span_extents(
     return (
         ext.groupBy(id_col, "eid")
         .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            (F.min("__pos0") + 1).alias("span_start"),
+            (F.max("__pos0") + F.lit(n)).alias("span_end"),
             F.count(F.lit(1)).alias("n_grams"),
         )
         .select(id_col, "span_start", "span_end", "n_grams")

@@ -2866,6 +2866,54 @@ def test_duplicate_span_extents_adjacent_grams_merge(spark):
     assert doc1 == [(1, 8, 2)]
 
 
+def test_duplicate_span_extents_fallback_join_matches_broadcast(
+    spark, monkeypatch
+):
+    """The census-size gate picks between a broadcast probe join (small
+    census) and the plain equi-join fallback (census above
+    _SPAN_DUP_BROADCAST_MAX). Both branches must produce identical
+    extents — forced here by pinning the cap to 0 (fallback) vs the
+    default (broadcast), on data covering overlap-stitching, adjacency,
+    disjoint extents, ragged whitespace, short and NULL docs."""
+    from duckdb_ddsketch_spark.operators import dedup as dd
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    df = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {shared} u3 u4"),
+            (2, f"{shared} w1 w2 w3 w4 w5"),
+            (3, "m1 m2 m3 m4 f1 f2 f3 f4 f5 m1 m2 m3 m4"),
+            (4, "z9  m1   m2 m3 m4  z8 z7 z6"),
+            (5, "short doc"),
+            (6, None),
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    outs = {}
+    for label, cap in (("broadcast", dd._SPAN_DUP_BROADCAST_MAX), ("fallback", 0)):
+        monkeypatch.setattr(dd, "_SPAN_DUP_BROADCAST_MAX", cap)
+        for n, md in ((4, 2), (1, 2), (4, 3)):
+            outs[(label, n, md)] = sorted(
+                map(
+                    tuple,
+                    dd.duplicate_span_extents(
+                        df, n=n, min_docs=md
+                    ).collect(),
+                )
+            )
+    for n, md in ((4, 2), (1, 2), (4, 3)):
+        assert outs[("broadcast", n, md)] == outs[("fallback", n, md)]
+    # and the broadcast branch still matches the pinned stitching shape
+    by_doc = {}
+    for doc_id, s, e, g in outs[("broadcast", 4, 2)]:
+        by_doc.setdefault(doc_id, []).append((s, e, g))
+    assert by_doc[1] == [(3, 14, 9)]
+    assert by_doc[2] == [(1, 12, 9)]
+    assert sorted(by_doc[3]) == [(1, 4, 1), (10, 13, 1)]
+    assert by_doc[4] == [(2, 5, 1)]
+
+
 def test_duplicate_span_extents_short_docs_and_determinism(spark):
     df = spark.createDataFrame(
         [(1, "a b"), (2, "a b"), (3, None)], "doc_id long, text string"
