@@ -495,10 +495,15 @@ FRESH_BANDS = {
     "qnorm_60m": {"spark": 6.65, "duckdb": 11.7},
     "streaming_windows": {"spark": 6.23, "duckdb": 7.95},
     "streaming_windows_full_recompute": {"spark": 1.15, "duckdb": 0.46},
-    # round 9 (Spark band re-measured after the xxhash64 gram-key swap:
-    # fresh-process 12.64/12.60 vs 26.1/23.6/23.9 for the md5-string form;
-    # DuckDB 57.6/57.5 on an idle machine)
-    "span_extents_2m": {"spark": 12.6, "duckdb": 57.5},
+    # round 13 re-base: the census-checkpoint + size-gated broadcast
+    # probe join (dedup.duplicate_span_extents) moved the family's floor
+    # under the old round-9 12.6 ref (fresh-process attribution pair this
+    # round: reps 80.4/11.4/9.79 -> 9.79 on a canary-healthy box; the
+    # ~80 s first-rep is this family's fresh-session warm-up, present in
+    # the pre-change form too, and the protocol takes the min). Spark ref
+    # = the clean fresh-process min; duckdb keeps the round-9 57.5 (this
+    # round's pair read 78.9 inside/near a documented contention window).
+    "span_extents_2m": {"spark": 9.79, "duckdb": 57.5},
     # round 13 re-base: the r12 regexp_count-dl + pre-explode-prune
     # rewrites moved the family's floor well under the old 15.4 ref
     # (fresh-process attribution pair this round: 7.43; full-protocol

@@ -185,6 +185,50 @@ def run_time(rounds):
     spark.stop()
 
 
+def run_cap(rounds):
+    """Time the operator's broadcast branch vs the fallback branch at a
+    census NEAR the 2M-row cap (pool 200k -> 9 x 200k = 1.8M duplicated
+    hashes, 10 docs per pool), to place _SPAN_DUP_BROADCAST_MAX on
+    measurement: if broadcast still wins at the boundary the cap is
+    conservative-safe; if it loses, lower it."""
+    from duckdb_ddsketch_spark.operators import dedup as dd
+
+    bench.SPAN_POOL = 200_000  # read at call time by _span_text_sql
+    spark = _session("span-cap-time")
+    sc = spark.sparkContext
+
+    def run_with_cap(cap):
+        old = dd._SPAN_DUP_BROADCAST_MAX
+        dd._SPAN_DUP_BROADCAST_MAX = cap
+        try:
+            docs = _bench_docs(spark)
+            return dd.duplicate_span_extents(
+                docs, text="text", id_col="doc_id", n=bench.SPAN_N,
+                min_docs=2, gram_hash="xxhash64",
+            ).agg(
+                F.count(F.lit(1)).alias("n_extents"),
+                F.sum(F.col("span_end") - F.col("span_start") + 1).alias("ct"),
+            ).collect()
+        finally:
+            dd._SPAN_DUP_BROADCAST_MAX = old
+
+    res = {"bcast": [], "fallback": []}
+    vals = {}
+    for r in range(rounds):
+        for name, cap in (("bcast", 2_000_000), ("fallback", 0)):
+            sc.setJobDescription(f"span cap {name} r{r}")
+            t0 = time.time()
+            v = run_with_cap(cap)
+            dt = time.time() - t0
+            res[name].append(dt)
+            vals[name] = [tuple(row) for row in v]
+            print(f"round {r} {name}: {dt:.2f}s  {vals[name]}")
+    assert vals["bcast"] == vals["fallback"], vals
+    for k in res:
+        print(f"{k} min {min(res[k]):.2f}  all {[f'{x:.2f}' for x in res[k]]}")
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "equal"
     if mode == "equal":
@@ -193,3 +237,5 @@ if __name__ == "__main__":
         run_plan()
     elif mode == "time":
         run_time(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
+    elif mode == "cap":
+        run_cap(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
