@@ -2914,6 +2914,34 @@ def test_duplicate_span_extents_fallback_join_matches_broadcast(
     assert by_doc[4] == [(2, 5, 1)]
 
 
+def test_duplicate_span_extents_broadcast_plan_shape(spark):
+    """Pin the plan properties the round-13 rewrite bought, so they
+    cannot silently rot back (the round-9 'AQE picks broadcast' claim
+    did exactly that): under the default cap the probe join must be a
+    BroadcastHashJoin, never a SortMergeJoin, and on an input whose
+    partitioning already clusters doc_id (spark.range) the stitch
+    windows and final aggregate must run with NO shuffle — the executed
+    main-query plan contains no hash-partitioning Exchange at all (the
+    census aggregate's exchange lives in the eager checkpoint job)."""
+    from duckdb_ddsketch_spark.operators import dedup as dd
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        # 8-token shared boilerplate per 10-doc pool + 2 unique tokens
+        "concat('u', id, ' v', id * 3, "
+        " ' b0_', id % 20, ' b1_', id % 20, ' b2_', id % 20,"
+        " ' b3_', id % 20, ' b4_', id % 20, ' b5_', id % 20,"
+        " ' b6_', id % 20, ' b7_', id % 20) AS text",
+    )
+    ext = dd.duplicate_span_extents(docs, n=4, min_docs=2)
+    rows = ext.collect()
+    assert len(rows) == 200  # every doc carries its pool's extent
+    plan = ext._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+
+
 def test_duplicate_span_extents_short_docs_and_determinism(spark):
     df = spark.createDataFrame(
         [(1, "a b"), (2, "a b"), (3, None)], "doc_id long, text string"
